@@ -1,0 +1,47 @@
+"""HTML page → sections, mirroring the reference's RAGFlowHtmlParser.
+
+Reference: ``deepdoc/parser/html_parser.py:30-50`` —
+
+    encoding = find_codec(binary); txt = binary.decode(encoding, "ignore")
+    doc = readability.Document(txt)
+    txt = f"{doc.title()}\\n{html_text.extract_text(doc.summary(html_partial=True))}"
+    sections = txt.split("\\n")
+
+and the naive-chunker HTML route drops empty sections and tags them ""
+(``rag/app/naive.py:437-439``).  All three stages here are our native
+implementations (codec brute-force, Arc90 scoring, html-text normalization).
+"""
+
+from __future__ import annotations
+
+from ..textnorm.codec import find_codec
+from .readability import Document
+from .textify import extract_text
+
+
+class HtmlParser:
+    """Callable parser: bytes (or str) → list[str] sections."""
+
+    def __call__(self, binary=None, text: str | None = None) -> list[str]:
+        if text is None:
+            if binary is None:
+                return []
+            encoding = find_codec(binary)
+            text = binary.decode(encoding, errors="ignore")
+        return self.parser_txt(text)
+
+    @classmethod
+    def parser_txt(cls, txt: str) -> list[str]:
+        if not isinstance(txt, str):
+            raise TypeError("txt type should be str!")
+        doc = Document(txt)
+        title = doc.title()
+        content = extract_text(doc.summary(html_partial=True))
+        combined = f"{title}\n{content}"
+        return combined.split("\n")
+
+
+def html_sections(binary: bytes) -> list[str]:
+    """Reference naive.py HTML route: parse, drop empties
+    (rag/app/naive.py:437-439)."""
+    return [s for s in HtmlParser()(binary) if s]
