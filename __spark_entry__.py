@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship extraction pipeline on sf0.001 synthetic pages.
+``queries`` — every implemented operator (SURVEY.md §2 + training-data ops),
+              one callable per name.
+``oracle_sql`` — DuckDB-equivalent SQL for every SQL-expressible query;
+              extraction/ANN entries are rows-only checked (non-SQL ops).
 """
 
 from __future__ import annotations
@@ -12,27 +12,79 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _tune(spark: SparkSession) -> SparkSession:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+    return spark
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize Common-Crawl-style pages from sf0.001 documents,
+    run the full extraction pipeline (decode → boilerplate strip → sections
+    → 128-token chunks), return per-page extraction results."""
+    _tune(spark)
+    from ragflow_core16_spark.datagen.pages import pages_from_documents
+    from ragflow_core16_spark.operators.extract import extract_pages
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001")
+    ext = extract_pages(pages)
+    return ext.select("url", "lang", "status", "title", "codec",
+                      "n_sections", "n_chunks", "n_tokens", "bytes_in")
+
+
+# ---------------------------------------------------------------------------
+# pipeline (non-SQL) queries — rows-only checks
+# ---------------------------------------------------------------------------
+
+def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    from ragflow_core16_spark.datagen.pages import pages_from_documents
+    from ragflow_core16_spark.operators.extract import extract_pages
+    pages = pages_from_documents(spark, sf_dir)
+    return (extract_pages(pages)
+            .select("url", "lang", "status", "title", "n_sections",
+                    "n_chunks", "n_tokens", "bytes_in")
+            .orderBy("url"))
+
+
+def _q_extract_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    from ragflow_core16_spark.datagen.pages import pages_from_documents
+    from ragflow_core16_spark.operators.extract import extract_pages, chunks_table
+    pages = pages_from_documents(spark, sf_dir)
+    return (chunks_table(extract_pages(pages))
+            .select("url", "chunk_id", "chunk_seq", "token_cnt")
+            .orderBy("url", "chunk_seq"))
+
+
+def _registry():
+    from ragflow_core16_spark.operators import (dedup, relational, retrieval,
+                                                similarity, textstats)
+    reg: dict[str, tuple] = {}
+    for mod in (textstats, dedup, similarity, retrieval, relational):
+        for name, (fn, sql) in mod.QUERIES.items():
+            reg[name] = (fn, sql)
+    reg["extract_pages_e2e"] = (_q_extract_pages, None)
+    reg["extract_chunks_e2e"] = (_q_extract_chunks, None)
+    return reg
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _tune(spark)
+            return fn(spark, sf_dir)
+        return run
+    return {name: wrap(fn) for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (fn, sql) in _registry().items()
+            if sql is not None}

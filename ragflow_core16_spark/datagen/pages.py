@@ -1,0 +1,211 @@
+"""Deterministic synthetic Common-Crawl-style ``pages`` table.
+
+Schema per BASELINE.json input_hint:
+    pages(url string, warc_ts timestamp, html binary, text string, lang string)
+
+Generation follows FIXTURES.md §1 exactly: Zipf(1.5) host skew over 500
+hosts, nav/ads/footer boilerplate around a main article, 20% embedded
+tables, ~10% malformed-HTML variants, 5% bullet-structured content, mixed
+encodings (utf-8 90% / gbk 5% / latin-1 3% / cp1251 2%).
+
+Determinism & scale: every row is a pure function of ``doc_id`` (each row
+seeds its own ``random.Random(seed ^ doc_id)``), so generation is
+embarrassingly parallel and *partition-independent* — the same doc_id yields
+the same bytes on a 1-core laptop or a 1000-executor cluster.  Spark-side
+generation = ``spark.range(n)`` → ``mapInPandas`` (Arrow-batched), no
+driver-side materialization.
+
+Body text comes from the driver's ``documents.parquet`` word distribution
+(TESTDATA.md) when a source df is given, else from a built-in word pool.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
+                               StructType, TimestampType)
+
+PAGES_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), False),
+    StructField("html", BinaryType(), True),
+    StructField("text", StringType(), True),
+    StructField("lang", StringType(), True),
+])
+
+_EN_WORDS = ("the quick brown fox jumps over lazy dog data spark engine query "
+             "market report supply demand price index growth policy analysis "
+             "model system value stream batch table column filter merge sort "
+             "window network science research public record history culture").split()
+_ZH_SENTS = [
+    "数据处理引擎在大规模集群上运行良好。",
+    "市场对新产品的需求持续增长，供应链保持稳定。",
+    "研究人员分析了多个数据集，得出了可靠的结论！",
+    "系统的吞吐量在扩容之后明显提升；延迟保持稳定。",
+    "政策调整对行业格局产生了深远影响？",
+]
+_TLDS = ("com", "org", "net", "cn")
+_N_HOSTS = 500
+
+# EN bullet blocks for the 5% structured pages (drives book/laws chunkers)
+_EN_BULLETS = ["Chapter I General Provisions", "Section 1 Scope of Application",
+               "Article 1 Purpose and Basis", "Article 2 Definitions",
+               "Chapter II Implementation", "Article 3 Responsibilities"]
+_ZH_BULLETS = ["第一章 总则", "第一条 为了规范相关行为，制定本办法。",
+               "第二条 本办法适用于相关机构。", "第二章 监督管理",
+               "第三条 主管部门依法履行职责。"]
+
+
+def _zipf_host(rng: random.Random) -> int:
+    # inverse-CDF Zipf(a=1.5) over _N_HOSTS, deterministic given rng
+    u = rng.random()
+    # accept-reject free approximation: weight ∝ rank^-1.5
+    total = sum((i + 1) ** -1.5 for i in range(_N_HOSTS))
+    acc = 0.0
+    target = u * total
+    for i in range(_N_HOSTS):
+        acc += (i + 1) ** -1.5
+        if acc >= target:
+            return i
+    return _N_HOSTS - 1
+
+
+def _paragraph(rng: random.Random, lang: str) -> str:
+    if lang == "zh":
+        return "".join(rng.choice(_ZH_SENTS) for _ in range(rng.randint(2, 6)))
+    n = rng.randint(30, 120)
+    words = [rng.choice(_EN_WORDS) for _ in range(n)]
+    # sprinkle commas/periods so readability's comma scoring has signal
+    for i in range(6, n, 9):
+        words[i] += ","
+    return (" ".join(words)).capitalize() + "."
+
+
+def generate_page(doc_id: int, seed: int = 42) -> tuple[str, pd.Timestamp, bytes, str, str]:
+    rng = random.Random(seed * 1_000_003 ^ doc_id)
+    host = _zipf_host(rng)
+    tld = rng.choice(_TLDS)
+    section = rng.choice(("news", "blog", "docs", "wiki"))
+    url = f"https://host{host:04d}.example.{tld}/{section}/{doc_id}"
+
+    r = rng.random()
+    lang = "en" if r < 0.7 else ("zh" if r < 0.9 else "mixed")
+    enc_r = rng.random()
+    encoding = ("utf-8" if enc_r < 0.90 else
+                "gbk" if enc_r < 0.95 else
+                "latin-1" if enc_r < 0.98 else "cp1251")
+    if lang != "en" and encoding in ("latin-1", "cp1251"):
+        encoding = "utf-8"  # CJK не encodable in single-byte codecs
+
+    ts = pd.Timestamp("2024-01-01") + pd.Timedelta(
+        microseconds=rng.randrange(int(730 * 86400 * 1e6)))
+
+    title = f"Document {doc_id} " + " ".join(
+        rng.choice(_EN_WORDS) for _ in range(rng.randint(2, 5))).title()
+
+    n_paras = rng.randint(3, 12)
+    para_lang = "zh" if lang == "zh" else ("zh" if (lang == "mixed" and rng.random() < 0.5) else "en")
+    paras = [_paragraph(rng, para_lang if lang == "mixed" and i % 2 else
+                        ("zh" if lang == "zh" else "en"))
+             for i in range(n_paras)]
+
+    body_parts = [f"<p>{p}</p>" for p in paras]
+    if rng.random() < 0.05:  # bullet-structured pages
+        bullets = _ZH_BULLETS if para_lang == "zh" else _EN_BULLETS
+        body_parts = [f"<p>{b}</p>" for b in bullets] + body_parts
+    if rng.random() < 0.20:  # embedded table
+        rows = "".join(
+            f"<tr><td>item {i}</td><td>{rng.randint(1, 999)}</td></tr>"
+            for i in range(rng.randint(3, 10)))
+        body_parts.insert(rng.randrange(len(body_parts) + 1),
+                          f"<table><tr><th>name</th><th>count</th></tr>{rows}</table>")
+
+    nav = "".join(f'<a href="/{w}">{w}</a> ' for w in
+                  rng.sample(_EN_WORDS, rng.randint(8, 20)))
+    ads = "".join(f'<div class="ad">Sale! <a href="/buy{i}">buy now</a></div>'
+                  for i in range(rng.randint(1, 3)))
+    footer = ('<div class="footer">Copyright 2024 host%04d '
+              '<a href="/privacy">Privacy</a> <a href="/terms">Terms</a></div>' % host)
+
+    html = (f"<html><head><title>{title}</title></head><body>"
+            f'<div class="nav">{nav}</div>{ads}'
+            f'<div class="content">{"".join(body_parts)}</div>'
+            f"{footer}</body></html>")
+    if rng.random() < 0.10:  # malformed variants
+        kind = rng.randrange(3)
+        if kind == 0:
+            html = html.replace("</p>", "", 2)
+        elif kind == 1:
+            html = html.replace("</body></html>", "</div></p>")
+        else:
+            html = html.replace('<div class="content">', "<div class=content><p>")
+
+    ground_truth = "\n".join(paras)
+    return url, ts, html.encode(encoding, errors="ignore"), ground_truth, lang
+
+
+def pages_df(spark: SparkSession, n_rows: int, seed: int = 42,
+             partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic generation: spark.range → mapInPandas."""
+    base = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [generate_page(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return base.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def pages_from_documents(spark: SparkSession, sf_dir: str,
+                         seed: int = 42) -> DataFrame:
+    """Build pages keyed 1:1 to the driver's documents.parquet doc_ids, with
+    the document text as article body (FIXTURES.md §4: documents doubles as a
+    body source).  Deterministic per (seed, doc_id)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                url, ts, html, _, _ = generate_page(int(doc_id), seed)
+                rng = random.Random(seed ^ (int(doc_id) * 7919))
+                paras = _wrap_text_paragraphs(text, rng)
+                html_s = html.decode("utf-8", errors="ignore")
+                body = "".join(f"<p>{p}</p>" for p in paras)
+                marker = '<div class="content">'
+                start = html_s.find(marker)
+                if start < 0:  # malformed-variant page: marker was mangled
+                    start = html_s.find("<div class=content>")
+                    marker = "<div class=content>"
+                if start >= 0:
+                    end = html_s.find("</div>", start)
+                    end = (end + 6) if end >= 0 else len(html_s)
+                    html_s = (html_s[:start] + '<div class="content">'
+                              + body + "</div>" + html_s[end:])
+                else:
+                    html_s += f'<div class="content">{body}</div>'
+                out.append((url, ts, html_s.encode("utf-8"), text, lang))
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(gen, PAGES_SCHEMA)
+
+
+def _wrap_text_paragraphs(text: str, rng: random.Random) -> list[str]:
+    words = text.split()
+    if not words:
+        return ["empty document body."]
+    paras, i = [], 0
+    while i < len(words):
+        k = rng.randint(25, 60)
+        chunk = words[i:i + k]
+        for j in range(5, len(chunk), 9):
+            chunk[j] += ","
+        paras.append(" ".join(chunk) + ".")
+        i += k
+    return paras

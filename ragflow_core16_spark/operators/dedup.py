@@ -1,0 +1,243 @@
+"""Deduplication operators for a web-scale training-data pipeline.
+
+Four families, all shuffle-conscious:
+
+  * **exact**      — hash-groupBy on normalized content (one shuffle on the
+                     hash key; at 10^12 rows this is the cheapest possible
+                     dedup: map-side partial agg + AQE-coalesced shuffle).
+  * **minhash**    — k-shingle → K md5-based min-hashes → band/bucket LSH.
+                     Candidate pairs emerge from a self-join on (band,
+                     band_hash) — the join key is the bucket, so the shuffle
+                     is proportional to collisions, not to |docs|².
+  * **simhash**    — B-bit weighted bit-vote fingerprint; near-dups share
+                     fingerprints at small Hamming distance.
+  * **ngram-jaccard** — verification metric on candidate pairs only (never
+                     materialize the full cross-product).
+
+Everything is pure column expressions + relational ops (explode, groupBy,
+join) — Catalyst handles partial aggregation and AQE sizes the shuffles.
+The md5-prefix→bigint bridge keeps every hash reproducible in the DuckDB
+oracle (Spark ``conv(substr(md5(x),1,15),16,10)`` ≡ DuckDB
+``('0x'||substr(md5(x),1,15))::BIGINT``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NORM = r"\s+"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _norm_text():
+    return F.regexp_replace(F.lower(F.trim("text")), _NORM, " ")
+
+
+def _md5_bigint(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+# ------------------------------------------------------------ exact dedup
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups by exact normalized content: one row per group with
+    >1 member; canonical = min doc_id (deterministic survivor pick)."""
+    d = _docs(spark, sf_dir).select("doc_id", _norm_text().alias("norm"))
+    return (d.groupBy(F.md5("norm").alias("content_md5"))
+            .agg(F.count(F.lit(1)).alias("n_dups"),
+                 F.min("doc_id").alias("canonical_doc_id"))
+            .filter(F.col("n_dups") > 1)
+            .orderBy("content_md5"))
+
+
+DEDUP_EXACT_SQL = r"""
+WITH d AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_md5
+  FROM documents)
+SELECT content_md5, count(*) AS n_dups, min(doc_id) AS canonical_doc_id
+FROM d GROUP BY content_md5 HAVING count(*) > 1 ORDER BY content_md5
+"""
+
+
+# -------------------------------------------------------- shingles helper
+def _shingles(spark, sf_dir, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per doc (posexplode over the token array —
+    one row per shingle; the downstream agg is a single shuffle on doc_id)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), _NORM, " "), " ")
+    d = d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = d.alias("a")
+    # window-free shingling: self-join on pos offsets is wasteful; instead
+    # concat via lead() window per doc (narrow within-doc window)
+    from pyspark.sql import Window
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    sh = (d.withColumn("t1", F.lead("tok", 1).over(win))
+            .withColumn("t2", F.lead("tok", 2).over(win))
+            .filter(F.col("t2").isNotNull())
+            .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("shingle"))
+            .distinct())
+    return sh
+
+
+_SHINGLES_CTE = r"""
+  toklists AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS l
+    FROM documents),
+  tokens AS (
+    SELECT doc_id, i AS pos, l[i] AS tok
+    FROM toklists, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) u),
+  shingles AS (
+    SELECT DISTINCT doc_id, tok || ' ' || t1 || ' ' || t2 AS shingle
+    FROM (SELECT doc_id, tok,
+                 lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+                 lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+          FROM tokens)
+    WHERE t2 IS NOT NULL)
+"""
+
+
+# ---------------------------------------------------------------- minhash
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K min-hashes per doc: explode shingles × seeds, min per (doc, seed).
+    Shuffle: one groupBy on (doc_id, seed) with map-side combine."""
+    sh = _shingles(spark, sf_dir)
+    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("seed"))
+    sig = (sh.crossJoin(F.broadcast(seeds))
+           .select("doc_id", "seed",
+                   _md5_bigint(F.concat_ws("#", "shingle", "seed")).alias("h"))
+           .groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+           .orderBy("doc_id", "seed"))
+    return sig
+
+
+MINHASH_SIG_SQL = (r"""
+WITH """ + _SHINGLES_CTE + r""",
+  seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+  hashed AS (
+    SELECT s.doc_id, sd.seed,
+           ('0x' || substr(md5(s.shingle || '#' || sd.seed), 1, 15))::BIGINT AS h
+    FROM shingles s CROSS JOIN seeds sd)
+SELECT doc_id, seed, min(h) AS minhash
+FROM hashed GROUP BY doc_id, seed ORDER BY doc_id, seed
+""")
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: band the signature (4 bands × 4 rows), bucket-join
+    on (band, band_hash).  Join key = bucket → shuffle scales with bucket
+    sizes, never |docs|².  Returns estimated jaccard (signature agreement)."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = (sig.withColumn("band", (F.col("seed") / (N_HASHES // N_BANDS)).cast("int"))
+             .groupBy("doc_id", "band")
+             .agg(F.md5(F.concat_ws(",", F.sort_array(
+                 F.collect_list(F.concat_ws(":", "seed", "minhash"))))).alias("band_hash")))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                      (F.col("a.band_hash") == F.col("b.band_hash")) &
+                      (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    # estimate jaccard = fraction of agreeing minhashes
+    sa = sig.select(F.col("doc_id").alias("doc_a"), "seed",
+                    F.col("minhash").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), "seed",
+                    F.col("minhash").alias("hb"))
+    return (cand.join(sa, "doc_a").join(sb, ["doc_b", "seed"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.round(F.avg(F.when(F.col("ha") == F.col("hb"), 1.0)
+                               .otherwise(0.0)), 4).alias("est_jaccard"))
+            .orderBy("doc_a", "doc_b"))
+
+
+MINHASH_LSH_SQL = (r"""
+WITH """ + _SHINGLES_CTE + r""",
+  seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+  hashed AS (
+    SELECT s.doc_id, sd.seed,
+           ('0x' || substr(md5(s.shingle || '#' || sd.seed), 1, 15))::BIGINT AS h
+    FROM shingles s CROSS JOIN seeds sd),
+  sig AS (SELECT doc_id, seed, min(h) AS minhash
+          FROM hashed GROUP BY doc_id, seed),
+  bands AS (
+    SELECT doc_id, seed // 4 AS band,
+           md5(string_agg(seed || ':' || minhash, ',' ORDER BY seed || ':' || minhash)) AS band_hash
+    FROM sig GROUP BY doc_id, seed // 4),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       round(avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END), 4) AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+GROUP BY c.doc_a, c.doc_b ORDER BY c.doc_a, c.doc_b
+""")
+
+
+# ---------------------------------------------------------------- simhash
+N_SIMHASH_BITS = 16
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-bit simhash: per-token md5-bigint, bit b votes +1/-1, sign → bit.
+    One explode + one groupBy(doc_id) — single shuffle, map-side combine."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), _NORM, " "), " ")
+    t = d.select("doc_id", F.explode(toks).alias("tok"))
+    t = t.withColumn("h", _md5_bigint(F.col("tok")))
+    votes = [
+        F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"v{b}")
+        for b in range(N_SIMHASH_BITS)
+    ]
+    g = t.groupBy("doc_id").agg(*votes)
+    fp = None
+    for b in range(N_SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else (fp + bit)
+    return (g.select("doc_id", fp.cast("bigint").alias("simhash"))
+            .orderBy("doc_id"))
+
+
+def _simhash_sql() -> str:
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(N_SIMHASH_BITS))
+    fp = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(N_SIMHASH_BITS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash
+FROM votes ORDER BY doc_id
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+QUERIES = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
+    "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
+    "simhash": (simhash, SIMHASH_SQL),
+}

@@ -1,0 +1,155 @@
+"""The flagship extraction operator: pages → extracted(+chunks).
+
+Spark-first re-expression of the reference ingestion path
+(``rag/svr/task_executor.py:217-376`` build_chunks → naive chunker HTML route
+``rag/app/naive.py:435-476``): one Arrow-batched ``mapInPandas`` pass per
+page performing decode → boilerplate-strip → sections → naive_merge →
+chunk ids, emitting the extracted text plus a ``chunks`` array column.
+
+Scale design (100 TB / 10^12 rows):
+  * The operator is embarrassingly parallel per row — no shuffle at all in
+    the extraction stage itself.  The only shuffles in the full pipeline are
+    the optional size-targeted repartition before it (see
+    ``pipeline/partitioning.py``) and the metrics rollup after it.
+  * Oversize guard (reference DOC_MAXIMUM_SIZE=128 MB,
+    ``rag/svr/task_executor.py:218-220`` / ``rag/settings.py:55``) is a
+    JVM-side ``length(html)`` predicate evaluated before any Python sees the
+    bytes — oversized rows become status='oversize' rows without crossing
+    the Arrow boundary with their payload.
+  * Per-row try/except: parse failures yield status='error' rows, never task
+    aborts (a single bad page must not kill a 10-hour job).
+  * Arrow batches are capped via spark.sql.execution.arrow.maxRecordsPerBatch
+    (set in session.py) so a run of multi-MB pages can't balloon one batch.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
+                               StructField, StructType, TimestampType)
+
+from ..chunkers.naive import naive_merge
+from ..html.parser import HtmlParser
+from ..textnorm.codec import find_codec
+from ..textnorm.tokens import num_tokens_from_string
+from ..textnorm.xxh64 import xxh64_hexdigest
+
+DOC_MAXIMUM_SIZE = 128 * 1024 * 1024  # rag/settings.py:55
+
+CHUNK_STRUCT = StructType([
+    StructField("chunk_id", StringType(), False),
+    StructField("chunk_seq", IntegerType(), False),
+    StructField("chunk_text", StringType(), False),
+    StructField("token_cnt", IntegerType(), False),
+])
+
+EXTRACTED_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("warc_ts", TimestampType(), True),
+    StructField("lang", StringType(), True),
+    StructField("status", StringType(), False),   # ok | error | oversize | empty
+    StructField("error", StringType(), True),
+    StructField("title", StringType(), True),
+    StructField("extracted_text", StringType(), True),
+    StructField("codec", StringType(), True),
+    StructField("n_sections", IntegerType(), False),
+    StructField("n_chunks", IntegerType(), False),
+    StructField("n_tokens", IntegerType(), False),
+    StructField("bytes_in", LongType(), False),
+    StructField("chunks", ArrayType(CHUNK_STRUCT), True),
+])
+
+
+def _extract_one(url, warc_ts, html, lang, chunk_token_num, delimiter):
+    nbytes = len(html) if html is not None else 0
+    base = dict(url=url, warc_ts=warc_ts, lang=lang, error=None, title=None,
+                extracted_text=None, codec=None, n_sections=0, n_chunks=0,
+                n_tokens=0, bytes_in=nbytes, chunks=[])
+    if not html:
+        return {**base, "status": "empty"}
+    try:
+        codec = find_codec(bytes(html))
+        txt = bytes(html).decode(codec, errors="ignore")
+        sections = HtmlParser.parser_txt(txt)
+        title = sections[0] if sections else None
+        # naive.py:437-439 — drop empty sections, tag ""
+        sections = [(s, "") for s in sections if s]
+        # north-rule invariant: the per-url extracted text
+        extracted_text = "\n".join(s for s, _ in sections)
+        cks = naive_merge(sections, chunk_token_num, delimiter)
+        chunks = []
+        for i, ck in enumerate(cks):
+            tcnt = num_tokens_from_string(ck)
+            chunks.append({
+                # reference id: xxh64(content + doc key) hexdigest
+                # (rag/svr/task_executor.py:266)
+                "chunk_id": xxh64_hexdigest(ck + url),
+                "chunk_seq": i,
+                "chunk_text": ck,
+                "token_cnt": tcnt,
+            })
+        return {**base, "status": "ok", "title": title, "codec": codec,
+                "extracted_text": extracted_text,
+                "n_sections": len(sections), "n_chunks": len(chunks),
+                "n_tokens": sum(c["token_cnt"] for c in chunks),
+                "chunks": chunks}
+    except Exception as e:  # failure row, never a task abort
+        return {**base, "status": "error", "error": f"{type(e).__name__}: {e}"}
+
+
+def extract_pages(pages: DataFrame, chunk_token_num: int = 128,
+                  delimiter: str = "\n!?。；！？",
+                  max_bytes: int = DOC_MAXIMUM_SIZE) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → EXTRACTED_SCHEMA rows.
+
+    The ``length(html) <= max_bytes`` split happens JVM-side; only in-budget
+    rows ship their payload through Arrow.
+    """
+    in_budget = pages.filter(
+        F.col("html").isNull() | (F.length("html") <= F.lit(max_bytes)))
+    oversize = pages.filter(
+        F.col("html").isNotNull() & (F.length("html") > F.lit(max_bytes)))
+
+    def run(batches):
+        for pdf in batches:
+            rows = [
+                _extract_one(u, t, h, l, chunk_token_num, delimiter)
+                for u, t, h, l in zip(pdf["url"], pdf["warc_ts"],
+                                      pdf["html"], pdf["lang"])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in EXTRACTED_SCHEMA])
+
+    extracted = in_budget.select("url", "warc_ts", "html", "lang") \
+        .mapInPandas(run, EXTRACTED_SCHEMA)
+
+    oversize_rows = oversize.select(
+        "url", "warc_ts", "lang",
+        F.lit("oversize").alias("status"),
+        F.lit(None).cast("string").alias("error"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("extracted_text"),
+        F.lit(None).cast("string").alias("codec"),
+        F.lit(0).alias("n_sections"),
+        F.lit(0).alias("n_chunks"),
+        F.lit(0).alias("n_tokens"),
+        F.length("html").cast("long").alias("bytes_in"),
+        F.lit(None).cast(ArrayType(CHUNK_STRUCT)).alias("chunks"),
+    )
+    return extracted.unionByName(oversize_rows)
+
+
+def chunks_table(extracted: DataFrame) -> DataFrame:
+    """Explode the chunks array into the flat chunk table
+    (url, chunk_id, chunk_seq, chunk_text, token_cnt)."""
+    return (extracted
+            .filter(F.col("status") == "ok")
+            .select("url", "warc_ts", "lang",
+                    F.explode("chunks").alias("c"))
+            .select("url", "warc_ts", "lang",
+                    F.col("c.chunk_id").alias("chunk_id"),
+                    F.col("c.chunk_seq").alias("chunk_seq"),
+                    F.col("c.chunk_text").alias("chunk_text"),
+                    F.col("c.token_cnt").alias("token_cnt")))

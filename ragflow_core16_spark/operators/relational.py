@@ -1,0 +1,207 @@
+"""Classical relational operators over the driver's TPC-H-ish tables.
+
+SURVEY.md §2.10: the reference has no SQL engine — its equivalents are
+groupBy-aggs, top-k, broadcast joins.  These queries demonstrate the engine's
+relational surface (Catalyst-native, zero Python), with explicit
+physical-plan intent noted per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- tpch q1
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan→filter→hash-agg; partial agg map-side, one
+    shuffle on the (tiny) group key; predicate pushed to parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)        AS sum_qty,
+       round(sum(l_extendedprice), 2)   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4)        AS avg_qty,
+       count(*)                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------ revenue by nation
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join: lineitem ⋈ orders (shuffle on orderkey) ⋈ customer ⋈
+    nation (both broadcast — dims are tiny).  The F.broadcast hints make the
+    intended physical plan explicit; AQE would pick it anyway at this size."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, n = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.countDistinct("o_orderkey").alias("n_orders"))
+            .orderBy(F.desc("revenue"), "n_name"))
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY revenue DESC, n.n_name
+"""
+
+
+# ------------------------------------------------------- top-k per group
+def top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window row_number ≤ 3 per lang by (n_chars desc, doc_id) — rank
+    shuffle on lang only; deterministic tiebreak."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("lang", "doc_id", "n_chars", "rk")
+            .orderBy("lang", "rk"))
+
+
+TOP_DOCS_SQL = """
+SELECT lang, doc_id, n_chars, rk FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents) WHERE rk <= 3 ORDER BY lang, rk
+"""
+
+
+# --------------------------------------------------------- events window
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed agg per event_type (streaming-equivalent
+    batch query; in Structured Streaming the same expr runs under a
+    watermark — see streaming/)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .orderBy("hour", "event_type"))
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+# ------------------------------------------------------------ sessionize
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min): lag + cumulative-sum window —
+    the canonical stateful-batch pattern; one shuffle on user_id."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("new_sess").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_seq")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"))
+            .orderBy("user_id", "session_seq"))
+
+
+SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, ts,
+    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM marked)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""
+
+
+# ----------------------------------------------------- events json props
+def events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + agg (table-template type coercion analogue,
+    rag/app/table.py:97-127 — typed field from semi-structured input)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (e.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("k"), 4).alias("avg_k"),
+                 F.max("k").alias("max_k"))
+            .orderBy("event_type"))
+
+
+EVENTS_PROPS_SQL = """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# -------------------------------------------------- set ops / distinct
+def order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style semi join + distinct count (TPC-H Q4 shape)."""
+    o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    has_line = li.select("l_orderkey").distinct()
+    return (o.join(has_line, o.o_orderkey == has_line.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
+    "top_docs_per_lang": (top_docs_per_lang, TOP_DOCS_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "sessionize": (sessionize, SESSIONIZE_SQL),
+    "events_props": (events_props, EVENTS_PROPS_SQL),
+    "order_priority_counts": (order_priority_counts, ORDER_PRIORITY_SQL),
+}

@@ -1,0 +1,204 @@
+"""Retrieval-side operators re-expressed as DataFrame queries.
+
+The reference's query path (SURVEY.md §2.9): weighted-boolean full-text
+match — NOT BM25 — per the ES scripted similarity ``idf · min(tf,1) · boost``
+(``conf/mapping.json:8-15``), fused with dense cosine at weights 0.05/0.95
+(``rag/nlp/search.py:112-118``), reranked 0.3·token-overlap + 0.7·cosine
+(``search.py:274-311``), top-k + doc-level aggregation (``search.py:342-421``).
+
+Here the "index" is the documents table tokenized on the fly (in production
+it would be the pre-tokenized chunks table); the query is a fixed
+deterministic term list so the oracle can replay it.  All JVM column ops:
+explode → broadcast-join the tiny term list → groupBy(doc) agg.
+
+Scale: the term list is broadcast (a handful of rows); the token explode is
+map-local; the only shuffle is the per-doc score agg — same shape at 10^12
+rows, with AQE coalescing the agg output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERY_TERMS = ["spark", "query", "data", "merge", "window"]
+TOP_N = 20
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")
+    return d.select("doc_id", F.explode(toks).alias("tok"))
+
+
+def term_idf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query-term IDF over the corpus: ln(1 + (N - df + 0.5)/(df + 0.5)),
+    the reference's term_weight idf form (rag/nlp/term_weight.py:184-186)."""
+    t = _tokens(spark, sf_dir)
+    n_docs = _docs(spark, sf_dir).count()  # tiny scalar, computed once
+    terms = spark.createDataFrame([(w,) for w in QUERY_TERMS], ["term"])
+    df_ = (t.join(F.broadcast(terms), t.tok == terms.term)
+           .groupBy("term")
+           .agg(F.countDistinct("doc_id").alias("df")))
+    return (df_.select(
+        "term", "df",
+        F.round(F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)), 4)
+         .alias("idf"))
+        .orderBy("term"))
+
+
+TERM_IDF_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+terms AS (SELECT unnest(['{"','".join(QUERY_TERMS)}']) AS term),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM toks JOIN terms ON tok = term GROUP BY term)
+SELECT term, df,
+       round(ln(1.0 + ((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5)), 4) AS idf
+FROM dfreq ORDER BY term
+"""
+
+
+def fulltext_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-boolean retrieval: score(doc) = Σ_t idf(t)·min(tf,1) —
+    the ES scripted_sim of conf/mapping.json:8-15 — top N docs."""
+    t = _tokens(spark, sf_dir)
+    n_docs = _docs(spark, sf_dir).count()
+    terms = spark.createDataFrame([(w,) for w in QUERY_TERMS], ["term"])
+    tf = (t.join(F.broadcast(terms), t.tok == terms.term)
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    idf = (tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+           .select("term",
+                   (F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5)
+                          / (F.col("df") + 0.5))).alias("idf")))
+    return (tf.join(F.broadcast(idf), "term")
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(F.col("idf") * F.least(F.col("tf"), F.lit(1))), 4)
+                 .alias("score"),
+                 F.count(F.lit(1)).alias("n_terms_hit"))
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(TOP_N))
+
+
+FULLTEXT_TOPN_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+terms AS (SELECT unnest(['{"','".join(QUERY_TERMS)}']) AS term),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks JOIN terms ON tok = term GROUP BY doc_id, term),
+idf AS (
+  SELECT term,
+         ln(1.0 + ((SELECT count(*) FROM documents) - count(DISTINCT doc_id) + 0.5)
+                  / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum(idf.idf * least(tf.tf, 1)), 4) AS score,
+       count(*) AS n_terms_hit
+FROM tf JOIN idf ON tf.term = idf.term
+GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT {TOP_N}
+"""
+
+
+def hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text/vector fusion 0.05/0.95 (search.py:112-118): text score from
+    fulltext_topn-style scoring joined FULL OUTER with vector cosine vs the
+    query doc's pseudo-embedding (embeddings row vec_id = doc_id % 500 is
+    not meaningful on synthetic data — instead vectors come from the
+    embeddings table joined on vec_id = doc_id, missing → 0)."""
+    text_scores = fulltext_topn(spark, sf_dir) \
+        .select("doc_id", F.col("score").alias("tscore"))
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dot = F.aggregate(F.zip_with(F.col("embedding"), F.col("qv"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda a, v: a + v)
+    nrm = (F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0),
+                              lambda a, v: a + v * v)) *
+           F.sqrt(F.aggregate(F.col("qv"), F.lit(0.0), lambda a, v: a + v * v)))
+    vec_scores = (e.crossJoin(F.broadcast(q))
+                  .select(F.col("vec_id").alias("doc_id"),
+                          (dot / nrm).alias("vscore")))
+    return (text_scores.join(vec_scores, "doc_id", "full_outer")
+            .select("doc_id",
+                    F.round(F.coalesce("tscore", F.lit(0.0)) * 0.05 +
+                            F.coalesce("vscore", F.lit(0.0)) * 0.95, 4)
+                    .alias("fused"))
+            .orderBy(F.desc("fused"), "doc_id")
+            .limit(TOP_N))
+
+
+HYBRID_FUSION_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+terms AS (SELECT unnest(['{"','".join(QUERY_TERMS)}']) AS term),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks JOIN terms ON tok = term GROUP BY doc_id, term),
+idf AS (
+  SELECT term,
+         ln(1.0 + ((SELECT count(*) FROM documents) - count(DISTINCT doc_id) + 0.5)
+                  / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM tf GROUP BY term),
+tscores AS (
+  SELECT tf.doc_id, round(sum(idf.idf * least(tf.tf, 1)), 4) AS tscore
+  FROM tf JOIN idf ON tf.term = idf.term
+  GROUP BY tf.doc_id ORDER BY tscore DESC, tf.doc_id LIMIT {TOP_N}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vscores AS (
+  SELECT e.vec_id AS doc_id,
+         list_dot_product(e.embedding, q.qv) /
+         (sqrt(list_dot_product(e.embedding, e.embedding)) *
+          sqrt(list_dot_product(q.qv, q.qv))) AS vscore
+  FROM embeddings e, q)
+SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+       round(COALESCE(t.tscore, 0) * 0.05 + COALESCE(v.vscore, 0) * 0.95, 4) AS fused
+FROM tscores t FULL OUTER JOIN vscores v ON t.doc_id = v.doc_id
+ORDER BY fused DESC, doc_id LIMIT {TOP_N}
+"""
+
+
+def doc_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level aggregation of retrieval hits (search.py:411-418 analogue):
+    per source, how many docs hit ≥1 query term."""
+    t = _tokens(spark, sf_dir)
+    terms = spark.createDataFrame([(w,) for w in QUERY_TERMS], ["term"])
+    hits = (t.join(F.broadcast(terms), t.tok == terms.term)
+            .select("doc_id").distinct())
+    d = _docs(spark, sf_dir)
+    return (d.join(hits, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_hit_docs"))
+            .orderBy("source"))
+
+
+DOC_AGG_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+terms AS (SELECT unnest(['{"','".join(QUERY_TERMS)}']) AS term),
+hits AS (SELECT DISTINCT doc_id FROM toks JOIN terms ON tok = term)
+SELECT d.source, count(*) AS n_hit_docs
+FROM documents d JOIN hits USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+QUERIES = {
+    "term_idf_weights": (term_idf_weights, TERM_IDF_SQL),
+    "fulltext_topn": (fulltext_topn, FULLTEXT_TOPN_SQL),
+    "hybrid_fusion": (hybrid_fusion, HYBRID_FUSION_SQL),
+    "doc_agg_counts": (doc_agg_counts, DOC_AGG_SQL),
+}

@@ -1,0 +1,129 @@
+"""Vector similarity search over the ``embeddings`` table.
+
+Reference analogue: ``Dealer.search`` MatchDenseExpr — brute-force cosine
+top-k with similarity floor (``rag/nlp/search.py:67-152``, topk=1024,
+min sim 0.1).  Two strategies:
+
+  * ``cosine_topk`` — exact brute force: the query vector is a broadcast
+    literal; the scan is one pass, no shuffle until the final
+    TakeOrderedAndProject (ORDER BY LIMIT k → Spark's top-k operator, no
+    full sort).  At 100 TB this is the per-partition-reduce pattern: each
+    partition computes its local top-k, driver merges k·P rows.
+  * ``lsh_ann_topk`` — scale path: random-hyperplane LSH bucketing
+    (deterministic md5-derived hyperplanes), search only the query's bucket
+    ± probing.  Bucket assignment is a pure column expression; candidate
+    scan shrinks by ~2^bits.
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` (JVM higher-order
+functions — no Python UDF).  Scores rounded to 4 decimals for the oracle
+hash-compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOP_K = 10
+QUERY_VEC_ID = 0  # deterministic: the query is embeddings[vec_id=0]
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k of every vector vs the query vector."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID) \
+         .select(F.col("embedding").alias("qv"))
+    # 1-row broadcast join: the query vector rides to every executor
+    joined = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != QUERY_VEC_ID)
+    cos = _dot(F.col("embedding"), F.col("qv")) / \
+        (_norm(F.col("embedding")) * _norm(F.col("qv")))
+    return (joined.select("vec_id", "label",
+                          F.round(cos, 4).alias("cosine"))
+            .orderBy(F.desc("cosine"), "vec_id")
+            .limit(TOP_K))
+
+
+COSINE_TOPK_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT e.vec_id, e.label,
+       round(list_dot_product(e.embedding, q.qv) /
+             (sqrt(list_dot_product(e.embedding, e.embedding)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM embeddings e, q
+WHERE e.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, e.vec_id LIMIT {TOP_K}
+"""
+
+
+# --------------------------------------------------------------- LSH ANN
+N_PLANES = 6  # 64 buckets
+
+
+def _plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1) derived
+    from md5 — identical on every executor, no broadcast needed."""
+    import hashlib
+    h = int(hashlib.md5(f"plane{plane}:dim{dim}".encode()).hexdigest()[:8], 16)
+    return (h / 0xFFFFFFFF) * 2.0 - 1.0
+
+
+def _bucket_expr(vec: Column, dim: int) -> Column:
+    bits = None
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
+        bit = F.when(_dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return bits
+
+
+def lsh_ann_topk(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
+    """ANN via random-hyperplane LSH: score only vectors in the query's
+    bucket; falls back to exact top-k *within* the bucket.  Recall is tested
+    against cosine_topk in tests (not oracle-compared: approximate)."""
+    e = _emb(spark, sf_dir).withColumn("bucket", _bucket_expr(F.col("embedding"), dim))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID) \
+         .select(F.col("embedding").alias("qv"), F.col("bucket").alias("qb"))
+    joined = (e.crossJoin(F.broadcast(q))
+              .filter((F.col("vec_id") != QUERY_VEC_ID) &
+                      (F.col("bucket") == F.col("qb"))))
+    cos = _dot(F.col("embedding"), F.col("qv")) / \
+        (_norm(F.col("embedding")) * _norm(F.col("qv")))
+    return (joined.select("vec_id", "label", F.round(cos, 4).alias("cosine"))
+            .orderBy(F.desc("cosine"), "vec_id").limit(TOP_K))
+
+
+# ------------------------------------------------------- pairwise near-dup
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH buckets: only
+    within-bucket pairs are scored (join key = bucket), cosine ≥ 0.95."""
+    e = _emb(spark, sf_dir).withColumn("bucket",
+                                       _bucket_expr(F.col("embedding"), 64))
+    a = e.select(F.col("vec_id").alias("id_a"),
+                 F.col("embedding").alias("va"), "bucket")
+    b = e.select(F.col("vec_id").alias("id_b"),
+                 F.col("embedding").alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+            .filter(F.col("cosine") >= 0.95)
+            .orderBy("id_a", "id_b"))
+
+
+QUERIES = {
+    "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
+    "lsh_ann_topk": (lsh_ann_topk, None),          # approximate: rows-only
+    "embedding_near_dup": (embedding_near_dup, None),  # LSH-pruned: rows-only
+}

@@ -1,0 +1,182 @@
+"""Text-analysis operators over the ``documents`` table — all pure column
+expressions (JVM-side, whole-stage-codegen; no Python in the hot path).
+
+Each operator ships as a (spark_builder, oracle_sql) pair: the builder takes
+(spark, sf_dir) and returns a DataFrame; the SQL string is the DuckDB
+equivalent the driver runs side-by-side (CORRECTNESS gate).  Float outputs
+are rounded to 4 decimals on BOTH sides so the value-hash compare is stable.
+
+Reference analogues: ``is_english``/``is_chinese`` char-class ratios
+(rag/nlp/__init__.py:227-248), token counting (rag/utils/__init__.py:77-90),
+content quality gates implicit in the chunkers; plus the training-data-
+pipeline additions (language-ID, quality scoring, fingerprinting) that a
+100 TB corpus pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------- doc_stats
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rollup (metrics analogue, task_executor.py:556)."""
+    return (_docs(spark, sf_dir)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                 F.max("n_chars").alias("max_chars"))
+            .orderBy("lang"))
+
+
+DOC_STATS_SQL = """
+SELECT lang,
+       count(*)                 AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 4)   AS avg_chars,
+       max(n_chars)             AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ------------------------------------------------------------- token_count
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count per document (JVM split, no UDF)."""
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+                    F.length("text").alias("n_chars_actual"))
+            .orderBy("doc_id"))
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       length(text)                               AS n_chars_actual
+FROM documents ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------- doc_quality
+# Quality scoring: punctuation density, digit ratio, mean word length,
+# stopword ratio — the standard web-corpus quality gates (C4/Gopher rules).
+_STOPWORDS = "the a an and or of to in is are was for on with as by at"
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    n_punct = F.regexp_count("text", F.lit(r"[\.,;:!\?]"))
+    n_digit = F.regexp_count("text", F.lit(r"[0-9]"))
+    stop_pat = r"\b(" + "|".join(_STOPWORDS.split()) + r")\b"
+    n_stop = F.regexp_count(F.lower("text"), F.lit(stop_pat))
+    return (d.select(
+        "doc_id", "lang",
+        n_tok.alias("n_tokens"),
+        F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 4).alias("punct_ratio"),
+        F.round(n_digit / F.greatest(F.length("text"), F.lit(1)), 4).alias("digit_ratio"),
+        F.round(F.length(F.regexp_replace("text", r"\s+", "")) /
+                F.greatest(n_tok, F.lit(1)), 4).alias("avg_word_len"),
+        F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"))
+        .orderBy("doc_id"))
+
+
+DOC_QUALITY_SQL = r"""
+SELECT doc_id, lang,
+  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+  round(len(regexp_extract_all(text, '[\.,;:!\?]')) * 1.0
+        / greatest(length(text), 1), 4)      AS punct_ratio,
+  round(len(regexp_extract_all(text, '[0-9]')) * 1.0
+        / greatest(length(text), 1), 4)      AS digit_ratio,
+  round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+        / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS avg_word_len,
+  round(len(regexp_extract_all(lower(text), '\b(STOPPAT)\b')) * 1.0
+        / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS stopword_ratio
+FROM documents ORDER BY doc_id
+""".replace("STOPPAT", "|".join(_STOPWORDS.split()))
+
+
+# ----------------------------------------------------------------- lang_id
+# Heuristic language ID: CJK char ratio → zh; else distinctive-stopword hit
+# counts per candidate language (n-gram-class heuristic, SQL-expressible).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "with", "for"],
+    "de": ["der", "und", "die", "nicht", "das"],
+    "es": ["el", "los", "las", "para", "pero"],
+    "fr": ["le", "les", "des", "avec", "pour"],
+}
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    low = F.lower("text")
+    hits = {lg: F.regexp_count(low, F.lit(r"\b(" + "|".join(ws) + r")\b"))
+            for lg, ws in _LANG_MARKERS.items()}
+    cjk = F.regexp_count("text", F.lit(r"[一-鿿]"))
+    best = F.greatest(*hits.values())
+    pred = (F.when(cjk > F.length("text") * 0.2, "zh")
+            .when(best == F.lit(0), "unknown"))
+    for lg in _LANG_MARKERS:  # ties break in insertion order — same in SQL
+        pred = pred.when(hits[lg] == best, lg)
+    return (d.select("doc_id", F.col("lang").alias("lang_declared"),
+                     pred.otherwise("unknown").alias("lang_pred"))
+            .orderBy("doc_id"))
+
+
+def _lang_id_sql() -> str:
+    hit = {lg: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(ws)})\\b'))"
+           for lg, ws in _LANG_MARKERS.items()}
+    best = f"greatest({', '.join(hit.values())})"
+    whens = "\n    ".join(
+        f"WHEN {hit[lg]} = {best} THEN '{lg}'" for lg in _LANG_MARKERS)
+    return f"""
+SELECT doc_id, lang AS lang_declared,
+  CASE
+    WHEN len(regexp_extract_all(text, '[一-鿿]')) > length(text) * 0.2 THEN 'zh'
+    WHEN {best} = 0 THEN 'unknown'
+    {whens}
+    ELSE 'unknown'
+  END AS lang_pred
+FROM documents ORDER BY doc_id
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+# ------------------------------------------------------------- fingerprint
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 64-bit-class content fingerprint: md5-prefix bigint of
+    the whitespace-normalized text (rolling-hash analogue, portable to the
+    DuckDB oracle — Spark's xxhash64 seed/serialization is Spark-private)."""
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.md5(norm).alias("content_md5"),
+                    F.conv(F.substring(F.md5(norm), 1, 15), 16, 10)
+                     .cast("bigint").alias("fingerprint"))
+            .orderBy("doc_id"))
+
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))  AS content_md5,
+  ('0x' || substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 15))::BIGINT
+                                                           AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "doc_stats": (doc_stats, DOC_STATS_SQL),
+    "token_count": (token_count, TOKEN_COUNT_SQL),
+    "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+    "lang_id": (lang_id, LANG_ID_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+}
