@@ -64,15 +64,39 @@ def _q_extract_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url", "chunk_seq"))
 
 
+def _q_extract_book_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    from ragflow_core16_spark.datagen.pages import pages_from_documents
+    from ragflow_core16_spark.operators.extract import extract_pages
+    pages = pages_from_documents(spark, sf_dir)
+    return (extract_pages(pages, template="book")
+            .select("url", "status", "n_chunks", "n_tokens")
+            .orderBy("url"))
+
+
+def _q_extract_one_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
+    from ragflow_core16_spark.datagen.pages import pages_from_documents
+    from ragflow_core16_spark.operators.extract import extract_pages
+    pages = pages_from_documents(spark, sf_dir)
+    return (extract_pages(pages, template="one")
+            .select("url", "status", "n_chunks", "n_tokens")
+            .orderBy("url"))
+
+
 def _registry():
     from ragflow_core16_spark.operators import (dedup, relational, retrieval,
-                                                similarity, textstats)
+                                                similarity, templates,
+                                                textstats)
     reg: dict[str, tuple] = {}
-    for mod in (textstats, dedup, similarity, retrieval, relational):
+    for mod in (textstats, dedup, similarity, retrieval, relational,
+                templates):
         for name, (fn, sql) in mod.QUERIES.items():
             reg[name] = (fn, sql)
     reg["extract_pages_e2e"] = (_q_extract_pages, None)
     reg["extract_chunks_e2e"] = (_q_extract_chunks, None)
+    reg["extract_book_template"] = (_q_extract_book_template, None)
+    reg["extract_one_template"] = (_q_extract_one_template, None)
     return reg
 
 

@@ -19,8 +19,16 @@ from ..textnorm.tokens import num_tokens_from_string
 
 def naive_merge(sections, chunk_token_num: int = 128,
                 delimiter: str = "\n。；！？") -> list[str]:
+    return naive_merge_with_counts(sections, chunk_token_num, delimiter)[0]
+
+
+def naive_merge_with_counts(sections, chunk_token_num: int = 128,
+                            delimiter: str = "\n。；！？"):
+    """naive_merge that also returns per-chunk token sums (the running
+    ``tk_nums`` the boundary rule is driven by) — callers that need chunk
+    token counts reuse these instead of re-counting the joined text."""
     if not sections:
-        return []
+        return [], []
     if isinstance(sections[0], str):
         sections = [(s, "") for s in sections]
     cks = [""]
@@ -47,4 +55,4 @@ def naive_merge(sections, chunk_token_num: int = 128,
     for sec, pos in sections:
         add_chunk(sec, pos)
 
-    return cks
+    return cks, tk_nums

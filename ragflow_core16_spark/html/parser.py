@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from ..textnorm.codec import find_codec
 from .readability import Document
-from .textify import extract_text
+from .textify import extract_text, extract_text_from_node
 
 
 class HtmlParser:
@@ -35,8 +35,13 @@ class HtmlParser:
         if not isinstance(txt, str):
             raise TypeError("txt type should be str!")
         doc = Document(txt)
+        # fast path: one DOM parse total — summary_node() caches the title
+        # from its own parse, and text is extracted node-level (no
+        # serialize→re-parse round trip). Output is byte-identical to the
+        # string-path (regression-checked by the bench output hash).
+        article = doc.summary_node()
+        content = extract_text_from_node(article)
         title = doc.title()
-        content = extract_text(doc.summary(html_partial=True))
         combined = f"{title}\n{content}"
         return combined.split("\n")
 

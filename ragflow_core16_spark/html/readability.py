@@ -89,6 +89,7 @@ class Document:
     def __init__(self, html: str):
         self._raw = html
         self._root = None
+        self._title: str | None = None
 
     def _dom(self) -> Node:
         if self._root is None:
@@ -96,11 +97,10 @@ class Document:
         return self._root
 
     def title(self) -> str:
-        t = self._dom().find("title")
-        if t is None:
-            return "[no-title]"
-        s = _norm_text(t)
-        return s if s else "[no-title]"
+        if self._title is None:
+            t = self._dom().find("title")
+            self._title = _norm_text(t) if t is not None else ""
+        return self._title if self._title else "[no-title]"
 
     # ------------------------------------------------------------------
     def summary(self, html_partial: bool = True) -> str:
@@ -109,7 +109,17 @@ class Document:
         html_partial=True (the reference's mode) omits any wrapping
         body/html — we return the best candidate subtree + joined siblings
         inside a single <div>."""
+        return inner_html(self.summary_node())
+
+    def summary_node(self) -> Node:
+        """Main-article fragment as a DOM node (fast path: callers that only
+        need text extract it directly from this node, skipping the
+        serialize→re-parse round trip)."""
         root = parse_html(self._raw)  # fresh tree; we mutate it
+        # reuse this parse for title() too (single-parse fast path)
+        if self._title is None:
+            t = root.find("title")
+            self._title = _norm_text(t) if t is not None else ""
         for bad in root.find_all("script", "style", "noscript", "iframe", "form",
                                  "button", "input", "textarea", "select"):
             bad.drop()
@@ -117,13 +127,12 @@ class Document:
         self._divs_to_paragraphs(root)
         candidates = self._score_paragraphs(root)
         if not candidates:
-            body = root.find("body") or root
-            return inner_html(body)
+            return root.find("body") or root
         best = max(candidates.items(), key=lambda kv: kv[1])
         best_node, best_score = best
         article = self._join_siblings(best_node, best_score, candidates)
         self._sanitize(article, candidates)
-        return inner_html(article)
+        return article
 
     # ------------------------------------------------------------------
     def _remove_unlikely(self, root: Node):

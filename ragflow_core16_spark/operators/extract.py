@@ -31,10 +31,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
                                StructField, StructType, TimestampType)
 
-from ..chunkers.naive import naive_merge
+from ..chunkers.naive import naive_merge_with_counts
 from ..html.parser import HtmlParser
 from ..textnorm.codec import find_codec
-from ..textnorm.tokens import num_tokens_from_string
 from ..textnorm.xxh64 import xxh64_hexdigest
 
 DOC_MAXIMUM_SIZE = 128 * 1024 * 1024  # rag/settings.py:55
@@ -63,7 +62,8 @@ EXTRACTED_SCHEMA = StructType([
 ])
 
 
-def _extract_one(url, warc_ts, html, lang, chunk_token_num, delimiter):
+def _extract_one(url, warc_ts, html, lang, chunk_token_num, delimiter,
+                 template: str = "naive"):
     nbytes = len(html) if html is not None else 0
     base = dict(url=url, warc_ts=warc_ts, lang=lang, error=None, title=None,
                 extracted_text=None, codec=None, n_sections=0, n_chunks=0,
@@ -79,10 +79,18 @@ def _extract_one(url, warc_ts, html, lang, chunk_token_num, delimiter):
         sections = [(s, "") for s in sections if s]
         # north-rule invariant: the per-url extracted text
         extracted_text = "\n".join(s for s, _ in sections)
-        cks = naive_merge(sections, chunk_token_num, delimiter)
+        if template == "naive":
+            cks, tk_nums = naive_merge_with_counts(sections, chunk_token_num,
+                                                   delimiter)
+        else:
+            from ..chunkers.templates import SECTION_TEMPLATES
+            from ..textnorm.tokens import num_tokens_from_string
+            cks = SECTION_TEMPLATES[template](
+                [s for s, _ in sections], lang=lang or "Chinese",
+                chunk_token_num=chunk_token_num, delimiter=delimiter)
+            tk_nums = [num_tokens_from_string(c) for c in cks]
         chunks = []
-        for i, ck in enumerate(cks):
-            tcnt = num_tokens_from_string(ck)
+        for i, (ck, tcnt) in enumerate(zip(cks, tk_nums)):
             chunks.append({
                 # reference id: xxh64(content + doc key) hexdigest
                 # (rag/svr/task_executor.py:266)
@@ -102,7 +110,8 @@ def _extract_one(url, warc_ts, html, lang, chunk_token_num, delimiter):
 
 def extract_pages(pages: DataFrame, chunk_token_num: int = 128,
                   delimiter: str = "\n!?。；！？",
-                  max_bytes: int = DOC_MAXIMUM_SIZE) -> DataFrame:
+                  max_bytes: int = DOC_MAXIMUM_SIZE,
+                  template: str = "naive") -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → EXTRACTED_SCHEMA rows.
 
     The ``length(html) <= max_bytes`` split happens JVM-side; only in-budget
@@ -116,7 +125,7 @@ def extract_pages(pages: DataFrame, chunk_token_num: int = 128,
     def run(batches):
         for pdf in batches:
             rows = [
-                _extract_one(u, t, h, l, chunk_token_num, delimiter)
+                _extract_one(u, t, h, l, chunk_token_num, delimiter, template)
                 for u, t, h, l in zip(pdf["url"], pdf["warc_ts"],
                                       pdf["html"], pdf["lang"])
             ]

@@ -47,7 +47,7 @@ _CJK = re.compile(
 
 
 def _piece_tokens(piece: str) -> int:
-    cjk = len(_CJK.findall(piece))
+    cjk = 0 if piece.isascii() else len(_CJK.findall(piece))
     rest = len(piece) - cjk
     n = cjk
     if rest > 0:
@@ -60,7 +60,17 @@ def _piece_tokens(piece: str) -> int:
 def _count_native(s: str) -> int:
     if not s:
         return 0
-    return sum(_piece_tokens(m.group()) for m in _PIECE.finditer(s))
+    pieces = _PIECE.findall(s)
+    if s.isascii():
+        # hot path (most web text): no CJK scan per piece; same arithmetic
+        # (float ceil kept deliberately — int math differs at exact
+        # multiples, e.g. ceil(22/4.4) == 6 in float)
+        n = 0
+        for p in pieces:
+            lp = len(p)
+            n += 1 if lp <= 5 else ceil(lp / 4.4)
+        return n
+    return sum(_piece_tokens(p) for p in pieces)
 
 
 _counter = _count_native
