@@ -42,6 +42,8 @@ CHUNK_STRUCT = StructType([
     StructField("chunk_id", StringType(), False),
     StructField("chunk_seq", IntegerType(), False),
     StructField("chunk_text", StringType(), False),
+    StructField("content_ltks", StringType(), True),
+    StructField("content_sm_ltks", StringType(), True),
     StructField("token_cnt", IntegerType(), False),
 ])
 
@@ -89,14 +91,20 @@ def _extract_one(url, warc_ts, html, lang, chunk_token_num, delimiter,
                 [s for s, _ in sections], lang=lang or "Chinese",
                 chunk_token_num=chunk_token_num, delimiter=delimiter)
             tk_nums = [num_tokens_from_string(c) for c in cks]
+        from ..textnorm.rag_tokenizer import (fine_grained_tokenize,
+                                              tokenize as rag_tokenize)
         chunks = []
         for i, (ck, tcnt) in enumerate(zip(cks, tk_nums)):
+            # chunk-doc assembly (rag/nlp/__init__.py:251-255): index
+            # columns from the tokenizer; id = xxh64(content + doc key)
+            # hexdigest (rag/svr/task_executor.py:266)
+            ltks = rag_tokenize(ck)
             chunks.append({
-                # reference id: xxh64(content + doc key) hexdigest
-                # (rag/svr/task_executor.py:266)
                 "chunk_id": xxh64_hexdigest(ck + url),
                 "chunk_seq": i,
                 "chunk_text": ck,
+                "content_ltks": ltks,
+                "content_sm_ltks": fine_grained_tokenize(ltks),
                 "token_cnt": tcnt,
             })
         return {**base, "status": "ok", "title": title, "codec": codec,
@@ -161,4 +169,6 @@ def chunks_table(extracted: DataFrame) -> DataFrame:
                     F.col("c.chunk_id").alias("chunk_id"),
                     F.col("c.chunk_seq").alias("chunk_seq"),
                     F.col("c.chunk_text").alias("chunk_text"),
+                    F.col("c.content_ltks").alias("content_ltks"),
+                    F.col("c.content_sm_ltks").alias("content_sm_ltks"),
                     F.col("c.token_cnt").alias("token_cnt")))

@@ -1,0 +1,188 @@
+"""Porter stemming algorithm — from-scratch implementation of the published
+algorithm (M.F. Porter, "An algorithm for suffix stripping", Program 1980).
+
+The reference uses NLTK's PorterStemmer (``rag/nlp/rag_tokenizer.py:66``);
+NLTK is not available here, so this is the classic 5-step algorithm.  Note
+NLTK's default mode adds some extensions to the 1980 paper (e.g. special
+handling of words ending in 'y' after step 1c); this implements the original
+published algorithm, which matches NLTK ORIGINAL_ALGORITHM mode.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+_VOWELS = set("aeiou")
+
+
+def _is_cons(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m = number of VC sequences."""
+    m = 0
+    prev_vowel = False
+    for i in range(len(stem)):
+        cons = _is_cons(stem, i)
+        if prev_vowel and cons:
+            m += 1
+        prev_vowel = not cons
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (len(word) >= 2 and word[-1] == word[-2]
+            and _is_cons(word, len(word) - 1))
+
+
+def _cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    return (_is_cons(word, len(word) - 3)
+            and not _is_cons(word, len(word) - 2)
+            and _is_cons(word, len(word) - 1)
+            and word[-1] not in "wxy")
+
+
+def _replace(word: str, suffix: str, repl: str, min_m: int) -> str | None:
+    if not word.endswith(suffix):
+        return None
+    stem = word[: len(word) - len(suffix)]
+    if _measure(stem) > min_m - 1 if min_m else True:
+        pass
+    if _measure(stem) >= min_m:
+        return stem + repl
+    return None
+
+
+@lru_cache(maxsize=1 << 16)
+def stem(word: str) -> str:
+    """Zipfian vocabulary → the cache absorbs nearly all calls in the
+    extraction hot loop."""
+    if len(word) <= 2:
+        return word
+    w = word
+
+    # Step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # Step 1b
+    flag_1b = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed"):
+        if _has_vowel(w[:-2]):
+            w = w[:-2]
+            flag_1b = True
+    elif w.endswith("ing"):
+        if _has_vowel(w[:-3]):
+            w = w[:-3]
+            flag_1b = True
+    if flag_1b:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w += "e"
+
+    # Step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # Step 2
+    step2 = [
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+        ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+        ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+        ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+        ("iviti", "ive"), ("biliti", "ble"),
+    ]
+    for suf, rep in step2:
+        if w.endswith(suf):
+            stem_ = w[: -len(suf)]
+            if _measure(stem_) > 0:
+                w = stem_ + rep
+            break
+
+    # Step 3
+    step3 = [
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ]
+    for suf, rep in step3:
+        if w.endswith(suf):
+            stem_ = w[: -len(suf)]
+            if _measure(stem_) > 0:
+                w = stem_ + rep
+            break
+
+    # Step 4
+    step4 = ["al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+             "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+             "ous", "ive", "ize"]
+    for suf in sorted(step4, key=len, reverse=True):
+        if w.endswith(suf):
+            stem_ = w[: -len(suf)]
+            if suf == "ion" and not stem_.endswith(("s", "t")):
+                continue
+            if _measure(stem_) > 1:
+                w = stem_
+            break
+
+    # Step 5a
+    if w.endswith("e"):
+        stem_ = w[:-1]
+        m = _measure(stem_)
+        if m > 1 or (m == 1 and not _cvc(stem_)):
+            w = stem_
+    # Step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+
+    return w
+
+
+# minimal WordNet-morphy-style lemmatization for the no-POS noun default,
+# which is what WordNetLemmatizer().lemmatize(t) does in the reference
+_IRREGULAR = {
+    "men": "man", "women": "woman", "children": "child", "teeth": "tooth",
+    "feet": "foot", "mice": "mouse", "geese": "goose", "people": "person",
+    "leaves": "leaf", "lives": "life", "knives": "knife", "wives": "wife",
+}
+
+
+@lru_cache(maxsize=1 << 16)
+def lemmatize(word: str) -> str:
+    if word in _IRREGULAR:
+        return _IRREGULAR[word]
+    if len(word) <= 3:
+        return word
+    if word.endswith("ies") and len(word) > 4:
+        return word[:-3] + "y"
+    if word.endswith(("xes", "ses", "zes", "ches", "shes")):
+        return word[:-2]
+    if word.endswith("ss") or word.endswith("us") or word.endswith("is"):
+        return word
+    if word.endswith("s") and not word.endswith("ous"):
+        return word[:-1]
+    return word

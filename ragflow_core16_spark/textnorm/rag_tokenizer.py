@@ -1,0 +1,397 @@
+"""Bidirectional max-match tokenizer — structural port of
+``rag/nlp/rag_tokenizer.py`` (same control flow, native dependencies).
+
+Pipeline (reference ``tokenize``, rag_tokenizer.py:291-361):
+  1. ``\\W+`` → space, full-width→half-width (Q2B), lowercase,
+     traditional→simplified (built-in map here; HanziConv absent);
+  2. split into language runs (``SPLIT_CHAR`` regex + CJK/non-CJK runs);
+  3. English runs → word split + lemmatize + Porter stem (native
+     implementations — NLTK absent);
+  4. CJK runs → forward & backward max-match over the frequency trie;
+     agreeing prefix spans taken directly, disagreeing spans re-segmented
+     by scored DFS (score = B/len(tks) + L + F, rag_tokenizer.py:181-191);
+  5. ``merge_``: re-join adjacent tokens whose concatenation (with split
+     chars) is in the dictionary.
+
+Dictionary: the reference's ``rag/res/huqie.txt`` is a stripped large blob
+in the reference repo itself (SURVEY.md §0), so the trie here loads from an
+optional path (``RAG_TOKENIZER_DICT`` env) and falls back to a small
+built-in lexicon — enough to exercise every code path in tests.  Extracted
+chunk *text* never depends on the dictionary (HTML path); only the
+``content_ltks`` index columns degrade to per-char CJK granularity without
+the full dict.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+
+from .porter import lemmatize, stem
+
+# small built-in CJK lexicon (word, freq, pos) for code-path coverage
+_BUILTIN_DICT = [
+    ("中国", 600000, "ns"), ("人民", 120000, "n"), ("共和国", 50000, "ns"),
+    ("中华", 80000, "nz"), ("中华人民共和国", 30000, "ns"),
+    ("数据", 150000, "n"), ("处理", 90000, "v"), ("数据处理", 20000, "n"),
+    ("引擎", 40000, "n"), ("大规模", 30000, "b"), ("集群", 25000, "n"),
+    ("市场", 110000, "n"), ("需求", 70000, "n"), ("增长", 60000, "v"),
+    ("研究", 100000, "v"), ("人员", 80000, "n"), ("研究人员", 15000, "n"),
+    ("分析", 70000, "v"), ("结论", 30000, "n"), ("系统", 120000, "n"),
+    ("吞吐", 5000, "v"), ("吞吐量", 8000, "n"), ("政策", 60000, "n"),
+    ("行业", 50000, "n"), ("影响", 80000, "v"), ("产品", 90000, "n"),
+    ("供应", 40000, "n"), ("供应链", 12000, "n"), ("稳定", 50000, "a"),
+]
+
+# minimal traditional→simplified map (HanziConv replacement) for common chars
+_T2S = str.maketrans(
+    "萬與醜專業叢東絲丟兩嚴喪個爿豐臨為麗舉麼義烏樂喬習鄉書買亂爭於虧雲亙亞產畝親褻嚲億僅從侖倉儀們價眾優會傴傘偉傳傷倀倫傖偽佇體餘傭僉俠侶僥偵側僑儈儕儂俁儔儼倆儷儉債傾傯僂僨償",
+    "万与丑专业丛东丝丢两严丧个丬丰临为丽举么义乌乐乔习乡书买乱争于亏云亘亚产亩亲亵亸亿仅从仑仓仪们价众优会伛伞伟传伤伥伦伧伪伫体余佣佥侠侣侥侦侧侨侩侪侬俣俦俨俩俪俭债倾偬偻偾偿",
+)
+
+SPLIT_CHAR = r"([ ,\.<>/?;:'\[\]\\`!@#$%^&*\(\)\{\}\|_+=《》，。？、；‘’：“”【】~！￥%……（）——-]+|[a-zA-Z0-9,\.-]+)"
+_SPLIT_RE = re.compile(SPLIT_CHAR)
+DENOMINATOR = 1000000
+
+# full-width → half-width fold as a translate table (fast _strQ2B)
+_Q2B_TABLE = {0x3000: 0x0020}
+_Q2B_TABLE.update({0xFF01 + i: 0x21 + i for i in range(0x5E)})
+
+
+def is_chinese(c: str) -> bool:
+    return "一" <= c <= "鿥"
+
+
+class _Trie:
+    """Minimal datrie replacement: dict + prefix set."""
+
+    def __init__(self):
+        self._d: dict[str, tuple] = {}
+        self._prefixes: set[str] = set()
+
+    def __setitem__(self, k, v):
+        self._d[k] = v
+        for i in range(1, len(k) + 1):
+            self._prefixes.add(k[:i])
+
+    def __getitem__(self, k):
+        return self._d[k]
+
+    def __contains__(self, k):
+        return k in self._d
+
+    def has_keys_with_prefix(self, k):
+        return k in self._prefixes
+
+
+class RagTokenizer:
+    def __init__(self, dict_path: str | None = None):
+        self.trie_ = _Trie()
+        # plain-str lookup tables for the hot freq()/tag() path (key_()'s
+        # encode round trip is too slow for merge_'s per-window probes)
+        self._freq_str: dict[str, int] = {}
+        self._tag_str: dict[str, str] = {}
+        entries = list(_BUILTIN_DICT)
+        path = dict_path or os.environ.get("RAG_TOKENIZER_DICT")
+        if path and os.path.exists(path):
+            entries = self._read_dict(path)
+        for word, freq, tag in entries:
+            k = self.key_(word)
+            F = int(math.log(float(freq) / DENOMINATOR) + .5)
+            if k not in self.trie_ or self.trie_[k][0] < F:
+                self.trie_[k] = (F, tag)
+                w = word.lower()
+                self._freq_str[w] = int(math.exp(F) * DENOMINATOR + 0.5)
+                self._tag_str[w] = tag
+            self.trie_[self.rkey_(word)] = (1, "")
+        # first-char gate for merge_: a merged dict word must start with the
+        # window's first character
+        self._first_chars = {w[0] for w in self._freq_str}
+
+    @staticmethod
+    def _read_dict(path):
+        out = []
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                parts = re.split(r"[ \t]", line.strip())
+                if len(parts) >= 3:
+                    out.append((parts[0], float(parts[1]), parts[2]))
+        return out
+
+    def key_(self, line):
+        return str(line.lower().encode("utf-8"))[2:-1]
+
+    def rkey_(self, line):
+        return str(("DD" + line[::-1].lower()).encode("utf-8"))[2:-1]
+
+    # -- scoring ---------------------------------------------------------
+    def freq(self, tk):
+        return self._freq_str.get(tk.lower(), 0)
+
+    def tag(self, tk):
+        return self._tag_str.get(tk.lower(), "")
+
+    def score_(self, tfts):
+        B = 30
+        F, L, tks = 0, 0, []
+        for tk, (freq, tag) in tfts:
+            F += freq
+            L += 0 if len(tk) < 2 else 1
+            tks.append(tk)
+        L = L / len(tks)
+        return tks, B / len(tks) + L + F
+
+    def sortTks_(self, tkslist):
+        res = [self.score_(tfts) for tfts in tkslist]
+        return sorted(res, key=lambda x: x[1], reverse=True)
+
+    # -- max match -------------------------------------------------------
+    def maxForward_(self, line):
+        res = []
+        s = 0
+        while s < len(line):
+            e = s + 1
+            t = line[s:e]
+            while e < len(line) and self.trie_.has_keys_with_prefix(self.key_(t)):
+                e += 1
+                t = line[s:e]
+            while e - 1 > s and self.key_(t) not in self.trie_:
+                e -= 1
+                t = line[s:e]
+            if self.key_(t) in self.trie_:
+                res.append((t, self.trie_[self.key_(t)]))
+            else:
+                res.append((t, (0, "")))
+            s = e
+        return self.score_(res)
+
+    def maxBackward_(self, line):
+        res = []
+        s = len(line) - 1
+        while s >= 0:
+            e = s + 1
+            t = line[s:e]
+            while s > 0 and self.trie_.has_keys_with_prefix(self.rkey_(t)):
+                s -= 1
+                t = line[s:e]
+            while s + 1 < e and self.key_(t) not in self.trie_:
+                s += 1
+                t = line[s:e]
+            if self.key_(t) in self.trie_:
+                res.append((t, self.trie_[self.key_(t)]))
+            else:
+                res.append((t, (0, "")))
+            s -= 1
+        return self.score_(res[::-1])
+
+    def dfs_(self, chars, s, preTks, tkslist):
+        res = s
+        if len(tkslist) >= 2048:
+            return res
+        if s >= len(chars):
+            tkslist.append(preTks)
+            return res
+        S = s + 1
+        if s + 2 <= len(chars):
+            t1, t2 = "".join(chars[s:s + 1]), "".join(chars[s:s + 2])
+            if self.trie_.has_keys_with_prefix(self.key_(t1)) and \
+                    not self.trie_.has_keys_with_prefix(self.key_(t2)):
+                S = s + 2
+        if len(preTks) > 2 and len(preTks[-1][0]) == 1 \
+                and len(preTks[-2][0]) == 1 and len(preTks[-3][0]) == 1:
+            t1 = preTks[-1][0] + "".join(chars[s:s + 1])
+            if self.trie_.has_keys_with_prefix(self.key_(t1)):
+                S = s + 2
+        for e in range(S, len(chars) + 1):
+            t = "".join(chars[s:e])
+            k = self.key_(t)
+            if e > s + 1 and not self.trie_.has_keys_with_prefix(k):
+                break
+            if k in self.trie_:
+                pretks = [list(x) for x in preTks]
+                pretks.append((t, self.trie_[k]))
+                res = max(res, self.dfs_(chars, e, pretks, tkslist))
+        if res > s:
+            return res
+        t = "".join(chars[s:s + 1])
+        k = self.key_(t)
+        if k in self.trie_:
+            preTks.append((t, self.trie_[k]))
+        else:
+            preTks.append((t, (-12, "")))
+        return self.dfs_(chars, s + 1, preTks, tkslist)
+
+    # -- normalization ---------------------------------------------------
+    @staticmethod
+    def _strQ2B(ustring):
+        if ustring.isascii():
+            return ustring
+        return ustring.translate(_Q2B_TABLE)
+
+    @staticmethod
+    def _tradi2simp(line):
+        return line.translate(_T2S)
+
+    def english_normalize_(self, tks):
+        return [stem(lemmatize(t)) if re.match(r"[a-zA-Z_-]+$", t) else t
+                for t in tks]
+
+    def _split_by_lang(self, line):
+        pairs = []
+        for a in _SPLIT_RE.split(line):
+            if not a:
+                continue
+            if a.isascii():  # fast path: no CJK possible
+                pairs.append((a, False))
+                continue
+            s, e = 0, 1
+            zh = is_chinese(a[0])
+            while e < len(a):
+                _zh = is_chinese(a[e])
+                if _zh == zh:
+                    e += 1
+                    continue
+                pairs.append((a[s:e], zh))
+                s, e, zh = e, e + 1, _zh
+            if s < len(a):
+                pairs.append((a[s:e], zh))
+        return pairs
+
+    def merge_(self, tks_str):
+        res = []
+        tks = tks_str.split()
+        s = 0
+        n = len(tks)
+        freq = self._freq_str
+        first = self._first_chars
+        while s < n:
+            t0 = tks[s]
+            if not t0 or t0[0].lower() not in first:
+                # no dict word can start here → no merge possible
+                res.append(t0)
+                s += 1
+                continue
+            E = s + 1
+            for e in range(s + 2, min(n + 2, s + 6)):
+                tk = "".join(tks[s:e])
+                # SPLIT_CHAR matches any ascii-alnum or punct run, so the
+                # regex gate only excludes pure-CJK concats with no dict hit;
+                # the dict probe is the cheap dominant filter — do it first
+                if tk.lower() in freq and _SPLIT_RE.search(tk):
+                    E = e
+            res.append("".join(tks[s:E]))
+            s = E
+        return " ".join(res)
+
+    # -- public API ------------------------------------------------------
+    def tokenize(self, line: str) -> str:
+        line = re.sub(r"\W+", " ", line)
+        line = self._strQ2B(line).lower()
+        line = self._tradi2simp(line)
+        res = []
+        for L, zh in self._split_by_lang(line):
+            if not zh:
+                res.extend(stem(lemmatize(t)) for t in L.split())
+                continue
+            if len(L) < 2 or re.match(r"[a-z\.-]+$", L) or re.match(r"[0-9\.-]+$", L):
+                res.append(L)
+                continue
+            tks, s = self.maxForward_(L)
+            tks1, s1 = self.maxBackward_(L)
+            i, j, _i, _j = 0, 0, 0, 0
+            same = 0
+            while i + same < len(tks1) and j + same < len(tks) \
+                    and tks1[i + same] == tks[j + same]:
+                same += 1
+            if same > 0:
+                res.append(" ".join(tks[j:j + same]))
+            _i, _j = i + same, j + same
+            j = _j + 1
+            i = _i + 1
+            while i < len(tks1) and j < len(tks):
+                tk1, tk = "".join(tks1[_i:i]), "".join(tks[_j:j])
+                if tk1 != tk:
+                    if len(tk1) > len(tk):
+                        j += 1
+                    else:
+                        i += 1
+                    continue
+                if tks1[i] != tks[j]:
+                    i += 1
+                    j += 1
+                    continue
+                # disagreement span resolved by scored DFS
+                tkslist = []
+                self.dfs_("".join(tks[_j:j]), 0, [], tkslist)
+                res.append(" ".join(self.sortTks_(tkslist)[0][0]))
+                same = 1
+                while i + same < len(tks1) and j + same < len(tks) \
+                        and tks1[i + same] == tks[j + same]:
+                    same += 1
+                res.append(" ".join(tks[j:j + same]))
+                _i, _j = i + same, j + same
+                j = _j + 1
+                i = _i + 1
+            if _i < len(tks1):
+                tkslist = []
+                self.dfs_("".join(tks[_j:]), 0, [], tkslist)
+                if tkslist:
+                    res.append(" ".join(self.sortTks_(tkslist)[0][0]))
+        return self.merge_(" ".join(res))
+
+    def fine_grained_tokenize(self, tks: str) -> str:
+        tks = tks.split()
+        zh_num = len([1 for c in tks if c and is_chinese(c[0])])
+        if zh_num < len(tks) * 0.2:
+            res = []
+            for tk in tks:
+                res.extend(tk.split("/"))
+            return " ".join(res)
+        res = []
+        for tk in tks:
+            if len(tk) < 3 or re.match(r"[0-9,\.-]+$", tk):
+                res.append(tk)
+                continue
+            tkslist = []
+            if len(tk) > 10:
+                tkslist.append(tk)
+            else:
+                self.dfs_(tk, 0, [], tkslist)
+            if len(tkslist) < 2:
+                res.append(tk)
+                continue
+            stk = self.sortTks_(tkslist)[1][0]
+            if len(stk) == len(tk):
+                stk = tk
+            else:
+                if re.match(r"[a-z\.-]+$", tk):
+                    for t in stk:
+                        if len(t) < 3:
+                            stk = tk
+                            break
+                    else:
+                        stk = " ".join(stk)
+                else:
+                    stk = " ".join(stk)
+            res.append(stk)
+        return " ".join(self.english_normalize_(res))
+
+
+_singleton: RagTokenizer | None = None
+
+
+def get_tokenizer() -> RagTokenizer:
+    """Per-process singleton (executor-local lazy init, SURVEY.md §4.2)."""
+    global _singleton
+    if _singleton is None:
+        _singleton = RagTokenizer()
+    return _singleton
+
+
+def tokenize(line: str) -> str:
+    return get_tokenizer().tokenize(line)
+
+
+def fine_grained_tokenize(tks: str) -> str:
+    return get_tokenizer().fine_grained_tokenize(tks)

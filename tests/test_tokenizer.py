@@ -1,0 +1,87 @@
+"""Tokenizer tests: Porter stemmer (published pairs), lemmatizer,
+bidirectional max-match, fine-grained split, Q2B."""
+
+from ragflow_core16_spark.textnorm.porter import stem, lemmatize
+from ragflow_core16_spark.textnorm.rag_tokenizer import (
+    RagTokenizer, tokenize, fine_grained_tokenize)
+
+
+class TestPorter:
+    def test_published_pairs(self):
+        # from the published Porter test vocabulary
+        cases = {
+            "caresses": "caress", "ponies": "poni", "cats": "cat",
+            "feed": "feed", "agreed": "agre", "plastered": "plaster",
+            "motoring": "motor", "hopping": "hop", "sized": "size",
+            "happy": "happi", "relational": "relat", "digitizer": "digit",
+            "operator": "oper", "triplicate": "triplic", "hopeful": "hope",
+            "revival": "reviv", "adjustable": "adjust", "adoption": "adopt",
+            "activate": "activ", "effective": "effect", "rate": "rate",
+            "controll": "control", "roll": "roll", "cease": "ceas",
+        }
+        for w, want in cases.items():
+            assert stem(w) == want, f"{w} -> {stem(w)} != {want}"
+
+    def test_short_words_untouched(self):
+        assert stem("is") == "is" and stem("a") == "a"
+
+    def test_lemmatize(self):
+        assert lemmatize("dogs") == "dog"
+        assert lemmatize("boxes") == "box"
+        assert lemmatize("children") == "child"
+        assert lemmatize("analysis") == "analysis"  # -is kept
+        assert lemmatize("glass") == "glass"        # -ss kept
+
+
+class TestTokenize:
+    def test_english_stemmed(self):
+        assert tokenize("The Quick Foxes Jumped") == "the quick fox jump"
+
+    def test_cjk_dict_words(self):
+        out = tokenize("数据处理引擎")
+        assert "数据处理" in out and "引擎" in out
+
+    def test_cjk_long_compound(self):
+        assert "中华人民共和国" in tokenize("中华人民共和国成立")
+
+    def test_mixed_script(self):
+        out = tokenize("Mixed 中国市场 demand")
+        assert "mix" in out and "中国" in out and "市场" in out and "demand" in out
+
+    def test_q2b_fullwidth(self):
+        assert tokenize("ＦＵＬＬ　ｗｉｄｔｈ　１２３") == "full width 123"
+
+    def test_punctuation_stripped(self):
+        assert tokenize("hello, world!") == "hello world"
+
+    def test_empty(self):
+        assert tokenize("") == ""
+
+    def test_deterministic(self):
+        s = "数据处理引擎在大规模集群上运行 running fast"
+        assert tokenize(s) == tokenize(s)
+
+    def test_unknown_cjk_chars_per_char(self):
+        # chars not in the demo dict degrade to per-char tokens
+        out = tokenize("魑魅魍魉")
+        assert out.split() == ["魑", "魅", "魍", "魉"]
+
+
+class TestFineGrained:
+    def test_second_best_split(self):
+        assert fine_grained_tokenize("数据处理") == "数据 处理"
+
+    def test_mostly_english_slash_split(self):
+        assert fine_grained_tokenize("a/b test") == "a b test"
+
+    def test_short_tokens_kept(self):
+        assert fine_grained_tokenize("数据 处理 引擎 on") == \
+            fine_grained_tokenize("数据 处理 引擎 on")
+
+
+class TestCustomDict:
+    def test_dict_load(self, tmp_path):
+        p = tmp_path / "dict.txt"
+        p.write_text("测试词 50000 n\n", encoding="utf-8")
+        tk = RagTokenizer(dict_path=str(p))
+        assert "测试词" in tk.tokenize("这是测试词汇")
