@@ -1,0 +1,120 @@
+"""PDF extraction operator (staged DeepDOC path, SURVEY.md §7.2 S6).
+
+Route: pdf binary → native reader (``pdf/plain.py``) → line boxes →
+rule-based vertical merge (``_naive_vertical_merge`` path, the book/laws
+PDF mode) → TOC-page filter → sections → naive_merge chunks.
+
+The ONNX-model stages (OCR, YOLO layout, TSR tagging) are runtime-download
+models even in the reference (pdf_parser.py:88-93); here the model-free
+geometry pipeline runs on born-digital text boxes from the reader.  The
+construct_table stage is exercised separately on tagged grids (pdf/tsr.py).
+
+Spark shape: identical to the HTML path — one mapInPandas, no shuffle,
+per-row failure capture.  The rows-only driver check builds deterministic
+PDFs from documents.text.
+"""
+
+from __future__ import annotations
+
+import statistics
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (IntegerType, LongType, StringType, StructField,
+                               StructType)
+
+from ..chunkers.naive import naive_merge_with_counts
+from ..pdf.boxops import filter_forpages, naive_vertical_merge
+from ..pdf.plain import build_pdf, extract_pdf_boxes
+from ..textnorm.xxh64 import xxh64_hexdigest
+
+PDF_CHUNKS_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("status", StringType(), False),
+    StructField("n_pages", IntegerType(), False),
+    StructField("n_boxes", IntegerType(), False),
+    StructField("chunk_seq", IntegerType(), False),
+    StructField("chunk_id", StringType(), True),
+    StructField("chunk_text", StringType(), True),
+    StructField("token_cnt", IntegerType(), False),
+])
+
+
+def pdf_to_sections(pdf: bytes, is_english: bool = True) -> tuple[list[str], int, int]:
+    """→ (sections, n_pages, n_boxes): reader → vertical merge → TOC filter."""
+    boxes = extract_pdf_boxes(pdf)
+    if not boxes:
+        return [], 0, 0
+    n_boxes = len(boxes)
+    pages = max(b["page_number"] for b in boxes)
+    heights = [b["bottom"] - b["top"] for b in boxes]
+    mean_h = [statistics.median(heights)] * pages
+    widths = [(b["x1"] - b["x0"]) / max(len(b["text"]), 1) for b in boxes]
+    mean_w = [statistics.median(widths)] * pages
+    boxes = naive_vertical_merge(boxes, mean_h, mean_w, is_english,
+                                 statistics.median(heights))
+    boxes = filter_forpages(boxes, pages)
+    return [b["text"] for b in boxes if b["text"].strip()], pages, n_boxes
+
+
+def pdf_chunks_df(pdfs: DataFrame, chunk_token_num: int = 128,
+                  delimiter: str = "\n!?。；！？") -> DataFrame:
+    """pdfs(doc_id, pdf binary) → chunk rows; failures become status rows."""
+
+    def run(batches):
+        for pdf_batch in batches:
+            out = []
+            for doc_id, blob in zip(pdf_batch["doc_id"], pdf_batch["pdf"]):
+                doc_id = int(doc_id)
+                try:
+                    sections, n_pages, n_boxes = pdf_to_sections(bytes(blob))
+                    cks, tknums = naive_merge_with_counts(
+                        [(s, "") for s in sections], chunk_token_num, delimiter)
+                    if not sections:
+                        out.append((doc_id, "empty", 0, 0, 0, None, None, 0))
+                        continue
+                    for i, (ck, tn) in enumerate(zip(cks, tknums)):
+                        out.append((doc_id, "ok", n_pages, n_boxes, i,
+                                    xxh64_hexdigest(ck + str(doc_id)), ck, tn))
+                except Exception:
+                    out.append((doc_id, "error", 0, 0, 0, None, None, 0))
+            yield pd.DataFrame(out, columns=[f.name for f in PDF_CHUNKS_SCHEMA])
+
+    return pdfs.mapInPandas(run, PDF_CHUNKS_SCHEMA)
+
+
+def pdf_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: documents.text → deterministic multi-page PDFs (native
+    writer) → full native extraction → chunks.  Rows-only check; the unit
+    tests assert byte-level round-trip fidelity."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+
+    def gen(batches):
+        for pdf_b in batches:
+            rows = []
+            for doc_id, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                words = (text or "").split()
+                lines, page, pages = [], [], []
+                for i in range(0, len(words), 10):
+                    page.append(" ".join(words[i:i + 10]) + ".")
+                    if len(page) == 40:
+                        pages.append(page)
+                        page = []
+                if page:
+                    pages.append(page)
+                rows.append((int(doc_id), build_pdf(pages or [["empty"]])))
+            yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
+
+    pdfs = docs.mapInPandas(
+        gen, "doc_id long, pdf binary")
+    return (pdf_chunks_df(pdfs)
+            .select("doc_id", "status", "n_pages", "chunk_seq", "chunk_id",
+                    "token_cnt")
+            .orderBy("doc_id", "chunk_seq"))
+
+
+QUERIES = {
+    "pdf_template": (pdf_template, None),
+}

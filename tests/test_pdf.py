@@ -1,0 +1,205 @@
+"""PDF layer tests: writer/reader round trip, geometry, box ops, TSR."""
+
+from ragflow_core16_spark.pdf.plain import (build_pdf, extract_pdf_boxes,
+                                            extract_pdf_lines, PlainParser)
+from ragflow_core16_spark.pdf.geometry import (
+    sort_Y_firstly, sort_X_firstly, overlapped_area, find_overlapped,
+    find_overlapped_with_threashold, layouts_cleanup)
+from ragflow_core16_spark.pdf.boxops import (
+    text_merge, naive_vertical_merge, filter_forpages,
+    merge_with_same_bullet, sort_X_by_page, line_tag, remove_tag)
+from ragflow_core16_spark.pdf.tsr import construct_table, block_type
+
+
+def mk(x0, top, x1, bottom, text="t", page=1, **kw):
+    return {"x0": x0, "x1": x1, "top": top, "bottom": bottom,
+            "text": text, "page_number": page, **kw}
+
+
+class TestPlainPdf:
+    def test_round_trip(self):
+        pdf = build_pdf([["line one", "line two"], ["second page"]])
+        lines = [t for t, _ in extract_pdf_lines(pdf)]
+        assert lines == ["line one", "line two", "second page"]
+
+    def test_escapes(self):
+        pdf = build_pdf([["with (parens) and \\ slash"]])
+        assert extract_pdf_lines(pdf)[0][0] == "with (parens) and \\ slash"
+
+    def test_uncompressed(self):
+        pdf = build_pdf([["plain"]], compress=False)
+        assert extract_pdf_lines(pdf)[0][0] == "plain"
+
+    def test_boxes_have_geometry(self):
+        pdf = build_pdf([["a", "b"]])
+        boxes = extract_pdf_boxes(pdf)
+        assert boxes[0]["top"] < boxes[1]["top"]
+        assert all(b["page_number"] == 1 for b in boxes)
+
+    def test_plain_parser_api(self):
+        lines, tbls = PlainParser()(build_pdf([["x"]]))
+        assert lines == [("x", "")] and tbls == []
+
+    def test_garbage_pdf_no_crash(self):
+        assert extract_pdf_lines(b"%PDF-1.4 garbage") == []
+
+    def test_compressed_payload_containing_pdf_keywords(self):
+        # regression: a Flate payload can contain literal 'endobj'/'endstream'
+        # bytes; the object scan must be /Length-driven, not regex-truncated
+        import zlib
+        for seed_text in ("a table batch filter agg vector query column "
+                          "batch big data group group slow", "x " * 400):
+            lines = [seed_text[i:i + 40] for i in range(0, len(seed_text), 40)]
+            pdf = build_pdf([lines])
+            got = [t for t, _ in extract_pdf_lines(pdf)]
+            assert got == [ln for ln in lines if ln.strip()]
+
+
+class TestGeometry:
+    def test_sort_y_threshold_tiebreak(self):
+        a, b = mk(50, 10, 60, 20), mk(10, 12, 20, 22)
+        assert sort_Y_firstly([a, b], 5)[0] is b  # y within 5 → x decides
+
+    def test_sort_x(self):
+        a, b = mk(50, 10, 60, 20), mk(10, 40, 20, 50)
+        assert sort_X_firstly([a, b], 1)[0] is b
+
+    def test_overlap_ratio(self):
+        a = mk(0, 0, 10, 10)
+        b = mk(5, 0, 15, 10)
+        assert abs(overlapped_area(a, b) - 0.5) < 1e-9
+        assert overlapped_area(a, mk(20, 20, 30, 30)) == 0
+
+    def test_find_overlapped(self):
+        boxes = [mk(0, i * 10, 100, i * 10 + 8) for i in range(50)]
+        probe = mk(0, 101, 100, 107)
+        i = find_overlapped(probe, boxes)
+        assert i == 10
+
+    def test_find_overlapped_threshold(self):
+        boxes = [mk(0, 0, 10, 10), mk(0, 20, 10, 30)]
+        probe = mk(0, 21, 10, 29)
+        assert find_overlapped_with_threashold(probe, boxes) == 1
+
+    def test_layouts_cleanup(self):
+        l1 = mk(0, 0, 10, 10, type="text", score=0.9)
+        l2 = mk(1, 1, 9, 9, type="text", score=0.5)
+        out = layouts_cleanup([], [l1, l2])
+        assert out == [l1]
+
+
+class TestBoxOps:
+    def test_text_merge_same_layout(self):
+        b1 = mk(0, 10, 50, 20, "hello ", layoutno="t0")
+        b2 = mk(55, 11, 90, 21, "world", layoutno="t0")
+        out = text_merge([b1, b2], mean_height=[10])
+        assert len(out) == 1 and out[0]["text"] == "hello world"
+
+    def test_text_merge_different_layout_kept(self):
+        b1 = mk(0, 10, 50, 20, "a", layoutno="t0")
+        b2 = mk(55, 11, 90, 21, "b", layoutno="t1")
+        assert len(text_merge([b1, b2], [10])) == 2
+
+    def test_vertical_merge_continuation(self):
+        b1 = mk(0, 10, 100, 20, "clause one,", layoutno=0)
+        b2 = mk(0, 22, 100, 32, "clause two.", layoutno=0)
+        out = naive_vertical_merge([b1, b2], [10], [5], False, 10)
+        assert len(out) == 1 and out[0]["text"] == "clause one,clause two."
+
+    def test_vertical_merge_sentence_stop(self):
+        b1 = mk(0, 10, 100, 20, "Sentence ends.", layoutno=0)
+        b2 = mk(0, 22, 100, 32, "New one", layoutno=0)
+        out = naive_vertical_merge([b1, b2], [10], [5], True, 10)
+        assert len(out) == 2
+
+    def test_vertical_merge_drops_page_number(self):
+        b1 = mk(0, 10, 100, 20, "12", page=1)
+        b2 = mk(0, 22, 100, 32, "real text", page=2)
+        out = naive_vertical_merge([b1, b2], [10, 10], [5, 5], False, 10)
+        assert [b["text"] for b in out] == ["real text"]
+
+    def test_filter_forpages_toc(self):
+        boxes = [mk(0, 0, 10, 10, "contents"),
+                 mk(0, 20, 10, 30, "Chapter One 1"),
+                 mk(0, 40, 10, 50, "Chapter Two 2"),
+                 mk(0, 60, 10, 70, "Chapter One body starts")]
+        out = filter_forpages(boxes, 1)
+        texts = [b["text"] for b in out]
+        assert "contents" not in texts
+        assert "Chapter One body starts" in texts
+
+    def test_merge_same_bullet(self):
+        b1 = mk(0, 10, 50, 20, "• first")
+        b2 = mk(0, 30, 50, 40, "• second")
+        out = merge_with_same_bullet([b1, b2])
+        assert len(out) == 1 and "first" in out[0]["text"] and "second" in out[0]["text"]
+
+    def test_sort_x_by_page_columns(self):
+        left_top = mk(10, 10, 100, 20, "L1")
+        left_bot = mk(10, 100, 100, 110, "L2")
+        right_top = mk(300, 10, 400, 20, "R1")
+        out = sort_X_by_page([right_top, left_bot, left_top], 50)
+        assert [b["text"] for b in out] == ["L1", "L2", "R1"]
+
+    def test_line_tag_roundtrip(self):
+        b = mk(10, 50, 100, 60, page=1)
+        tag = line_tag(b, [0, 792], [792, 792])
+        assert tag.startswith("@@1\t") and tag.endswith("##")
+        assert remove_tag(f"text{tag}") == "text"
+
+
+def grid_boxes(nrows, ncols, header=True):
+    """Synthetic tagged grid: cell (i,j) with R/C tags + extents."""
+    boxes = []
+    for i in range(nrows):
+        for j in range(ncols):
+            top, bottom = i * 20, i * 20 + 15
+            x0, x1 = j * 100, j * 100 + 80
+            b = mk(x0, top, x1, bottom,
+                   text=(f"h{j}" if (header and i == 0) else f"c{i}{j}"))
+            b["R"] = i
+            b["R_top"], b["R_bott"] = top, bottom
+            b["C"] = j
+            b["C_left"], b["C_right"] = x0, x1
+            if header and i == 0:
+                b["H"] = 1
+                b["H_left"], b["H_right"] = x0, x1
+                b["H_top"], b["H_bott"] = top, bottom
+            boxes.append(b)
+    return boxes
+
+
+class TestTSR:
+    def test_html_table_basic(self):
+        html = construct_table(grid_boxes(3, 2), is_english=True, html=True)
+        assert html.startswith("<table>")
+        assert html.count("<th") == 2 and html.count("<td") == 4
+        assert "c11" in html and "h0" in html
+
+    def test_desc_table_linearization(self):
+        rows = construct_table(grid_boxes(3, 3), is_english=True, html=False)
+        joined = "\n".join(rows)
+        assert "h0：c10" in joined and "h2：c22" in joined
+
+    def test_caption_extracted(self):
+        boxes = grid_boxes(2, 2)
+        boxes.append(mk(0, -30, 100, -20, "表 1: 数据", layout_type="table caption"))
+        html = construct_table(boxes, html=True)
+        assert "<caption>表 1: 数据</caption>" in html
+
+    def test_spanning_cell(self):
+        boxes = grid_boxes(3, 2)
+        # make the row-1 col-0 cell span both columns
+        sp = boxes[2]
+        sp["SP"] = 1
+        sp["H_left"], sp["H_right"] = 0, 180
+        sp["H_top"], sp["H_bott"] = sp["top"], sp["bottom"]
+        html = construct_table(boxes, is_english=True, html=True)
+        assert "colspan=2" in html
+
+    def test_block_type(self):
+        assert block_type({"text": "2024-01-02"}) == "Dt"
+        assert block_type({"text": "123.45"}) == "Nu"
+        assert block_type({"text": "ABC-12"}) == "Ca"
+        assert block_type({"text": "hello there"}) == "En"
+        assert block_type({"text": "文"}) == "Sg"
