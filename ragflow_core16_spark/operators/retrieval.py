@@ -196,9 +196,81 @@ GROUP BY d.source ORDER BY d.source
 """
 
 
+RERANK_QUESTION = "what is the spark data engine query window"
+
+
+def _question_terms() -> list[tuple[str, float]]:
+    """Driver-side query compile (FulltextQueryer.question) with weights
+    rounded so the same literals feed both Spark and the DuckDB oracle."""
+    from ragflow_core16_spark.textnorm.query import FulltextQueryer
+    terms, _phrases, _kws = FulltextQueryer().question(RERANK_QUESTION)
+    return [(t, float(round(float(w), 6))) for t, w in terms]
+
+
+def rerank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference rerank (search.py:274-311): token-overlap similarity
+    (Σ matched query weights / Σ query weights, query.py:228-240) fused
+    0.3/0.7 with vector cosine.  The compiled query terms are a broadcast
+    literal relation — query compile happens once on the driver, scoring is
+    all JVM."""
+    terms = _question_terms()
+    total_w = round(sum(w for _, w in terms), 6)
+    tdf = spark.createDataFrame(terms, ["term", "w"])
+    toks = _tokens(spark, sf_dir).distinct()
+    tok_sim = (toks.join(F.broadcast(tdf), toks.tok == tdf.term)
+               .groupBy("doc_id")
+               .agg((F.sum("w") / F.lit(total_w)).alias("tok_sim")))
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dot = F.aggregate(F.zip_with(F.col("embedding"), F.col("qv"),
+                                 lambda x, y: x * y),
+                      F.lit(0.0), lambda a, v: a + v)
+    nrm = (F.sqrt(F.aggregate(F.col("embedding"), F.lit(0.0),
+                              lambda a, v: a + v * v)) *
+           F.sqrt(F.aggregate(F.col("qv"), F.lit(0.0), lambda a, v: a + v * v)))
+    vec = (e.crossJoin(F.broadcast(q))
+           .select(F.col("vec_id").alias("doc_id"), (dot / nrm).alias("cos")))
+    return (tok_sim.join(vec, "doc_id", "full_outer")
+            .select("doc_id",
+                    F.round(F.coalesce("tok_sim", F.lit(0.0)) * 0.3 +
+                            F.coalesce("cos", F.lit(0.0)) * 0.7, 4)
+                    .alias("rerank_score"))
+            .orderBy(F.desc("rerank_score"), "doc_id")
+            .limit(TOP_N))
+
+
+def _rerank_fusion_sql() -> str:
+    terms = _question_terms()
+    total_w = round(sum(w for _, w in terms), 6)
+    values = ", ".join(f"('{t}', {w})" for t, w in terms)
+    return rf"""
+WITH terms(term, w) AS (VALUES {values}),
+toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+tok_sim AS (
+  SELECT doc_id, sum(w) / {total_w} AS tok_sim
+  FROM toks JOIN terms ON tok = term GROUP BY doc_id),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT e.vec_id AS doc_id,
+         list_dot_product(e.embedding, q.qv) /
+         (sqrt(list_dot_product(e.embedding, e.embedding)) *
+          sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM embeddings e, q)
+SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+       round(COALESCE(t.tok_sim, 0) * 0.3 + COALESCE(v.cos, 0) * 0.7, 4)
+         AS rerank_score
+FROM tok_sim t FULL OUTER JOIN vec v USING (doc_id)
+ORDER BY rerank_score DESC, doc_id LIMIT {TOP_N}
+"""
+
+
 QUERIES = {
     "term_idf_weights": (term_idf_weights, TERM_IDF_SQL),
     "fulltext_topn": (fulltext_topn, FULLTEXT_TOPN_SQL),
     "hybrid_fusion": (hybrid_fusion, HYBRID_FUSION_SQL),
     "doc_agg_counts": (doc_agg_counts, DOC_AGG_SQL),
+    "rerank_fusion": (rerank_fusion, _rerank_fusion_sql()),
 }
