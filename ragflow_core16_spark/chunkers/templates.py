@@ -105,12 +105,28 @@ def chunk_json(text: str, chunk_token_num: int = 128, **kw) -> list[str]:
                        "\n!?。；！？")
 
 
+def chunk_paper(sections: list[str], **kw) -> list[str]:
+    from .paper import paper_merge
+    return paper_merge([s for s in sections if s])
+
+
+def chunk_tag_text(text: str, **kw) -> list[str]:
+    from .tag import chunk_tag_txt
+    return [content for content, _tags, _row in chunk_tag_txt(text)]
+
+
+def chunk_email_binary(binary: bytes, chunk_token_num: int = 128, **kw) -> list[str]:
+    from .email_t import chunk_email
+    return chunk_email(binary, chunk_token_num)
+
+
 # section-based templates (input: extracted HTML sections)
 SECTION_TEMPLATES = {
     "naive": chunk_naive,
     "book": chunk_book,
     "laws": chunk_laws,
     "one": chunk_one,
+    "paper": chunk_paper,
     "knowledge_graph": chunk_naive,  # aliased in the reference (task_executor.py:82)
 }
 
@@ -121,4 +137,12 @@ TEXT_TEMPLATES = {
     "txt": chunk_txt,
     "markdown": chunk_markdown,
     "json": chunk_json,
+    "tag": chunk_tag_text,
+}
+
+# binary-based templates (input: raw file bytes); the pdf modes
+# ("manual"/"paper"/"presentation" DeepDOC routes) live in
+# operators/pdf_extract.py over the native PDF reader
+BINARY_TEMPLATES = {
+    "email": chunk_email_binary,
 }

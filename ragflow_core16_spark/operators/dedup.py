@@ -130,22 +130,28 @@ FROM hashed GROUP BY doc_id, seed ORDER BY doc_id, seed
 """)
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: band the signature (4 bands × 4 rows), bucket-join
-    on (band, band_hash).  Join key = bucket → shuffle scales with bucket
-    sizes, never |docs|².  Returns estimated jaccard (signature agreement)."""
-    sig = minhash_signatures(spark, sf_dir)
+def _lsh_candidates(sig: DataFrame) -> DataFrame:
+    """Band the signature (4 bands × 4 rows), bucket-join on
+    (band, band_hash) → distinct candidate pairs (doc_a < doc_b)."""
     bands = (sig.withColumn("band", (F.col("seed") / (N_HASHES // N_BANDS)).cast("int"))
              .groupBy("doc_id", "band")
              .agg(F.md5(F.concat_ws(",", F.sort_array(
                  F.collect_list(F.concat_ws(":", "seed", "minhash"))))).alias("band_hash")))
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
                       (F.col("a.band_hash") == F.col("b.band_hash")) &
                       (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: band the signature (4 bands × 4 rows), bucket-join
+    on (band, band_hash).  Join key = bucket → shuffle scales with bucket
+    sizes, never |docs|².  Returns estimated jaccard (signature agreement)."""
+    sig = minhash_signatures(spark, sf_dir)
+    cand = _lsh_candidates(sig)
     # estimate jaccard = fraction of agreeing minhashes
     sa = sig.select(F.col("doc_id").alias("doc_a"), "seed",
                     F.col("minhash").alias("ha"))
@@ -181,6 +187,66 @@ FROM cand c
 JOIN sig sa ON sa.doc_id = c.doc_a
 JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
 GROUP BY c.doc_a, c.doc_b ORDER BY c.doc_a, c.doc_b
+""")
+
+
+# --------------------------------------------------------- n-gram jaccard
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard on the LSH candidate pairs only (the verify
+    stage of MinHash dedup): J = |A∩B| / (|A|+|B|−|A∩B|) over distinct
+    word-shingle sets.  The cross-product is never materialized — the
+    intersection count is a (doc_a, shingle)⋈(doc_b, shingle) join whose
+    key includes the shingle, and the candidate set is LSH-pruned."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    cand = _lsh_candidates(minhash_signatures(spark, sf_dir))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    na = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (inter.join(na, "doc_a").join(nb, "doc_b")
+            .select("doc_a", "doc_b", "n_inter",
+                    F.round(F.col("n_inter") /
+                            (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                            4).alias("jaccard"))
+            .orderBy("doc_a", "doc_b"))
+
+
+NGRAM_JACCARD_SQL = (r"""
+WITH """ + _SHINGLES_CTE + r""",
+  seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+  hashed AS (
+    SELECT s.doc_id, sd.seed,
+           ('0x' || substr(md5(s.shingle || '#' || sd.seed), 1, 15))::BIGINT AS h
+    FROM shingles s CROSS JOIN seeds sd),
+  sig AS (SELECT doc_id, seed, min(h) AS minhash
+          FROM hashed GROUP BY doc_id, seed),
+  bands AS (
+    SELECT doc_id, seed // 4 AS band,
+           md5(string_agg(seed || ':' || minhash, ',' ORDER BY seed || ':' || minhash)) AS band_hash
+    FROM sig GROUP BY doc_id, seed // 4),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+  sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+  inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY c.doc_a, c.doc_b)
+SELECT i.doc_a, i.doc_b, i.n_inter,
+       round(i.n_inter / (na.n_sh + nb.n_sh - i.n_inter), 4) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+ORDER BY i.doc_a, i.doc_b
 """)
 
 
@@ -239,5 +305,6 @@ QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
+    "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash": (simhash, SIMHASH_SQL),
 }

@@ -16,6 +16,7 @@ PDFs from documents.text.
 
 from __future__ import annotations
 
+import re
 import statistics
 
 import pandas as pd
@@ -84,10 +85,9 @@ def pdf_chunks_df(pdfs: DataFrame, chunk_token_num: int = 128,
     return pdfs.mapInPandas(run, PDF_CHUNKS_SCHEMA)
 
 
-def pdf_template(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver query: documents.text → deterministic multi-page PDFs (native
-    writer) → full native extraction → chunks.  Rows-only check; the unit
-    tests assert byte-level round-trip fidelity."""
+def _synth_pdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → deterministic multi-page PDFs via the native
+    writer (40 lines of 10 words per page)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
 
@@ -107,14 +107,81 @@ def pdf_template(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((int(doc_id), build_pdf(pages or [["empty"]])))
             yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
 
-    pdfs = docs.mapInPandas(
-        gen, "doc_id long, pdf binary")
+    return docs.mapInPandas(gen, "doc_id long, pdf binary")
+
+
+def pdf_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: documents.text → deterministic multi-page PDFs (native
+    writer) → full native extraction → chunks.  Rows-only check; the unit
+    tests assert byte-level round-trip fidelity."""
+    pdfs = _synth_pdfs(spark, sf_dir)
     return (pdf_chunks_df(pdfs)
             .select("doc_id", "status", "n_pages", "chunk_seq", "chunk_id",
                     "token_cnt")
             .orderBy("doc_id", "chunk_seq"))
 
 
+# ------------------------------------------------------------ presentation
+PRESENTATION_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("status", StringType(), False),
+    StructField("page_num", IntegerType(), False),
+    StructField("chunk_text", StringType(), True),
+    StructField("token_cnt", IntegerType(), False),
+])
+
+_GARBAGE_RE = re.compile(r"[0-9.,%/-]+$")
+
+
+def _presentation_garbage(txt: str) -> bool:
+    """Slide-box garbage rule (reference rag/app/presentation.py:57-62)."""
+    t = txt.lower().strip()
+    return bool(_GARBAGE_RE.match(t)) or len(t) < 3
+
+
+def presentation_pages_df(pdfs: DataFrame) -> DataFrame:
+    """pdfs(doc_id, pdf binary) → ONE chunk per page: boxes grouped by
+    page_number, garbage boxes dropped, remainder joined by newline
+    (reference rag/app/presentation.py:64-82,120-126: every page is a
+    chunk, ``page_num_int=[pn+1]``)."""
+    from ..textnorm.tokens import num_tokens_from_string
+
+    def run(batches):
+        for pdf_batch in batches:
+            out = []
+            for doc_id, blob in zip(pdf_batch["doc_id"], pdf_batch["pdf"]):
+                doc_id = int(doc_id)
+                try:
+                    boxes = extract_pdf_boxes(bytes(blob))
+                    if not boxes:
+                        out.append((doc_id, "empty", 0, None, 0))
+                        continue
+                    n_pages = max(b["page_number"] for b in boxes)
+                    for pn in range(1, n_pages + 1):
+                        lines = "\n".join(
+                            b["text"] for b in boxes
+                            if b["page_number"] == pn
+                            and not _presentation_garbage(b["text"]))
+                        out.append((doc_id, "ok", pn, lines,
+                                    num_tokens_from_string(lines)))
+                except Exception:
+                    out.append((doc_id, "error", 0, None, 0))
+            yield pd.DataFrame(out, columns=[f.name
+                                             for f in PRESENTATION_SCHEMA])
+
+    return pdfs.mapInPandas(run, PRESENTATION_SCHEMA)
+
+
+def presentation_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: deterministic multi-page PDFs → page-per-chunk
+    presentation mode.  Rows-only check."""
+    pdfs = _synth_pdfs(spark, sf_dir)
+    return (presentation_pages_df(pdfs)
+            .select("doc_id", "status", "page_num", "token_cnt")
+            .orderBy("doc_id", "page_num"))
+
+
 QUERIES = {
     "pdf_template": (pdf_template, None),
+    "presentation_template": (presentation_template, None),
 }

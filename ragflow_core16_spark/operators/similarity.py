@@ -105,6 +105,84 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
             .orderBy(F.desc("cosine"), "vec_id").limit(TOP_K))
 
 
+# ---------------------------------------------------------------- IVF ANN
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def _cos(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse quantizer (centroids = vectors
+    with vec_id 1..K), every vector assigned to its nearest centroid
+    (8-row broadcast cross join + per-vec argmax — no shuffle besides the
+    window on vec_id), query probes its P nearest centroids and scores only
+    those inverted lists.  At 100 TB the assignment is a write-time
+    bucketing column; the probe-time scan touches P/K of the data.
+    Fully deterministic → DuckDB-oracle checked."""
+    from pyspark.sql import Window
+    e = _emb(spark, sf_dir)
+    cent = (e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= N_CENTROIDS))
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cv")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+    assigned = (e.crossJoin(F.broadcast(cent))
+                .withColumn("ccos", _cos(F.col("embedding"), F.col("cv")))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "label", "embedding",
+                        F.col("cid").alias("bucket")))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID) \
+         .select(F.col("embedding").alias("qv"))
+    probes = (cent.crossJoin(F.broadcast(q))
+              .select("cid", _cos(F.col("cv"), F.col("qv")).alias("qcos"))
+              .orderBy(F.desc("qcos"), "cid").limit(N_PROBE)
+              .select("cid"))
+    cand = (assigned.join(F.broadcast(probes),
+                          assigned["bucket"] == probes["cid"])
+            .filter(F.col("vec_id") != QUERY_VEC_ID)
+            .crossJoin(F.broadcast(q)))
+    return (cand.select("vec_id", "label", "bucket",
+                        F.round(_cos(F.col("embedding"), F.col("qv")),
+                                4).alias("cosine"))
+            .orderBy(F.desc("cosine"), "vec_id").limit(TOP_K))
+
+
+IVF_ANN_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+ass AS (
+  SELECT e.vec_id, e.label, e.embedding, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.embedding, c.cv) /
+                    (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                     sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c),
+assigned AS (
+  SELECT vec_id, label, embedding, cid AS bucket FROM ass WHERE rn = 1),
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid,
+           row_number() OVER (
+             ORDER BY list_dot_product(c.cv, q.qv) /
+                      (sqrt(list_dot_product(c.cv, c.cv)) *
+                       sqrt(list_dot_product(q.qv, q.qv))) DESC, c.cid) AS rn
+    FROM cent c, q) WHERE rn <= {N_PROBE})
+SELECT a.vec_id, a.label, a.bucket,
+       round(list_dot_product(a.embedding, q.qv) /
+             (sqrt(list_dot_product(a.embedding, a.embedding)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM assigned a JOIN probes p ON a.bucket = p.cid, q
+WHERE a.vec_id != {QUERY_VEC_ID}
+ORDER BY cosine DESC, a.vec_id LIMIT {TOP_K}
+"""
+
+
 # ------------------------------------------------------- pairwise near-dup
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets: only
@@ -125,5 +203,6 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "lsh_ann_topk": (lsh_ann_topk, None),          # approximate: rows-only
+    "ivf_ann_topk": (ivf_ann_topk, IVF_ANN_SQL),
     "embedding_near_dup": (embedding_near_dup, None),  # LSH-pruned: rows-only
 }

@@ -7,7 +7,13 @@ derived from the driver tables:
   * txt/markdown/json — documents.text re-framed as that format;
   * qa — synthetic two-column Q&A built from document sentences;
   * table — per-user TSV blobs assembled from the events table (realistic:
-    semi-structured blob → typed-row chunks).
+    semi-structured blob → typed-row chunks);
+  * email — documents.text re-framed as multipart .eml (MIME headers +
+    text/plain + text/html parts) through the stdlib-MIME + HTML-strip path;
+  * tag — two-column content/tags TSV (DuckDB-oracle-backed: the txt-tag
+    path is per-line relational, so it IS SQL-expressible);
+  * paper — numbered-heading sections through the title-frequency pivot
+    merge.
 
 All are one mapInPandas/applyInPandas pass after narrow column selects; the
 only shuffle is the events groupBy(user_id).
@@ -149,10 +155,153 @@ def table_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "chunk_seq"))
 
 
+def email_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → deterministic multipart .eml (headers + text/plain
+    + text/html alternative parts) → MIME parse → TxtParser + HtmlParser
+    sections → naive_merge chunks (reference rag/app/email.py:29-88)."""
+    from ..chunkers.email_t import chunk_email
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                words = (text or "").split()
+                half = len(words) // 2
+                plain = "\n".join(" ".join(words[i:i + 12]) + "."
+                                  for i in range(0, half, 12))
+                paras = "".join(f"<p>{' '.join(words[i:i + 12])}.</p>"
+                                for i in range(half, len(words), 12))
+                html = (f"<html><head><title>Doc {doc_id}</title></head>"
+                        f"<body><article>{paras}</article></body></html>")
+                raw = ("From: sender-%d@example.com\r\n"
+                       "To: corpus@example.com\r\n"
+                       "Subject: Document %d\r\n"
+                       "MIME-Version: 1.0\r\n"
+                       'Content-Type: multipart/alternative; boundary="B"\r\n'
+                       "\r\n--B\r\n"
+                       "Content-Type: text/plain; charset=utf-8\r\n\r\n"
+                       "%s\r\n--B\r\n"
+                       "Content-Type: text/html; charset=utf-8\r\n\r\n"
+                       "%s\r\n--B--\r\n" % (doc_id, doc_id, plain, html)
+                       ).encode("utf-8")
+                try:
+                    cks = chunk_email(raw)
+                except Exception:
+                    cks = []
+                out.extend((doc_id, i, c) for i, c in enumerate(cks))
+            yield pd.DataFrame(out, columns=["doc_id", "chunk_seq",
+                                             "chunk_text"])
+
+    return (d.mapInPandas(run, CHUNKS_SCHEMA)
+            .orderBy("doc_id", "chunk_seq"))
+
+
+TAG_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("row_num", IntegerType(), False),
+    StructField("content", StringType(), False),
+    StructField("tag_kwd", StringType(), False),
+])
+
+
+def tag_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → two-column TSV "content<TAB>tagA, tagB.x" lines →
+    tag chunker (delimiter election, content accumulation, tag_kwd
+    normalization; reference rag/app/tag.py:62-91).  Every synthetic line is
+    well-formed under TAB, so the oracle reproduces the rows in SQL."""
+    from ..chunkers.tag import chunk_tag_txt
+    d = _docs(spark, sf_dir).select("doc_id", "text") \
+        .filter(F.length(F.trim("text")) > 0)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                words = (text or "").split()
+                if not words:
+                    continue
+                lines = []
+                for i in range(0, len(words), 8):
+                    content = " ".join(words[i:i + 8])
+                    tags = "t%d, t%d.x" % (i % 3, (i // 8) % 5)
+                    lines.append(f"{content}\t{tags}")
+                for content, tags, row_num in chunk_tag_txt("\n".join(lines)):
+                    out.append((doc_id, row_num, content, ",".join(tags)))
+            yield pd.DataFrame(out, columns=["doc_id", "row_num", "content",
+                                             "tag_kwd"])
+
+    return (d.mapInPandas(run, TAG_SCHEMA)
+            .orderBy("doc_id", "row_num"))
+
+
+TAG_TEMPLATE_SQL = r"""
+WITH toklists AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS l
+  FROM documents
+  WHERE length(trim(text)) > 0),
+lines AS (
+  SELECT doc_id,
+         CAST((i - 1) // 8 AS INTEGER) AS row_num,
+         array_to_string(list_slice(l, i, least(i + 7, len(l))), ' ') AS piece,
+         (i - 1) % 3 AS k1,
+         ((i - 1) // 8) % 5 AS k2
+  FROM toklists, LATERAL (SELECT unnest(generate_series(1, len(l), 8)) AS i) u)
+SELECT doc_id, row_num,
+       chr(10) || piece AS content,
+       't' || k1 || ',' || 't' || k2 || '_x' AS tag_kwd
+FROM lines
+ORDER BY doc_id, row_num
+"""
+
+
+def paper_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → synthetic paper sections (title, abstract, numbered
+    headings every few paragraphs) → title-frequency pivot merge
+    (reference rag/app/paper.py:186-208)."""
+    from ..chunkers.paper import paper_merge
+
+    def to_sections(doc_id, text):
+        words = text.split()
+        secs = [f"Document {doc_id}: A Study", "Abstract",
+                " ".join(words[:24]) or "empty"]
+        paras = [" ".join(words[i:i + 16])
+                 for i in range(24, len(words), 16)]
+        for i, p in enumerate(paras):
+            if i % 3 == 0:
+                secs.append("%d. Section %d" % (i // 3 + 1, i // 3 + 1))
+            secs.append(p)
+        return secs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                try:
+                    cks = paper_merge(to_sections(doc_id, text or ""))
+                except Exception:
+                    cks = []
+                out.extend((doc_id, i, c) for i, c in enumerate(cks))
+            yield pd.DataFrame(out, columns=["doc_id", "chunk_seq",
+                                             "chunk_text"])
+
+    return (d.mapInPandas(run, CHUNKS_SCHEMA)
+            .orderBy("doc_id", "chunk_seq"))
+
+
 QUERIES = {
     "txt_template": (txt_template, None),
     "markdown_template": (markdown_template, None),
     "json_template": (json_template, None),
     "qa_template": (qa_template, None),
     "table_template": (table_template, None),
+    "email_template": (email_template, None),
+    "tag_template": (tag_template, TAG_TEMPLATE_SQL),
+    "paper_template": (paper_template, None),
 }
