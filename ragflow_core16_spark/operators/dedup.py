@@ -64,22 +64,21 @@ FROM d GROUP BY content_md5 HAVING count(*) > 1 ORDER BY content_md5
 
 # -------------------------------------------------------- shingles helper
 def _shingles(spark, sf_dir, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per doc (posexplode over the token array —
-    one row per shingle; the downstream agg is a single shuffle on doc_id)."""
+    """Distinct k-word shingles per doc.  Shingling is a pure array-slice
+    expression over the split token array (``transform(sequence(...))``) —
+    NO per-token explode-then-window pass, so the only shuffle in the whole
+    shingle derivation is the final ``distinct``.  At 10^12 docs the old
+    window formulation sorts every token; this one stays narrow until the
+    dedup agg."""
     d = _docs(spark, sf_dir)
     toks = F.split(F.regexp_replace(F.lower(F.trim("text")), _NORM, " "), " ")
-    d = d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
-    w = d.alias("a")
-    # window-free shingling: self-join on pos offsets is wasteful; instead
-    # concat via lead() window per doc (narrow within-doc window)
-    from pyspark.sql import Window
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    sh = (d.withColumn("t1", F.lead("tok", 1).over(win))
-            .withColumn("t2", F.lead("tok", 2).over(win))
-            .filter(F.col("t2").isNotNull())
-            .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("shingle"))
+    return (d.select("doc_id", toks.alias("toks"))
+            .filter(F.size("toks") >= 3)
+            .select("doc_id", F.explode(F.expr(
+                "transform(sequence(0, size(toks)-3), "
+                "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+                .alias("shingle"))
             .distinct())
-    return sh
 
 
 _SHINGLES_CTE = r"""
@@ -105,17 +104,28 @@ N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K min-hashes per doc: explode shingles × seeds, min per (doc, seed).
-    Shuffle: one groupBy on (doc_id, seed) with map-side combine."""
+def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K min-hashes per doc as ONE wide aggregation: the K seed-hashes are
+    K column expressions over each shingle row, min-combined in a single
+    groupBy(doc_id) with map-side partial agg.  No seed cross join (K×
+    row multiplication), no (doc, seed) shuffle key — the shuffle moves
+    |docs| rows of K longs, independent of shingle count."""
     sh = _shingles(spark, sf_dir)
-    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("seed"))
-    sig = (sh.crossJoin(F.broadcast(seeds))
-           .select("doc_id", "seed",
-                   _md5_bigint(F.concat_ws("#", "shingle", "seed")).alias("h"))
-           .groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
-           .orderBy("doc_id", "seed"))
-    return sig
+    aggs = [F.min(_md5_bigint(
+        F.concat_ws("#", "shingle", F.lit(str(s))))).alias(f"h{s}")
+        for s in range(N_HASHES)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, seed, minhash) rows — the wide signature unpivoted via
+    ``stack`` (pure projection, no extra shuffle)."""
+    wide = _signature_wide(spark, sf_dir)
+    stack = ", ".join(f"{s}, h{s}" for s in range(N_HASHES))
+    return (wide.selectExpr(
+        "doc_id", f"stack({N_HASHES}, {stack}) as (seed, minhash)")
+        .select("doc_id", F.col("seed").cast("int").alias("seed"), "minhash")
+        .orderBy("doc_id", "seed"))
 
 
 MINHASH_SIG_SQL = (r"""
@@ -130,13 +140,23 @@ FROM hashed GROUP BY doc_id, seed ORDER BY doc_id, seed
 """)
 
 
-def _lsh_candidates(sig: DataFrame) -> DataFrame:
-    """Band the signature (4 bands × 4 rows), bucket-join on
-    (band, band_hash) → distinct candidate pairs (doc_a < doc_b)."""
-    bands = (sig.withColumn("band", (F.col("seed") / (N_HASHES // N_BANDS)).cast("int"))
-             .groupBy("doc_id", "band")
-             .agg(F.md5(F.concat_ws(",", F.sort_array(
-                 F.collect_list(F.concat_ws(":", "seed", "minhash"))))).alias("band_hash")))
+def _lsh_candidates(wide: DataFrame) -> DataFrame:
+    """Band the wide signature (4 bands × 4 rows): each band hash is a pure
+    column expression over the K minhash columns (no collect_list agg),
+    unpivoted to 4 rows/doc, bucket-joined on (band, band_hash) → distinct
+    candidate pairs (doc_a < doc_b).  The join key is the bucket, so the
+    shuffle scales with collisions, never |docs|²."""
+    rows_per_band = N_HASHES // N_BANDS
+    band_cols = []
+    for b in range(N_BANDS):
+        seeds = range(b * rows_per_band, (b + 1) * rows_per_band)
+        band_cols.append(F.md5(F.concat_ws(",", *[
+            F.concat_ws(":", F.lit(str(s)), f"h{s}") for s in seeds]))
+            .alias(f"bh{b}"))
+    stack = ", ".join(f"{b}, bh{b}" for b in range(N_BANDS))
+    bands = (wide.select("doc_id", *band_cols)
+             .selectExpr("doc_id",
+                         f"stack({N_BANDS}, {stack}) as (band, band_hash)"))
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band")) &
                       (F.col("a.band_hash") == F.col("b.band_hash")) &
@@ -147,20 +167,27 @@ def _lsh_candidates(sig: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: band the signature (4 bands × 4 rows), bucket-join
-    on (band, band_hash).  Join key = bucket → shuffle scales with bucket
-    sizes, never |docs|².  Returns estimated jaccard (signature agreement)."""
-    sig = minhash_signatures(spark, sf_dir)
-    cand = _lsh_candidates(sig)
-    # estimate jaccard = fraction of agreeing minhashes
-    sa = sig.select(F.col("doc_id").alias("doc_a"), "seed",
-                    F.col("minhash").alias("ha"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), "seed",
-                    F.col("minhash").alias("hb"))
-    return (cand.join(sa, "doc_a").join(sb, ["doc_b", "seed"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.round(F.avg(F.when(F.col("ha") == F.col("hb"), 1.0)
-                               .otherwise(0.0)), 4).alias("est_jaccard"))
+    """LSH candidate pairs with estimated jaccard (fraction of agreeing
+    minhashes).  The signature rides as ONE array column per side, so the
+    agreement count is a ``zip_with`` expression — no K-row re-join per
+    pair.  Shuffles: shingle distinct, signature agg, bucket join, and the
+    two signature-array joins — all keyed, none quadratic."""
+    wide = _signature_wide(spark, sf_dir).cache()
+    cand = _lsh_candidates(wide)
+    sig_arr = wide.select("doc_id", F.array(
+        *[f"h{s}" for s in range(N_HASHES)]).alias("sig"))
+    sa = sig_arr.select(F.col("doc_id").alias("doc_a"),
+                        F.col("sig").alias("sig_a"))
+    sb = sig_arr.select(F.col("doc_id").alias("doc_b"),
+                        F.col("sig").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b",
+                   lambda x, y: F.when(x == y, 1.0).otherwise(0.0)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(agree / F.lit(float(N_HASHES)), 4)
+                    .alias("est_jaccard"))
             .orderBy("doc_a", "doc_b"))
 
 
@@ -199,7 +226,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     key includes the shingle, and the candidate set is LSH-pruned."""
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    cand = _lsh_candidates(minhash_signatures(spark, sf_dir))
+    cand = _lsh_candidates(_signature_wide(spark, sf_dir))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])

@@ -1,0 +1,201 @@
+"""Office-format template queries: docx / xlsx / pptx end-to-end.
+
+Each query synthesizes deterministic OOXML binaries from documents.text
+inside the Arrow batch (native writers — the same bytes on every run), then
+drives the native parser + chunker path:
+
+  * docx  — paragraphs+styles+tables → sections → naive_merge, composed
+            table lines as standalone chunks (reference naive.py docx route
+            + deepdoc/parser/docx_parser.py).  Rows-only check.
+  * xlsx  — sheet rows → "hdr：val; …" lines (excel_parser.py:106-128).
+            The synthesis is per-word relational, so it IS DuckDB-oracle
+            checked (line assembly reproduced in SQL).
+  * pptx  — slides → page-per-chunk presentation mode (ppt_parser.py +
+            rag/app/presentation.py:110-126).  Rows-only check.
+
+Spark shape for all three: narrow select → one mapInPandas → orderBy for
+the driver compare.  No shuffle besides the final sort.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (IntegerType, LongType, StringType, StructField,
+                               StructType)
+
+CHUNKS_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("chunk_seq", IntegerType(), False),
+    StructField("chunk_text", StringType(), False),
+])
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+
+
+# ------------------------------------------------------------------- docx
+def docx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → synthetic .docx (styled headings, body paragraphs,
+    one summary table) → native parse → naive_merge chunks + composed table
+    lines (reference rag/app/naive.py docx route: sections from paragraphs,
+    tables as standalone chunks)."""
+    from ..chunkers.naive import naive_merge
+    from ..parsers.ooxml import build_docx, docx_parse
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                words = (text or "").split()
+                paras = [(f"Document {doc_id}", "Heading1")]
+                for i in range(0, len(words), 14):
+                    if i and (i // 14) % 4 == 0:
+                        paras.append((f"Part {i // 56 + 1}", "Heading2"))
+                    paras.append((" ".join(words[i:i + 14]) + ".", "Normal"))
+                table = [["metric", "value"],
+                         ["words", str(len(words))],
+                         ["doc", str(doc_id)]]
+                try:
+                    blob = build_docx(paras, tables=[table],
+                                      page_break_every=8)
+                    secs, tbls = docx_parse(blob)
+                    # style names are routing metadata, not position tags —
+                    # chunk with empty tags (the reference's docx route
+                    # likewise never appends style names to chunk text)
+                    cks = naive_merge(
+                        [(t, "") for t, _s in secs if t.strip()], 128,
+                        "\n!?。；！？")
+                    cks = [c for c in cks if c]
+                    for lines in tbls:
+                        cks.extend(lines)
+                except Exception:
+                    cks = []
+                out.extend((doc_id, i, c) for i, c in enumerate(cks))
+            yield pd.DataFrame(out, columns=["doc_id", "chunk_seq",
+                                             "chunk_text"])
+
+    return (_docs(spark, sf_dir).mapInPandas(run, CHUNKS_SCHEMA)
+            .orderBy("doc_id", "chunk_seq"))
+
+
+# ------------------------------------------------------------------- xlsx
+XLSX_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("row_num", IntegerType(), False),
+    StructField("line", StringType(), False),
+])
+
+
+def xlsx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → synthetic .xlsx (headers c1..c4, 4 words per row)
+    → native workbook parse → "hdr：val; …" row lines
+    (excel_parser.py:106-128).  Oracle-checked: the line assembly is
+    reproduced relationally in DuckDB."""
+    from ..parsers.ooxml import build_xlsx, excel_lines
+    d = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                words = (text or "").split()
+                if not words:
+                    continue
+                rows: list[list] = [["c1", "c2", "c3", "c4"]]
+                for i in range(0, len(words), 4):
+                    rows.append(list(words[i:i + 4]))
+                try:
+                    blob = build_xlsx([("Sheet1", rows)])
+                    lines = excel_lines(blob)
+                except Exception:
+                    lines = []
+                out.extend((doc_id, i, ln) for i, ln in enumerate(lines))
+            yield pd.DataFrame(out, columns=["doc_id", "row_num", "line"])
+
+    return (d.mapInPandas(run, XLSX_SCHEMA)
+            .orderBy("doc_id", "row_num"))
+
+
+XLSX_TEMPLATE_SQL = r"""
+WITH toklists AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS l
+  FROM documents
+  WHERE length(trim(text)) > 0),
+pieces AS (
+  SELECT doc_id,
+         CAST((i - 1) // 4 AS INTEGER) AS row_num,
+         list_slice(l, i, least(i + 3, len(l))) AS ws
+  FROM toklists, LATERAL (SELECT unnest(generate_series(1, len(l), 4)) AS i) u),
+cells AS (
+  SELECT doc_id, row_num, j, 'c' || j || '：' || ws[j] AS cell
+  FROM pieces, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS j) v)
+SELECT doc_id, row_num, string_agg(cell, '; ' ORDER BY j) AS line
+FROM cells
+GROUP BY doc_id, row_num
+ORDER BY doc_id, row_num
+"""
+
+
+# ------------------------------------------------------------------- pptx
+PPTX_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("slide_num", IntegerType(), False),
+    StructField("chunk_text", StringType(), False),
+])
+
+
+def pptx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → synthetic .pptx (title shape + bulleted body per
+    slide, 24 words each, final summary-table slide) → native slide-text
+    extraction → one chunk per slide (presentation mode,
+    rag/app/presentation.py:110-126)."""
+    from ..parsers.ooxml import build_pptx, pptx_slides
+    d = _docs(spark, sf_dir)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                words = (text or "").split()
+                slides = []
+                for s, i in enumerate(range(0, len(words), 24)):
+                    grp = words[i:i + 24]
+                    bullets = [(" ".join(grp[k:k + 8]), min(k // 8, 1), True)
+                               for k in range(0, len(grp), 8)]
+                    slides.append([
+                        {"top": 0, "left": 0,
+                         "paras": [(f"Doc {doc_id} — slide {s + 1}", 0,
+                                    False)]},
+                        {"top": 914400, "left": 0, "paras": bullets},
+                    ])
+                slides.append([{"top": 0, "left": 0,
+                                "table": [["metric", "value"],
+                                          ["words", str(len(words))]]}])
+                try:
+                    blob = build_pptx(slides)
+                    txts = pptx_slides(blob)
+                except Exception:
+                    txts = []
+                out.extend((doc_id, i + 1, t)
+                           for i, t in enumerate(txts) if t)
+            yield pd.DataFrame(out, columns=["doc_id", "slide_num",
+                                             "chunk_text"])
+
+    return (d.mapInPandas(run, PPTX_SCHEMA)
+            .orderBy("doc_id", "slide_num"))
+
+
+QUERIES = {
+    "docx_template": (docx_template, None),
+    "xlsx_template": (xlsx_template, XLSX_TEMPLATE_SQL),
+    "pptx_template": (pptx_template, None),
+}
