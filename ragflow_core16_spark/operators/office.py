@@ -194,8 +194,48 @@ def pptx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "slide_num"))
 
 
+# ----------------------------------------------------------------- manual
+def manual_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → synthetic .docx with "Heading 1"/"Heading 2" styled
+    sections → question-stack chunking (manual mode, rag/app/manual.py:
+    107-150) + colspan-merged table HTML chunks."""
+    from ..chunkers.manual import docx_table_html, manual_docx_chunks
+    from ..parsers.ooxml import build_docx, docx_parse
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                words = (text or "").split()
+                paras = [(f"Manual {doc_id}", "Heading 1")]
+                for i in range(0, len(words), 12):
+                    k = i // 12
+                    if k % 3 == 0:
+                        paras.append((f"Topic {k // 3 + 1}", "Heading 2"))
+                    paras.append((" ".join(words[i:i + 12]) + ".", "Normal"))
+                table = [["spec", "spec", "value"],
+                         ["words", "words", str(len(words))]]
+                try:
+                    blob = build_docx(paras, tables=[table])
+                    secs, _tbls = docx_parse(blob)
+                    cks = manual_docx_chunks(secs)
+                    from ..parsers.ooxml import docx_table_grids
+                    cks += [docx_table_html(g)
+                            for g in docx_table_grids(blob)]
+                except Exception:
+                    cks = []
+                out.extend((doc_id, i, c) for i, c in enumerate(cks) if c)
+            yield pd.DataFrame(out, columns=["doc_id", "chunk_seq",
+                                             "chunk_text"])
+
+    return (_docs(spark, sf_dir).mapInPandas(run, CHUNKS_SCHEMA)
+            .orderBy("doc_id", "chunk_seq"))
+
+
 QUERIES = {
     "docx_template": (docx_template, None),
     "xlsx_template": (xlsx_template, XLSX_TEMPLATE_SQL),
     "pptx_template": (pptx_template, None),
+    "manual_template": (manual_template, None),
 }

@@ -295,6 +295,61 @@ def paper_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "chunk_seq"))
 
 
+def resume_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → deterministic structured-resume JSON fixtures → the
+    resume chunk-assembly stage (reference rag/app/resume.py:94-170; the
+    remote parse service is the documented stub).  Output: one typed doc
+    row per resume with the assembled content block."""
+    import json as _json
+    from ..chunkers.resume_t import parse_resume, resume_to_doc
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("name_kwd", StringType(), True),
+        StructField("age_int", IntegerType(), True),
+        StructField("n_fields", IntegerType(), False),
+        StructField("content", StringType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"],
+                                          pdf["lang"]):
+                doc_id = int(doc_id)
+                words = (text or "").split() or ["x"]
+                fixture = {
+                    "name_kwd": f"Person {doc_id}",
+                    "gender_kwd": "男" if doc_id % 2 else "女",
+                    "age_int": 22 + doc_id % 40,
+                    "position_name_tks": " ".join(words[:3]),
+                    "phone_kwd": f"1380000{doc_id % 10000:04d}",
+                    "email_tks": f"p{doc_id} @ example . com",
+                    "work_exp_flt": round((doc_id % 30) / 2.0, 1),
+                    "corporation_name_tks": " ".join(words[3:6]),
+                    "school_name_tks": [" ".join(words[6:8]) or "u"],
+                    "degree_kwd": ["本科"] if doc_id % 3 else ["本科", "硕士"],
+                    "edu_end_int": 2000 + doc_id % 25,
+                }
+                try:
+                    doc = resume_to_doc(
+                        parse_resume(_json.dumps(fixture).encode()),
+                        f"resume-{doc_id}.json")
+                    out.append((doc_id, doc.get("name_kwd"),
+                                int(doc.get("age_int", 0)),
+                                sum(1 for k in doc if k.endswith(
+                                    ("_kwd", "_int", "_tks", "_flt", "_dt"))),
+                                doc["content_with_weight"]))
+                except Exception:
+                    pass
+            yield pd.DataFrame(out, columns=["doc_id", "name_kwd", "age_int",
+                                             "n_fields", "content"])
+
+    return (d.mapInPandas(run, schema)
+            .orderBy("doc_id"))
+
+
 QUERIES = {
     "txt_template": (txt_template, None),
     "markdown_template": (markdown_template, None),
@@ -304,4 +359,5 @@ QUERIES = {
     "email_template": (email_template, None),
     "tag_template": (tag_template, TAG_TEMPLATE_SQL),
     "paper_template": (paper_template, None),
+    "resume_template": (resume_template, None),
 }

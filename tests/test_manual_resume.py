@@ -1,0 +1,76 @@
+"""Unit tests: manual question-stack chunking (rag/app/manual.py) and
+resume chunk assembly (rag/app/resume.py)."""
+
+from ragflow_core16_spark.chunkers.manual import (docx_question_level,
+                                                  docx_table_html,
+                                                  manual_docx_chunks)
+from ragflow_core16_spark.chunkers.resume_t import (parse_resume,
+                                                    resume_to_doc, rm_space)
+
+import pytest
+
+
+# ---------------------------------------------------------------- manual
+def test_question_level_heading_styles():
+    assert docx_question_level("Intro", "Heading 1") == (1, "Intro")
+    assert docx_question_level("Deep", "Heading 3") == (3, "Deep")
+    assert docx_question_level("Body", "Normal") == (0, "Body")
+
+
+def test_manual_stack_nesting():
+    paras = [("Chapter A", "Heading 1"),
+             ("Section A1", "Heading 2"),
+             ("answer one", "Normal"),
+             ("Section A2", "Heading 2"),
+             ("answer two", "Normal"),
+             ("Chapter B", "Heading 1"),
+             ("answer three", "Normal")]
+    cks = manual_docx_chunks(paras)
+    # chunk 1: A + A1 + answer; chunk 2: A2 pops A1 but keeps A;
+    # chunk 3: B pops everything
+    assert cks[0] == "Chapter A\nSection A1\n\nanswer one"
+    assert cks[1] == "Chapter A\nSection A2\n\nanswer two"
+    assert cks[2] == "Chapter B\n\nanswer three"
+
+
+def test_manual_no_heading_no_chunks():
+    # answers with no question stack are dropped (manual.py:131-133)
+    assert manual_docx_chunks([("just text", "Normal")]) == []
+
+
+def test_table_html_colspan_merge():
+    html = docx_table_html([["a", "a", "b"]])
+    assert "<td colspan='2'>a</td>" in html and "<td>b</td>" in html
+    assert docx_table_html([["x", "y"]]) == \
+        "<table><tr><td>x</td><td>y</td></tr></table>"
+
+
+# ---------------------------------------------------------------- resume
+def test_parse_resume_fixture_and_stub():
+    assert parse_resume(b'{"name_kwd": "n"}') == {"name_kwd": "n"}
+    with pytest.raises(NotImplementedError):
+        parse_resume(b"%PDF-1.4 real resume bytes")
+
+
+def test_resume_doc_assembly():
+    doc = resume_to_doc({
+        "name_kwd": "Zhang San",
+        "gender_kwd": "男",
+        "age_int": 30,
+        "position_name_tks": "data engineer",
+        "degree_kwd": ["本科", "硕士"],
+        "school_name_tks": ["some uni"],
+    }, "r.json")
+    # rmSpace keeps latin word spacing, strips CJK-adjacent spaces
+    assert doc["title_txt"] == "Zhang San-男-data engineer-30-简历"
+    # parenthesized annotations stripped from aliases (resume.py:153)
+    assert "性别: 男" in doc["content_with_weight"]
+    assert "（男，女）" not in doc["content_with_weight"]
+    # forbidden multi-select field stays a list; 1-elem lists unwrap
+    assert doc["degree_kwd"] == ["本科", "硕士"]
+    assert doc["school_name_tks"] == "some uni"
+
+
+def test_rm_space():
+    assert rm_space("数据 工程师") == "数据工程师"
+    assert rm_space("data engineer") == "data engineer"
