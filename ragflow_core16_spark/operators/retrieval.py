@@ -69,16 +69,20 @@ FROM dfreq ORDER BY term
 def fulltext_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-boolean retrieval: score(doc) = Σ_t idf(t)·min(tf,1) —
     the ES scripted_sim of conf/mapping.json:8-15 — top N docs."""
+    from pyspark.sql import Window
     t = _tokens(spark, sf_dir)
     n_docs = _docs(spark, sf_dir).count()
     terms = spark.createDataFrame([(w,) for w in QUERY_TERMS], ["term"])
     tf = (t.join(F.broadcast(terms), t.tok == terms.term)
           .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
-    idf = (tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-           .select("term",
-                   (F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5)
-                          / (F.col("df") + 0.5))).alias("idf")))
-    return (tf.join(F.broadcast(idf), "term")
+    # df(term) = row count per term over the aggregated tf (one row per
+    # doc×term) via a window — the token explode+join subtree runs ONCE,
+    # not once per idf/tf branch; the window reshuffles only the tiny
+    # aggregated set (≤ |docs|·|terms| rows)
+    df_ = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    scored = tf.withColumn(
+        "idf", F.log(1.0 + (F.lit(n_docs) - df_ + 0.5) / (df_ + 0.5)))
+    return (scored
             .groupBy("doc_id")
             .agg(F.round(F.sum(F.col("idf") * F.least(F.col("tf"), F.lit(1))), 4)
                  .alias("score"),
