@@ -95,6 +95,46 @@ def docx_table_html(grid: list[list[str]]) -> str:
     return html
 
 
+def laws_docx_sections(paragraphs: list[tuple[str, str]]) -> list[str]:
+    """Laws docx level-tree grouping (rag/app/laws.py:57-100): bullet
+    taxonomy elected over all paragraphs; each line gets a question level
+    from its Heading style or bullet pattern; each section = a parent line
+    plus its children at the first non-empty deeper level.  The reference's
+    visit-skip quirk (a visited leaf suppresses only single-line spans) is
+    reproduced as-is."""
+    from .hierarchy import bullets_category
+    bull = bullets_category([t for t, _s in paragraphs])
+    lines: list[tuple[int, str]] = []
+    for text, style in paragraphs:
+        question_level, p_text = docx_question_level(text, style, bull)
+        if not p_text.strip("\n"):
+            continue
+        lines.append((question_level, p_text))
+
+    visit = [False] * len(lines)
+    sections: list[str] = []
+    for s in range(len(lines)):
+        e = s + 1
+        while e < len(lines):
+            if lines[e][0] <= lines[s][0]:
+                break
+            e += 1
+        if e - s == 1 and visit[s]:
+            continue
+        sec: list[str] = []
+        next_level = lines[s][0] + 1
+        while not sec and next_level < 22:
+            for i in range(s + 1, e):
+                if lines[i][0] != next_level:
+                    continue
+                sec.append(lines[i][1])
+                visit[i] = True
+            next_level += 1
+        sec.insert(0, lines[s][1])
+        sections.append("\n".join(sec))
+    return [s for s in sections if s]
+
+
 def manual_pdf_chunks(sections: list) -> list[str]:
     """Model-free PDF route: most-frequent-title pivot merge
     (manual.py:215-250 ≡ paper.py:186-208)."""

@@ -233,9 +233,46 @@ def manual_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "chunk_seq"))
 
 
+# ------------------------------------------------------------- laws (docx)
+def laws_docx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → synthetic statute-style .docx (heading hierarchy +
+    numbered articles) → laws level-tree sections (rag/app/laws.py:57-100)
+    → hierarchical chunk per parent node."""
+    from ..chunkers.manual import laws_docx_sections
+    from ..parsers.ooxml import build_docx, docx_parse
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                words = (text or "").split()
+                paras = [(f"Statute {doc_id}", "Heading 1")]
+                for i in range(0, len(words), 10):
+                    k = i // 10
+                    if k % 4 == 0:
+                        paras.append((f"Chapter {k // 4 + 1}", "Heading 2"))
+                    paras.append(
+                        (f"Article {k + 1}. " + " ".join(words[i:i + 10]),
+                         "Normal"))
+                try:
+                    blob = build_docx(paras)
+                    secs, _t = docx_parse(blob)
+                    cks = laws_docx_sections(secs)
+                except Exception:
+                    cks = []
+                out.extend((doc_id, i, c) for i, c in enumerate(cks))
+            yield pd.DataFrame(out, columns=["doc_id", "chunk_seq",
+                                             "chunk_text"])
+
+    return (_docs(spark, sf_dir).mapInPandas(run, CHUNKS_SCHEMA)
+            .orderBy("doc_id", "chunk_seq"))
+
+
 QUERIES = {
     "docx_template": (docx_template, None),
     "xlsx_template": (xlsx_template, XLSX_TEMPLATE_SQL),
     "pptx_template": (pptx_template, None),
     "manual_template": (manual_template, None),
+    "laws_docx_template": (laws_docx_template, None),
 }

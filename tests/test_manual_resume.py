@@ -74,3 +74,27 @@ def test_resume_doc_assembly():
 def test_rm_space():
     assert rm_space("数据 工程师") == "数据工程师"
     assert rm_space("data engineer") == "data engineer"
+
+
+# ------------------------------------------------------------ laws (docx)
+def test_laws_docx_level_tree():
+    from ragflow_core16_spark.chunkers.manual import laws_docx_sections
+    paras = [("Law Title", "Heading 1"),
+             ("Chapter One", "Heading 2"),
+             ("Article 1. first rule", "Normal"),
+             ("Article 2. second rule", "Normal"),
+             ("Chapter Two", "Heading 2"),
+             ("Article 3. third rule", "Normal")]
+    secs = laws_docx_sections(paras)
+    # the title section groups its chapter children; each chapter groups
+    # its articles (laws.py:78-99)
+    assert secs[0] == "Law Title\nChapter One\nChapter Two"
+    assert "Chapter One\nArticle 1. first rule\nArticle 2. second rule" in secs
+    assert "Chapter Two\nArticle 3. third rule" in secs
+
+
+def test_laws_docx_plain_paragraphs_no_headings():
+    from ragflow_core16_spark.chunkers.manual import laws_docx_sections
+    secs = laws_docx_sections([("plain a", "Normal"), ("plain b", "Normal")])
+    # all lines level 0 → every line is its own parent with no children
+    assert secs == ["plain a", "plain b"]
