@@ -113,3 +113,42 @@ def qa_from_markdown(txt: str, eng: bool = True) -> list[str]:
         if sum_question:
             res.append(qa_text(sum_question, last_answer, eng))
     return res
+
+
+def qa_from_docx(paragraphs: list[tuple[str, str]],
+                 eng: bool = True) -> list[str]:
+    """Docx Q&A route (rag/app/qa.py:200-239): "Heading N"-styled
+    paragraphs are questions; body paragraphs accumulate into the open
+    answer; each new question flushes (question-stack, answer) as a
+    ``qa_text`` chunk.  Same stack mechanics as the manual template
+    (images omitted — no codecs in this engine)."""
+    from .manual import docx_question_level
+    last_answer = ""
+    question_stack: list[str] = []
+    level_stack: list[int] = []
+    out: list[str] = []
+
+    def flush():
+        nonlocal last_answer
+        if last_answer:
+            sum_question = "\n".join(question_stack)
+            if sum_question:
+                out.append(qa_text(sum_question, last_answer, eng))
+            last_answer = ""
+
+    for text, style in paragraphs:
+        question_level, p_text = 0, ""
+        if text.strip():
+            question_level, p_text = docx_question_level(text, style)
+        if not question_level or question_level > 6:  # not a question
+            last_answer = f"{last_answer}\n{p_text}"
+        else:
+            flush()
+            i = question_level
+            while question_stack and i <= level_stack[-1]:
+                question_stack.pop()
+                level_stack.pop()
+            question_stack.append(p_text)
+            level_stack.append(question_level)
+    flush()
+    return out

@@ -269,10 +269,47 @@ def laws_docx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "chunk_seq"))
 
 
+# --------------------------------------------------------------- qa (docx)
+def qa_docx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → synthetic FAQ .docx (Heading questions + body
+    answers) → docx Q&A route (rag/app/qa.py:200-239) →
+    "Question: …\\tAnswer: …" chunks."""
+    from ..chunkers.qa import qa_from_docx
+    from ..parsers.ooxml import build_docx, docx_parse
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                words = (text or "").split()
+                paras = []
+                for i in range(0, len(words), 10):
+                    k = i // 10
+                    if k % 2 == 0:
+                        paras.append(
+                            ("What about " + " ".join(words[i:i + 3]) + "?",
+                             "Heading 1"))
+                    paras.append((" ".join(words[i:i + 10]) + ".", "Normal"))
+                try:
+                    blob = build_docx(paras)
+                    secs, _t = docx_parse(blob)
+                    cks = qa_from_docx(secs, eng=True)
+                except Exception:
+                    cks = []
+                out.extend((doc_id, i, c) for i, c in enumerate(cks))
+            yield pd.DataFrame(out, columns=["doc_id", "chunk_seq",
+                                             "chunk_text"])
+
+    return (_docs(spark, sf_dir).mapInPandas(run, CHUNKS_SCHEMA)
+            .orderBy("doc_id", "chunk_seq"))
+
+
 QUERIES = {
     "docx_template": (docx_template, None),
     "xlsx_template": (xlsx_template, XLSX_TEMPLATE_SQL),
     "pptx_template": (pptx_template, None),
     "manual_template": (manual_template, None),
     "laws_docx_template": (laws_docx_template, None),
+    "qa_docx_template": (qa_docx_template, None),
 }

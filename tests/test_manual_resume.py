@@ -98,3 +98,36 @@ def test_laws_docx_plain_paragraphs_no_headings():
     secs = laws_docx_sections([("plain a", "Normal"), ("plain b", "Normal")])
     # all lines level 0 → every line is its own parent with no children
     assert secs == ["plain a", "plain b"]
+
+
+# -------------------------------------------------------------- qa (docx)
+def test_qa_docx_pairs():
+    from ragflow_core16_spark.chunkers.qa import qa_from_docx
+    paras = [("What is X?", "Heading 1"),
+             ("X is a thing.", "Normal"),
+             ("more detail", "Normal"),
+             ("What is Y?", "Heading 1"),
+             ("Y is other.", "Normal")]
+    cks = qa_from_docx(paras, eng=True)
+    assert len(cks) == 2
+    assert cks[0].startswith("Question: What is X?\tAnswer:")
+    assert "X is a thing." in cks[0] and "more detail" in cks[0]
+    assert cks[1].startswith("Question: What is Y?\tAnswer:")
+
+
+def test_qa_docx_nested_question_path():
+    from ragflow_core16_spark.chunkers.qa import qa_from_docx
+    paras = [("Topic", "Heading 1"),
+             ("Sub question?", "Heading 2"),
+             ("the body", "Normal")]
+    cks = qa_from_docx(paras, eng=True)
+    # question path = stack join: "Topic\nSub question?"
+    assert cks == ["Question: Topic\nSub question?\tAnswer: the body"]
+
+
+def test_qa_docx_rm_prefix_quirk():
+    from ragflow_core16_spark.chunkers.qa import qa_from_docx
+    # reference rmPrefix strips a leading "Answer"/"answer" word from the
+    # accumulated answer (qa.py:279-284) — reproduced as-is
+    cks = qa_from_docx([("Q?", "Heading 1"), ("answer body", "Normal")])
+    assert cks == ["Question: Q?\tAnswer: body"]
