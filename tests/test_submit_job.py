@@ -1,0 +1,50 @@
+"""Deployment-path test: spark-submit --py-files zip + jobs/extract_job.py
+(the north rule's run mode), including lineage resume on rerun."""
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_spark_submit_pyfiles_and_resume(tmp_path, spark):
+    # package the library exactly as a cluster deploy would
+    zip_path = tmp_path / "ragflow_core16_spark.zip"
+    pkg = os.path.join(REPO, "ragflow_core16_spark")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+
+    from ragflow_core16_spark.datagen.pages import pages_df
+    pages_path = str(tmp_path / "pages")
+    pages_df(spark, 60).write.mode("overwrite").parquet(pages_path)
+
+    def submit():
+        out = subprocess.run(
+            ["spark-submit", "--master", "local[2]",
+             "--py-files", str(zip_path),
+             os.path.join(REPO, "jobs", "extract_job.py"),
+             "--input", pages_path, "--output", str(tmp_path / "out")],
+            capture_output=True, text=True, cwd=str(tmp_path),
+            timeout=420)
+        assert out.returncode == 0, out.stderr[-2000:]
+        line = [ln for ln in out.stdout.splitlines()
+                if ln.startswith("{")][-1]
+        return json.loads(line)
+
+    first = submit()
+    assert first["rows"] == 60 and first["ok"] == 60
+    assert first["chunks"] > 0
+
+    # rerun resumes from lineage: nothing left to extract
+    second = submit()
+    assert second["rows"] == 0
