@@ -152,3 +152,170 @@ def qa_from_docx(paragraphs: list[tuple[str, str]],
             level_stack.append(question_level)
     flush()
     return out
+
+
+# ---------------------------------------------------------- pdf Q&A route
+# question-bullet taxonomy (rag/nlp/__init__.py:74-86)
+QUESTION_PATTERN = [
+    r"第([零一二三四五六七八九十百0-9]+)问",
+    r"第([零一二三四五六七八九十百0-9]+)条",
+    r"[\(（]([零一二三四五六七八九十百]+)[\)）]",
+    r"第([0-9]+)问",
+    r"第([0-9]+)条",
+    r"([0-9]{1,2})[\. 、]",
+    r"([零一二三四五六七八九十百]+)[ 、]",
+    r"[\(（]([0-9]{1,2})[\)）]",
+    r"QUESTION (ONE|TWO|THREE|FOUR|FIVE|SIX|SEVEN|EIGHT|NINE|TEN)",
+    r"QUESTION (I+V?|VI*|XI|IX|X)",
+    r"QUESTION ([0-9]+)",
+]
+
+_EN_WORDS = {"one": 1, "two": 2, "three": 3, "four": 4, "five": 5,
+             "six": 6, "seven": 7, "eight": 8, "nine": 9, "ten": 10}
+_CN_DIGITS = {"零": 0, "一": 1, "二": 2, "三": 3, "四": 4, "五": 5,
+              "六": 6, "七": 7, "八": 8, "九": 9}
+_ROMAN = {"I": 1, "V": 5, "X": 10, "L": 50, "C": 100, "D": 500, "M": 1000}
+
+
+def _cn2an(s: str) -> int:
+    """Chinese numeral → int for the 零-百 range of QUESTION_PATTERN."""
+    if not s or any(c not in _CN_DIGITS and c not in "十百" for c in s):
+        raise ValueError(s)
+    total, num = 0, 0
+    for c in s:
+        if c in _CN_DIGITS:
+            num = num * 10 + _CN_DIGITS[c]
+        elif c == "十":
+            total += (num or 1) * 10
+            num = 0
+        elif c == "百":
+            total += (num or 1) * 100
+            num = 0
+    return total + num
+
+
+def _roman2an(s: str) -> int:
+    if not s or any(c not in _ROMAN for c in s.upper()):
+        raise ValueError(s)
+    vals = [_ROMAN[c] for c in s.upper()]
+    return sum(-v if i + 1 < len(vals) and v < vals[i + 1] else v
+               for i, v in enumerate(vals))
+
+
+def index_int(index_str: str) -> int:
+    """Bullet index parse: int / English word / Chinese numeral / roman
+    (rag/nlp/__init__.py:133-148; the reference delegates to the
+    word2number / cn2an / roman libraries — native equivalents here)."""
+    try:
+        return int(index_str)
+    except (ValueError, TypeError):
+        pass
+    if index_str and index_str.lower() in _EN_WORDS:
+        return _EN_WORDS[index_str.lower()]
+    try:
+        return _cn2an(index_str)
+    except (ValueError, TypeError):
+        pass
+    try:
+        return _roman2an(index_str)
+    except (ValueError, TypeError):
+        return -1
+
+
+def _not_bullet(line: str) -> bool:
+    patt = [r"0", r"[0-9]+ +[0-9~个只-]", r"[0-9]+\.{2,}"]
+    return any(re.match(r, line) for r in patt)
+
+
+def qbullets_category(sections: list[str]) -> tuple[int, str]:
+    """Elect the question-bullet pattern by per-pattern hit presence
+    (rag/nlp/__init__.py:151-165)."""
+    hits = [0] * len(QUESTION_PATTERN)
+    for i, pro in enumerate(QUESTION_PATTERN):
+        for sec in sections:
+            if re.match(pro, sec) and not _not_bullet(sec):
+                hits[i] += 1
+                break
+    maxium, res = 0, -1
+    for i, h in enumerate(hits):
+        if h <= maxium:
+            continue
+        res, maxium = i, h
+    return res, QUESTION_PATTERN[res] if res >= 0 else ""
+
+
+def has_qbullet(reg: str, box: dict, last_box: dict, last_index: int,
+                last_bull, bull_x0_list: list):
+    """x0/top-aware question-bullet match (rag/nlp/__init__.py:89-130):
+    indent drift vs the running bullet-x0 average, monotone index check,
+    interrogative fallback for out-of-order indices."""
+    section, last_section = box["text"], last_box["text"]
+    q_reg = r"(\w|\W)*?(?:？|\?|\n|$)+"
+    full_reg = reg + q_reg
+    has_bull = re.match(full_reg, section)
+    if has_bull:
+        if "x0" not in last_box:
+            last_box["x0"] = box["x0"]
+        if "top" not in last_box:
+            last_box["top"] = box["top"]
+        if last_bull and box["x0"] - last_box["x0"] > 10:
+            return None, last_index
+        if not last_bull and box["x0"] >= last_box["x0"] \
+                and box["top"] - last_box["top"] < 20:
+            return None, last_index
+        avg_bull_x0 = (sum(bull_x0_list) / len(bull_x0_list)
+                       if bull_x0_list else box["x0"])
+        if box["x0"] - avg_bull_x0 > 10:
+            return None, last_index
+        index = index_int(has_bull.group(1))
+        if last_section and last_section[-1] in ":：":
+            return None, last_index
+        if not last_index or index >= last_index:
+            bull_x0_list.append(box["x0"])
+            return has_bull, index
+        if section and section[-1] in "?？":
+            bull_x0_list.append(box["x0"])
+            return has_bull, index
+        if box.get("layout_type") == "title":
+            bull_x0_list.append(box["x0"])
+            return has_bull, index
+        pure_section = section.lstrip(re.match(reg, section).group()).lower()
+        ask_reg = r"(what|when|where|how|why|which|who|whose|为什么|为啥|哪)"
+        if re.match(ask_reg, pure_section):
+            bull_x0_list.append(box["x0"])
+            return has_bull, index
+    return None, last_index
+
+
+def qa_from_pdf_boxes(boxes: list[dict], eng: bool = True) -> list[str]:
+    """Box-driven Q&A pairing (rag/app/qa.py:109-170, table interleaving
+    omitted — tables come from the model-gated TSR stage): a bullet match
+    starts a new question; following boxes append to the open answer."""
+    sections = [b["text"] for b in boxes]
+    q_bull, reg = qbullets_category(sections)
+    if q_bull == -1:
+        raise ValueError("Unable to recognize Q&A structure.")
+    qai_list = []
+    bull_x0_list: list = []
+    last_q, last_a = "", ""
+    last_index = -1
+    last_box: dict = {"text": ""}
+    last_bull = None
+    for box in boxes:
+        section = box["text"]
+        bull, index = has_qbullet(reg, box, last_box, last_index,
+                                  last_bull, bull_x0_list)
+        last_box, last_index, last_bull = box, index, bull
+        if not bull:
+            if last_q:
+                last_a = f"{last_a}{section}"
+            continue
+        if last_q:
+            qai_list.append((last_q, last_a))
+            last_q, last_a = "", ""
+        last_q = bull.group()
+        _, end = bull.span()
+        last_a = section[end:]
+    if last_q:
+        qai_list.append((last_q, last_a))
+    return [qa_text(q, a, eng) for q, a in qai_list]

@@ -269,6 +269,38 @@ def laws_docx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "chunk_seq"))
 
 
+# --------------------------------------------------------- xlsx html mode
+def xlsx_html_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same synthetic workbooks through the Excel HTML mode
+    (excel_parser.py:73-104): <table> chunks of ≤chunk_rows data rows with
+    the header row repeated and the sheet name as <caption>."""
+    from ..parsers.ooxml import build_xlsx, excel_html
+    d = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                words = (text or "").split()
+                if not words:
+                    continue
+                rows: list[list] = [["c1", "c2", "c3", "c4"]]
+                for i in range(0, len(words), 4):
+                    rows.append(list(words[i:i + 4]))
+                try:
+                    blob = build_xlsx([("Sheet1", rows)])
+                    cks = excel_html(blob, chunk_rows=8)
+                except Exception:
+                    cks = []
+                out.extend((doc_id, i, c) for i, c in enumerate(cks))
+            yield pd.DataFrame(out, columns=["doc_id", "chunk_seq",
+                                             "chunk_text"])
+
+    return (d.mapInPandas(run, CHUNKS_SCHEMA)
+            .orderBy("doc_id", "chunk_seq"))
+
+
 # --------------------------------------------------------------- qa (docx)
 def qa_docx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text → synthetic FAQ .docx (Heading questions + body
@@ -312,4 +344,5 @@ QUERIES = {
     "manual_template": (manual_template, None),
     "laws_docx_template": (laws_docx_template, None),
     "qa_docx_template": (qa_docx_template, None),
+    "xlsx_html_template": (xlsx_html_template, None),
 }

@@ -181,7 +181,50 @@ def presentation_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "page_num"))
 
 
+# ---------------------------------------------------------------- qa (pdf)
+def qa_pdf_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → synthetic FAQ PDFs (numbered questions + answer
+    lines, 24pt leading) → box-driven Q&A pairing (question-bullet election
+    + x0/top heuristics, rag/app/qa.py:79-170) → "Question:\\tAnswer:"
+    chunks."""
+    from ..chunkers.qa import qa_from_pdf_boxes
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+
+    def run(batches):
+        for pdf_b in batches:
+            out = []
+            for doc_id, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                doc_id = int(doc_id)
+                words = (text or "").split()
+                lines = [f"FAQ Document {doc_id}"]
+                q = 0
+                for i in range(0, len(words), 12):
+                    q += 1
+                    lines.append(
+                        f"{q}. What about {' '.join(words[i:i + 4])}?")
+                    lines.append(" ".join(words[i + 4:i + 12]) + ".")
+                try:
+                    blob = build_pdf([lines], leading=24)
+                    cks = qa_from_pdf_boxes(extract_pdf_boxes(blob))
+                except Exception:
+                    cks = []
+                out.extend((doc_id, i, c) for i, c in enumerate(cks))
+            yield pd.DataFrame(out, columns=["doc_id", "chunk_seq",
+                                             "chunk_text"])
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("chunk_seq", IntegerType(), False),
+        StructField("chunk_text", StringType(), False),
+    ])
+    return (docs.mapInPandas(run, schema)
+            .orderBy("doc_id", "chunk_seq"))
+
+
 QUERIES = {
     "pdf_template": (pdf_template, None),
     "presentation_template": (presentation_template, None),
+    "qa_pdf_template": (qa_pdf_template, None),
 }

@@ -31,8 +31,10 @@ import zlib
 
 # ---------------------------------------------------------------- writer
 
-def build_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
-    """pages = list of pages, each a list of text lines."""
+def build_pdf(pages: list[list[str]], compress: bool = True,
+              leading: float = 16) -> bytes:
+    """pages = list of pages, each a list of text lines; ``leading`` is the
+    baseline-to-baseline line advance in PDF units."""
     objs: list[bytes] = []
 
     def ref(i):
@@ -58,7 +60,7 @@ def build_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
             esc = (ln.replace("\\", r"\\").replace("(", r"\(")
                      .replace(")", r"\)"))
             if not first:
-                ops.append(b"0 -16 Td")
+                ops.append(f"0 -{leading:g} Td".encode())
             ops.append(b"(" + esc.encode("latin-1", "replace") + b") Tj")
             first = False
         ops.append(b"ET")

@@ -131,3 +131,32 @@ def test_qa_docx_rm_prefix_quirk():
     # accumulated answer (qa.py:279-284) — reproduced as-is
     cks = qa_from_docx([("Q?", "Heading 1"), ("answer body", "Normal")])
     assert cks == ["Question: Q?\tAnswer: body"]
+
+
+# --------------------------------------------------------------- qa (pdf)
+def test_index_int_variants():
+    from ragflow_core16_spark.chunkers.qa import index_int
+    assert index_int("7") == 7
+    assert index_int("SEVEN") == 7
+    assert index_int("二十三") == 23
+    assert index_int("十") == 10
+    assert index_int("IX") == 9
+    assert index_int("garbage") == -1
+
+
+def test_qbullets_category_elects_numeric():
+    from ragflow_core16_spark.chunkers.qa import qbullets_category
+    secs = ["1. What is A?", "body", "2. What is B?", "body"]
+    q_bull, reg = qbullets_category(secs)
+    assert q_bull >= 0 and reg.startswith("([0-9]{1,2})")
+
+
+def test_qa_from_pdf_boxes_pairs():
+    from ragflow_core16_spark.chunkers.qa import qa_from_pdf_boxes
+    from ragflow_core16_spark.pdf.plain import build_pdf, extract_pdf_boxes
+    pdf = build_pdf([["FAQ Doc", "1. What is A?", "first body.",
+                      "2. What is B?", "second body."]], leading=24)
+    cks = qa_from_pdf_boxes(extract_pdf_boxes(pdf))
+    assert len(cks) == 2
+    assert cks[0].startswith("Question: 1. What is A?\tAnswer:")
+    assert "second body." in cks[1]
