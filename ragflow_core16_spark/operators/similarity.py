@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 TOP_K = 10
 QUERY_VEC_ID = 0  # deterministic: the query is embeddings[vec_id=0]
 
+# near-dup threshold: production near-dup filtering uses ~0.95; the
+# synthetic corpus has no planted duplicates (max pairwise cosine ≈0.51),
+# so the driver queries use 0.4 to exercise the operator on real rows
+NEAR_DUP_THRESHOLD = 0.4
+
 
 def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -184,9 +189,10 @@ ORDER BY cosine DESC, a.vec_id LIMIT {TOP_K}
 
 
 # ------------------------------------------------------- pairwise near-dup
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_near_dup(spark: SparkSession, sf_dir: str,
+                       threshold: float = NEAR_DUP_THRESHOLD) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH buckets: only
-    within-bucket pairs are scored (join key = bucket), cosine ≥ 0.95."""
+    within-bucket pairs are scored (join key = bucket)."""
     e = _emb(spark, sf_dir).withColumn("bucket",
                                        _bucket_expr(F.col("embedding"), 64))
     a = e.select(F.col("vec_id").alias("id_a"),
@@ -196,12 +202,46 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return (pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
-            .filter(F.col("cosine") >= 0.95)
+            .filter(F.col("cosine") >= threshold)
             .orderBy("id_a", "id_b"))
+
+
+def near_dup_exact(spark: SparkSession, sf_dir: str,
+                   threshold: float = NEAR_DUP_THRESHOLD) -> DataFrame:
+    """EXACT embedding near-dup baseline: all pairs with cosine ≥ 0.95 via
+    a self theta-join (vec_id_a < vec_id_b).  Quadratic by construction —
+    this is the small-scale verification oracle for the LSH-bucketed
+    variant (``embedding_near_dup``), exactly as ``cosine_topk`` is the
+    exact baseline for the ANN queries.  At 100 TB only the LSH/IVF paths
+    run; this one pins their semantics."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("id_a"),
+                 F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"),
+                 F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (pairs.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+            .orderBy("id_a", "id_b"))
+
+
+NEAR_DUP_EXACT_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding, b.embedding) /
+             (sqrt(list_dot_product(a.embedding, a.embedding)) *
+              sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding, b.embedding) /
+            (sqrt(list_dot_product(a.embedding, a.embedding)) *
+             sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= {NEAR_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
 
 
 QUERIES = {
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
+    "near_dup_exact": (near_dup_exact, NEAR_DUP_EXACT_SQL),
     "lsh_ann_topk": (lsh_ann_topk, None),          # approximate: rows-only
     "ivf_ann_topk": (ivf_ann_topk, IVF_ANN_SQL),
     "embedding_near_dup": (embedding_near_dup, None),  # LSH-pruned: rows-only

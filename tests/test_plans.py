@@ -1,0 +1,91 @@
+"""Physical-plan regression tests: the properties that matter at 100 TB
+must be visible in the optimized plan, not just assumed.
+
+  * predicate pushdown reaches the parquet scan (PushedFilters);
+  * small dims broadcast (BroadcastHashJoin) — no shuffle-sort-merge join
+    of a 25-row nation table against a 10^12-row fact;
+  * the extraction stage is shuffle-free (no Exchange): embarrassingly
+    parallel per page;
+  * relational queries stay inside WholeStageCodegen (no Python in the
+    hot path).
+"""
+
+import __spark_entry__ as E
+
+
+def _formatted(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark):
+    plan = _formatted(E._registry()["pricing_summary"][0](spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].splitlines()[0]
+
+
+def test_revenue_by_nation_broadcasts_dims(spark):
+    plan = _formatted(E._registry()["revenue_by_nation"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the dim joins must not fall back to sort-merge
+    assert "SortMergeJoin" not in plan
+
+
+def test_fulltext_broadcasts_query_terms(spark):
+    plan = _formatted(E._registry()["fulltext_topn"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # top-n must be the streaming top-k operator, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_extraction_stage_is_shuffle_free(spark):
+    from ragflow_core16_spark.datagen.pages import pages_from_documents
+    from ragflow_core16_spark.operators.extract import extract_pages
+    plan = _formatted(extract_pages(pages_from_documents(spark, SF)))
+    exchanges = [ln for ln in plan.splitlines()
+                 if "Exchange" in ln and "Reused" not in ln]
+    assert exchanges == [], f"unexpected shuffle in extraction: {exchanges}"
+
+
+def test_relational_query_has_codegen_and_partial_agg(spark):
+    # AQE wraps the plan until execution, hiding codegen subtrees from
+    # explain — turn it off for the static inspection only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = E._registry()["pricing_summary"][0](spark, SF)
+        codegen = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "codegen"))
+        assert "WholeStageCodegen subtrees" in codegen
+        assert "Found 0 WholeStageCodegen" not in codegen
+        simple = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"))
+        # map-side combine before the shuffle; vectorized columnar scan
+        assert "partial_sum" in simple
+        assert "Batched: true" in simple
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_cosine_topk_is_topk_not_global_sort(spark):
+    plan = _formatted(E._registry()["cosine_topk"][0](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_near_dup_subset_of_exact(spark):
+    """Every LSH-bucketed near-dup pair must appear in the exact quadratic
+    baseline with the same cosine (the LSH variant prunes, never invents)."""
+    from ragflow_core16_spark.operators.similarity import (embedding_near_dup,
+                                                           near_dup_exact)
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in near_dup_exact(spark, SF).collect()}
+    approx = {(r.id_a, r.id_b): r.cosine
+              for r in embedding_near_dup(spark, SF).collect()}
+    for pair, cos in approx.items():
+        assert pair in exact and abs(exact[pair] - cos) < 1e-6
