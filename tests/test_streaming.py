@@ -56,3 +56,53 @@ class TestExtractStream:
         # append-mode window emits only after watermark passes; plan runs
         # without error is the assertion here
         spark.sql("select * from mstream").collect()
+
+
+class TestStatefulSessions:
+    def test_host_sessions_emit_on_watermark(self, spark, tmp_path):
+        """applyInPandasWithState: sessions close when the event-time
+        watermark passes last_ts + gap.  Two file drops: the second drop's
+        much-later timestamps advance the watermark and flush the first
+        drop's host sessions."""
+        import pandas as pd
+        from ragflow_core16_spark.datagen.pages import PAGES_SCHEMA
+        from ragflow_core16_spark.streaming.stateful import host_session_stream
+
+        inp = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ck")
+        outp = str(tmp_path / "out")
+
+        def mk_rows(host, ts0, n):
+            base = pd.Timestamp(ts0)
+            return [(f"https://{host}/p{i}",
+                     (base + pd.Timedelta(minutes=i)).to_pydatetime(),
+                     b"<html><body>x</body></html>", "x", "en")
+                    for i in range(n)]
+
+        early = mk_rows("a.example.com", "2024-01-01 00:00:00", 3) + \
+            mk_rows("b.example.com", "2024-01-01 00:05:00", 2)
+        late = mk_rows("c.example.com", "2024-01-01 06:00:00", 1)
+
+        def run_drop(rows, name):
+            spark.createDataFrame(rows, PAGES_SCHEMA) \
+                .write.mode("overwrite").parquet(f"{inp}/{name}")
+            stream = (spark.readStream.schema(PAGES_SCHEMA)
+                      .option("maxFilesPerTrigger", 100)
+                      .parquet(f"{inp}/{name}"))
+            sessions = host_session_stream(stream, gap="30 minutes",
+                                           watermark="1 minute")
+            q = (sessions.writeStream.format("parquet")
+                 .option("path", outp).option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(180)
+
+        # NOTE: same checkpoint across drops → state carries over
+        run_drop(early, "d1")
+        run_drop(late, "d2")
+        # third empty-ish drop lets the timeout fire for host c too if due
+        got = spark.read.parquet(outp)
+        rows = {r.host: r for r in got.collect()}
+        assert "a.example.com" in rows and "b.example.com" in rows
+        a = rows["a.example.com"]
+        assert a.n_pages == 3 and a.total_bytes == 3 * len(
+            b"<html><body>x</body></html>")
