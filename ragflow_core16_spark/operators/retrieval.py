@@ -271,10 +271,164 @@ ORDER BY rerank_score DESC, doc_id LIMIT {TOP_N}
 """
 
 
+CITE_ANSWER = ("the spark engine can sort and merge each batch. "
+               "a window query will scan the table and join the rows. "
+               "stream data flows into the hash join and the group agg. "
+               "small filters push down to the parquet scan.")
+CITE_N_DOCS = 40          # chunk set: documents with doc_id < 40
+CITE_TK_W, CITE_VT_W = 0.1, 0.9   # insert_citations weights (search.py:162)
+
+
+def _cite_literals() -> tuple[list[tuple[int, int]], list[tuple[int, str, float]], list[tuple[int, float]]]:
+    """Driver-side piece compile for insert_citations: split the answer
+    (search.py:163-193), weight each citable piece's tokens, and assign each
+    piece a deterministic pseudo-embedding (embeddings row vec_id=3·seq —
+    the reference encodes pieces via an external embd_mdl; a vector lookup
+    keeps the operator deterministic and oracle-checkable).
+    → (piece_vec [(pidx, vec_id)], piece_terms [(pidx, term, w)],
+       piece_total [(pidx, Σw)])."""
+    from ragflow_core16_spark.textnorm.citations import split_pieces
+    from ragflow_core16_spark.textnorm.query import FulltextQueryer
+    qryr = FulltextQueryer()
+    pieces, idx = split_pieces(CITE_ANSWER)
+    piece_vec, piece_terms, piece_total = [], [], []
+    for seq, i in enumerate(idx):
+        piece_vec.append((i, 3 * seq))
+        d = qryr._to_weight_dict(qryr.rmWWW(pieces[i]).lower().split())
+        total = 0.0
+        for t, w in sorted(d.items()):
+            w = round(float(w), 6)
+            piece_terms.append((i, t, w))
+            total += w
+        piece_total.append((i, round(total, 6)))
+    return piece_vec, piece_terms, piece_total
+
+
+def insert_citations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Citation insertion (search.py:158-245) as a DataFrame query: per
+    answer piece, hybrid sim 0.1·token-overlap + 0.9·cosine vs every chunk;
+    cite chunks with sim > 0.99·piece-max, ≤4 per piece (lowest doc_id
+    first — deterministic variant of the reference's set-order [:4]),
+    admission threshold = highest of the 0.63·0.8ⁿ decay levels reached by
+    any piece.  Pieces/terms are driver-compiled broadcast literals; all
+    scoring is JVM columnar.  Scale: |pieces|×|chunks| grid is tiny per
+    query; at corpus scale the chunk side stays a DataFrame and the only
+    wide op is the per-piece max — a broadcast-friendly agg."""
+    pv, pt, ptot = _cite_literals()
+    pvdf = spark.createDataFrame(pv, ["pidx", "vec_src"])
+    ptdf = spark.createDataFrame(pt, ["pidx", "term", "w"])
+    totdf = spark.createDataFrame(ptot, ["pidx", "tw_total"])
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < CITE_N_DOCS)
+    toks = (d.select("doc_id",
+                     F.explode(F.split(F.regexp_replace(
+                         F.lower(F.trim("text")), r"\s+", " "), " "))
+                     .alias("tok"))
+            .distinct())
+    tksum = (toks.join(F.broadcast(ptdf), toks.tok == ptdf.term)
+             .groupBy("pidx", "doc_id").agg(F.sum("w").alias("sw")))
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cv = e.filter(F.col("vec_id") < CITE_N_DOCS) \
+          .select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("dv"))
+    qv = (e.join(F.broadcast(pvdf), e.vec_id == pvdf.vec_src)
+          .select("pidx", F.col("embedding").alias("qv")))
+
+    grid = qv.crossJoin(cv)
+    dot = F.aggregate(F.zip_with("qv", "dv", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, v: a + v)
+    nrm = (F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, v: a + v * v)) *
+           F.sqrt(F.aggregate("dv", F.lit(0.0), lambda a, v: a + v * v)))
+    cos = grid.select("pidx", "doc_id", (dot / nrm).alias("cos"))
+
+    sim = (cos.join(tksum, ["pidx", "doc_id"], "left")
+           .join(F.broadcast(totdf), "pidx")
+           .select("pidx", "doc_id",
+                   (F.lit(CITE_TK_W) *
+                    ((F.lit(1e-9) + F.coalesce("sw", F.lit(0.0))) /
+                     (F.lit(1e-9) + F.col("tw_total"))) +
+                    F.lit(CITE_VT_W) * F.col("cos")).alias("sim")))
+
+    from pyspark.sql import Window
+    mx = F.max("sim").over(Window.partitionBy("pidx"))
+    scored = sim.withColumn("mx", mx * F.lit(0.99))
+    # thr_eff: highest 0.63·0.8ⁿ level (n<4) reached by any piece's mx
+    best = scored.agg(F.max("mx").alias("b"))
+    thr = best.select(
+        F.when(F.col("b") >= 0.63, 0.63)
+         .when(F.col("b") >= 0.63 * 0.8, 0.63 * 0.8)
+         .when(F.col("b") >= 0.63 * 0.64, 0.63 * 0.64)
+         .when(F.col("b") >= 0.63 * 0.512, 0.63 * 0.512)
+         .alias("thr"))
+    rk = F.row_number().over(
+        Window.partitionBy("pidx").orderBy("doc_id"))
+    return (scored.crossJoin(F.broadcast(thr))
+            .filter((F.col("mx") >= F.col("thr")) & (F.col("sim") > F.col("mx")))
+            .withColumn("cite_rank", rk)
+            .filter(F.col("cite_rank") <= 4)
+            .select("pidx", "doc_id", F.round("sim", 4).alias("sim"),
+                    F.col("cite_rank").cast("long").alias("cite_rank"))
+            .orderBy("pidx", "doc_id"))
+
+
+def _insert_citations_sql() -> str:
+    pv, pt, ptot = _cite_literals()
+    pv_vals = ", ".join(f"({p}, {v})" for p, v in pv)
+    pt_vals = ", ".join(f"({p}, '{t}', {w})" for p, t, w in pt)
+    tot_vals = ", ".join(f"({p}, {w})" for p, w in ptot)
+    return rf"""
+WITH piece_vec(pidx, vec_src) AS (VALUES {pv_vals}),
+piece_terms(pidx, term, w) AS (VALUES {pt_vals}),
+piece_total(pidx, tw_total) AS (VALUES {tot_vals}),
+toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents WHERE doc_id < {CITE_N_DOCS}),
+tksum AS (
+  SELECT pt.pidx, t.doc_id, sum(pt.w) AS sw
+  FROM toks t JOIN piece_terms pt ON t.tok = pt.term
+  GROUP BY pt.pidx, t.doc_id),
+qv AS (
+  SELECT pv.pidx, e.embedding AS qv FROM embeddings e
+  JOIN piece_vec pv ON e.vec_id = pv.vec_src),
+cv AS (
+  SELECT vec_id AS doc_id, embedding AS dv FROM embeddings
+  WHERE vec_id < {CITE_N_DOCS}),
+sim AS (
+  SELECT qv.pidx, cv.doc_id,
+         {CITE_TK_W} * ((1e-9 + COALESCE(tk.sw, 0)) / (1e-9 + tot.tw_total))
+         + {CITE_VT_W} * (list_dot_product(qv.qv, cv.dv) /
+            (sqrt(list_dot_product(qv.qv, qv.qv)) *
+             sqrt(list_dot_product(cv.dv, cv.dv)))) AS sim
+  FROM qv CROSS JOIN cv
+  LEFT JOIN tksum tk ON tk.pidx = qv.pidx AND tk.doc_id = cv.doc_id
+  JOIN piece_total tot ON tot.pidx = qv.pidx),
+scored AS (
+  SELECT pidx, doc_id, sim,
+         0.99 * max(sim) OVER (PARTITION BY pidx) AS mx
+  FROM sim),
+thr AS (
+  SELECT CASE WHEN max(mx) >= 0.63 THEN 0.63
+              WHEN max(mx) >= {0.63 * 0.8} THEN {0.63 * 0.8}
+              WHEN max(mx) >= {0.63 * 0.64} THEN {0.63 * 0.64}
+              WHEN max(mx) >= {0.63 * 0.512} THEN {0.63 * 0.512}
+         END AS thr FROM scored)
+SELECT pidx, doc_id, round(sim, 4) AS sim, cite_rank
+FROM (
+  SELECT s.pidx, s.doc_id, s.sim,
+         CAST(row_number() OVER (PARTITION BY s.pidx ORDER BY s.doc_id)
+              AS BIGINT) AS cite_rank
+  FROM scored s CROSS JOIN thr
+  WHERE s.mx >= thr.thr AND s.sim > s.mx)
+WHERE cite_rank <= 4 ORDER BY pidx, doc_id
+"""
+
+
 QUERIES = {
     "term_idf_weights": (term_idf_weights, TERM_IDF_SQL),
     "fulltext_topn": (fulltext_topn, FULLTEXT_TOPN_SQL),
     "hybrid_fusion": (hybrid_fusion, HYBRID_FUSION_SQL),
     "doc_agg_counts": (doc_agg_counts, DOC_AGG_SQL),
     "rerank_fusion": (rerank_fusion, _rerank_fusion_sql()),
+    "insert_citations": (insert_citations_q, _insert_citations_sql()),
 }

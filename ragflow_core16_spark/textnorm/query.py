@@ -105,6 +105,20 @@ class FulltextQueryer:
         return terms, phrases, keywords
 
     # -- similarities -----------------------------------------------------
+    def _to_weight_dict(self, tks) -> dict:
+        """token list/str → {term: summed weight} (query.py:218-226 toDict)."""
+        if isinstance(tks, str):
+            tks = tks.split()
+        d: dict = {}
+        for t, c in self.tw.weights(tks, preprocess=False):
+            d[t] = d.get(t, 0.0) + c
+        return d
+
+    def token_similarity(self, atks, btkss):
+        """Per-chunk token-overlap similarity (query.py:214-227)."""
+        a = self._to_weight_dict(atks)
+        return [self.similarity(a, self._to_weight_dict(b)) for b in btkss]
+
     def similarity(self, qtwt, dtwt):
         """Token-overlap: Σ matched query weights / Σ query weights."""
         if isinstance(dtwt, str):
@@ -124,11 +138,15 @@ class FulltextQueryer:
                           tkweight=0.3, vtweight=0.7):
         """rerank fusion (search.py:274-311): 0.3·token + 0.7·cosine."""
         q = np.asarray(qvec, dtype=float)
+        if not isinstance(qtwt, dict):
+            qtwt = self._to_weight_dict(qtwt)
         sims = []
         for dv, dt in zip(dvecs, dtwts):
             d = np.asarray(dv, dtype=float)
             denom = (np.linalg.norm(q) * np.linalg.norm(d)) or 1e-9
             cos = float(np.dot(q, d) / denom)
+            if not isinstance(dt, dict):
+                dt = self._to_weight_dict(dt)
             tksim = self.similarity(qtwt, dt)
             sims.append(tkweight * tksim + vtweight * cos)
         return sims

@@ -88,3 +88,63 @@ class TestSimilarity:
             [1.0, 0.0], [[1.0, 0.0], [0.0, 1.0]], q, [q, {"x": 1.0}])
         assert abs(sims[0] - (0.3 * 1.0 + 0.7 * 1.0)) < 1e-6
         assert sims[1] < 0.1
+
+
+class TestInsertCitations:
+    """Citation insertion (search.py:158-245 semantics)."""
+
+    def test_split_pieces_sentences(self):
+        from ragflow_core16_spark.textnorm.citations import split_pieces
+        pieces, idx = split_pieces("the engine can sort. a query will scan. ok")
+        joined = "".join(pieces)
+        assert joined == "the engine can sort. a query will scan. ok"
+        # boundary char re-attached to the sentence; the ". " separator
+        # stays its own (non-citable) piece — reference search.py:183-186
+        citable = [pieces[i] for i in idx]
+        assert citable == ["the engine can sort", "a query will scan"]
+        # "ok" (<5 chars) and ". " separators are not citable
+        assert all(len(pieces[i]) >= 5 for i in idx)
+
+    def test_split_pieces_code_fence_kept_whole(self):
+        from ragflow_core16_spark.textnorm.citations import split_pieces
+        ans = "intro text here. ```code. block``` after text done."
+        pieces, idx = split_pieces(ans)
+        fenced = [p for p in pieces if p.startswith("```")]
+        assert len(fenced) == 1 and "code. block" in fenced[0]
+
+    def test_effective_threshold_decay(self):
+        from ragflow_core16_spark.textnorm.citations import effective_threshold
+        assert effective_threshold([0.9]) == 0.63
+        # 0.99*0.52 = 0.5148 → second level 0.504
+        assert abs(effective_threshold([0.52]) - 0.63 * 0.8) < 1e-9
+        assert effective_threshold([0.2]) is None
+        assert effective_threshold([]) is None
+
+    def test_insert_citations_markers(self):
+        from ragflow_core16_spark.textnorm.citations import insert_citations
+        chunks = ["spark engine sorts batches fast",
+                  "the moon orbits the earth slowly"]
+        chunk_v = [[1.0, 0.0], [0.0, 1.0]]
+        # piece 0 ≈ chunk 0 (cos=1), piece about moon ≈ chunk 1
+        vecs = {"the spark engine sorts": [1.0, 0.0],
+                "the moon orbits": [0.0, 1.0]}
+        res, cited = insert_citations(
+            "the spark engine sorts. the moon orbits. ",
+            chunks, chunk_v, lambda ps: [vecs[p] for p in ps])
+        assert cited == {"0", "1"}
+        # marker lands after the sentence text, before the ". " separator
+        assert "sorts ##0$$. " in res and "orbits ##1$$. " in res
+
+    def test_insert_citations_no_chunks(self):
+        from ragflow_core16_spark.textnorm.citations import insert_citations
+        res, cited = insert_citations("anything goes here.", [], [],
+                                      lambda ps: [])
+        assert res == "anything goes here." and cited == set()
+
+    def test_insert_citations_below_threshold(self):
+        from ragflow_core16_spark.textnorm.citations import insert_citations
+        # orthogonal vector + no token overlap → sim ≈ 0 → no citations
+        res, cited = insert_citations(
+            "completely unrelated sentence here. ",
+            ["zzz yyy xxx"], [[1.0, 0.0]], lambda ps: [[0.0, 1.0]])
+        assert cited == set() and "##" not in res
