@@ -108,9 +108,10 @@ def default_bench() -> dict:
     ext = extraction_run(spark, SF_DIR)
 
     reg = E._registry()
-    # warm the operator path too (python workers, codegen, parquet footer
-    # cache) so the first timed query doesn't absorb one-time init
-    for name in BENCH_QUERIES[:2]:
+    # warm every benched query at sf0.001 (python workers, codegen, parquet
+    # footers, broadcast machinery) so timed numbers are steady-state
+    # throughput, not one-time JIT/planning costs
+    for name in BENCH_QUERIES:
         _noop_write(reg[name][0](spark, "/root/testdata/sf0.001"))
 
     qtimes = {}

@@ -30,7 +30,8 @@ _NORM = r"\s+"
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..session import spread
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _norm_text():

@@ -34,8 +34,9 @@ CHUNKS_SCHEMA = StructType([
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id", "text")
+    from ..session import spread
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet")
+                  .select("doc_id", "text"))
 
 
 # ------------------------------------------------------------------- docx

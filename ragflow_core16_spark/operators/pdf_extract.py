@@ -30,6 +30,13 @@ from ..pdf.boxops import filter_forpages, naive_vertical_merge
 from ..pdf.plain import build_pdf, extract_pdf_boxes
 from ..textnorm.xxh64 import xxh64_hexdigest
 
+
+def _spread_docs(spark, sf_dir):
+    from ..session import spread
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet")
+                  .select("doc_id", "text"))
+
+
 PDF_CHUNKS_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
     StructField("status", StringType(), False),
@@ -42,8 +49,14 @@ PDF_CHUNKS_SCHEMA = StructType([
 ])
 
 
-def pdf_to_sections(pdf: bytes, is_english: bool = True) -> tuple[list[str], int, int]:
-    """→ (sections, n_pages, n_boxes): reader → vertical merge → TOC filter."""
+def pdf_to_sections(pdf: bytes, is_english: bool = True,
+                    merge: str = "naive") -> tuple[list[str], int, int]:
+    """→ (sections, n_pages, n_boxes): reader → vertical merge → TOC filter.
+
+    ``merge``: 'naive' = rule-only vertical merge (the reference's book/laws
+    PDF route, pdf_parser.py:421-470); 'concat' = scored downward concat
+    (the naive-mode route, pdf_parser.py:472-579 — XGB model when deployed,
+    deterministic rule scorer otherwise)."""
     boxes = extract_pdf_boxes(pdf)
     if not boxes:
         return [], 0, 0
@@ -53,14 +66,22 @@ def pdf_to_sections(pdf: bytes, is_english: bool = True) -> tuple[list[str], int
     mean_h = [statistics.median(heights)] * pages
     widths = [(b["x1"] - b["x0"]) / max(len(b["text"]), 1) for b in boxes]
     mean_w = [statistics.median(widths)] * pages
-    boxes = naive_vertical_merge(boxes, mean_h, mean_w, is_english,
-                                 statistics.median(heights))
+    if merge == "concat":
+        from ..pdf.concat import concat_downward
+        for b in boxes:
+            b.setdefault("layout_type", "text")
+            b.setdefault("layoutno", f"text-{b['page_number']}")
+        boxes = concat_downward(boxes, mean_h, mean_w)
+    else:
+        boxes = naive_vertical_merge(boxes, mean_h, mean_w, is_english,
+                                     statistics.median(heights))
     boxes = filter_forpages(boxes, pages)
     return [b["text"] for b in boxes if b["text"].strip()], pages, n_boxes
 
 
 def pdf_chunks_df(pdfs: DataFrame, chunk_token_num: int = 128,
-                  delimiter: str = "\n!?。；！？") -> DataFrame:
+                  delimiter: str = "\n!?。；！？",
+                  merge: str = "naive") -> DataFrame:
     """pdfs(doc_id, pdf binary) → chunk rows; failures become status rows."""
 
     def run(batches):
@@ -69,7 +90,8 @@ def pdf_chunks_df(pdfs: DataFrame, chunk_token_num: int = 128,
             for doc_id, blob in zip(pdf_batch["doc_id"], pdf_batch["pdf"]):
                 doc_id = int(doc_id)
                 try:
-                    sections, n_pages, n_boxes = pdf_to_sections(bytes(blob))
+                    sections, n_pages, n_boxes = pdf_to_sections(
+                        bytes(blob), merge=merge)
                     cks, tknums = naive_merge_with_counts(
                         [(s, "") for s in sections], chunk_token_num, delimiter)
                     if not sections:
@@ -88,8 +110,7 @@ def pdf_chunks_df(pdfs: DataFrame, chunk_token_num: int = 128,
 def _synth_pdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text → deterministic multi-page PDFs via the native
     writer (40 lines of 10 words per page)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id", "text")
+    docs = _spread_docs(spark, sf_dir)
 
     def gen(batches):
         for pdf_b in batches:
@@ -116,6 +137,16 @@ def pdf_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests assert byte-level round-trip fidelity."""
     pdfs = _synth_pdfs(spark, sf_dir)
     return (pdf_chunks_df(pdfs)
+            .select("doc_id", "status", "n_pages", "chunk_seq", "chunk_id",
+                    "token_cnt")
+            .orderBy("doc_id", "chunk_seq"))
+
+
+def pdf_concat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: same PDFs through the scored downward-concat route
+    (the reference's naive PDF mode, pdf_parser.py:472-579)."""
+    pdfs = _synth_pdfs(spark, sf_dir)
+    return (pdf_chunks_df(pdfs, merge="concat")
             .select("doc_id", "status", "n_pages", "chunk_seq", "chunk_id",
                     "token_cnt")
             .orderBy("doc_id", "chunk_seq"))
@@ -189,8 +220,7 @@ def qa_pdf_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks."""
     from ..chunkers.qa import qa_from_pdf_boxes
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id", "text")
+    docs = _spread_docs(spark, sf_dir)
 
     def run(batches):
         for pdf_b in batches:
@@ -225,6 +255,7 @@ def qa_pdf_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "pdf_template": (pdf_template, None),
+    "pdf_concat_template": (pdf_concat_template, None),
     "presentation_template": (presentation_template, None),
     "qa_pdf_template": (qa_pdf_template, None),
 }

@@ -26,7 +26,10 @@ TOP_N = 20
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread the single-split scan so the token explode parallelizes
+    # (one row-group parquet file = one scan task otherwise)
+    from ..session import spread
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _tokens(spark, sf_dir) -> DataFrame:

@@ -34,7 +34,8 @@ NEAR_DUP_THRESHOLD = 0.4
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from ..session import spread
+    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _dot(a: Column, b: Column) -> Column:

@@ -36,7 +36,8 @@ CHUNKS_SCHEMA = StructType([
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..session import spread
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _template_query(template_fn):

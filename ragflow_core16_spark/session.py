@@ -26,6 +26,21 @@ DEFAULT_CONF = {
 }
 
 
+def spread(df, partitions: int | None = None):
+    """Repartition a narrow input ahead of a Python (mapInPandas) stage.
+
+    Small parquet inputs arrive as ONE scan partition (a 100 MB file is a
+    single split under maxPartitionBytes), which would serialize the whole
+    Arrow-UDF stage onto one core.  A round-robin repartition of the narrow
+    (doc_id, text) projection costs one tiny shuffle and buys full-cluster
+    parallelism for the Python stage.  At real scale the scan already has
+    thousands of splits and callers see a no-op-cost reshuffle of ids only;
+    use ``partitions=`` to pin an explicit width."""
+    sc = df.sparkSession.sparkContext
+    n = partitions or sc.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 def get_spark(master: str | None = None, app_name: str = "ragflow_core16_spark",
               extra_conf: dict | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

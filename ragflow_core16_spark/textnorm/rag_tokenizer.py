@@ -52,6 +52,7 @@ _T2S = str.maketrans(
 
 SPLIT_CHAR = r"([ ,\.<>/?;:'\[\]\\`!@#$%^&*\(\)\{\}\|_+=《》，。？、；‘’：“”【】~！￥%……（）——-]+|[a-zA-Z0-9,\.-]+)"
 _SPLIT_RE = re.compile(SPLIT_CHAR)
+_W_RE = re.compile(r"\W+")
 DENOMINATOR = 1000000
 
 # full-width → half-width fold as a translate table (fast _strQ2B)
@@ -120,10 +121,14 @@ class RagTokenizer:
         return out
 
     def key_(self, line):
-        return str(line.lower().encode("utf-8"))[2:-1]
+        # char-level key (the reference keys its datrie on the bytes-repr of
+        # utf-8; both utf-8 and per-byte escaping are prefix-preserving
+        # injections, so a char-keyed trie answers the same prefix/member
+        # queries without an encode+repr round trip per probe)
+        return line.lower()
 
     def rkey_(self, line):
-        return str(("DD" + line[::-1].lower()).encode("utf-8"))[2:-1]
+        return "DD" + line[::-1].lower()
 
     # -- scoring ---------------------------------------------------------
     def freq(self, tk):
@@ -233,8 +238,22 @@ class RagTokenizer:
     def _tradi2simp(line):
         return line.translate(_T2S)
 
+    _EN_NORM_CACHE: dict[str, str] = {}
+
+    @classmethod
+    def _en_norm(cls, t: str) -> str:
+        """stem(lemmatize(t)) with a bounded memo — web text repeats tokens
+        heavily, and both functions are pure."""
+        c = cls._EN_NORM_CACHE
+        v = c.get(t)
+        if v is None:
+            v = stem(lemmatize(t))
+            if len(c) < 200_000:
+                c[t] = v
+        return v
+
     def english_normalize_(self, tks):
-        return [stem(lemmatize(t)) if re.match(r"[a-zA-Z_-]+$", t) else t
+        return [self._en_norm(t) if re.match(r"[a-zA-Z_-]+$", t) else t
                 for t in tks]
 
     def _split_by_lang(self, line):
@@ -286,13 +305,21 @@ class RagTokenizer:
 
     # -- public API ------------------------------------------------------
     def tokenize(self, line: str) -> str:
-        line = re.sub(r"\W+", " ", line)
+        line = _W_RE.sub(" ", line)
+        if line.isascii() and "_" not in line:
+            # pure-ascii fast path: Q2B and tradi→simp are identity maps and
+            # every space-separated token is a single alnum run — same output
+            # as the general path, minus two full-string translates.  ("_"
+            # survives \W+ but is a SPLIT_CHAR separator, so underscore
+            # lines take the general path.)
+            return self.merge_(" ".join(
+                self._en_norm(t) for t in line.lower().split()))
         line = self._strQ2B(line).lower()
         line = self._tradi2simp(line)
         res = []
         for L, zh in self._split_by_lang(line):
             if not zh:
-                res.extend(stem(lemmatize(t)) for t in L.split())
+                res.extend(self._en_norm(t) for t in L.split())
                 continue
             if len(L) < 2 or re.match(r"[a-z\.-]+$", L) or re.match(r"[0-9\.-]+$", L):
                 res.append(L)

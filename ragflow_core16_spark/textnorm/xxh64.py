@@ -14,6 +14,8 @@ computed once per chunk, not per token).
 
 from __future__ import annotations
 
+import struct as _struct
+
 _P1 = 0x9E3779B185EBCA87
 _P2 = 0xC2B2AE3D27D4EB4F
 _P3 = 0x165667B19E3779F9
@@ -44,12 +46,22 @@ def xxh64_int(data: bytes, seed: int = 0) -> int:
         v2 = (seed + _P2) & _M
         v3 = seed & _M
         v4 = (seed - _P1) & _M
-        limit = n - 32
-        while i <= limit:
-            v1 = _round(v1, int.from_bytes(data[i:i + 8], "little")); i += 8
-            v2 = _round(v2, int.from_bytes(data[i:i + 8], "little")); i += 8
-            v3 = _round(v3, int.from_bytes(data[i:i + 8], "little")); i += 8
-            v4 = _round(v4, int.from_bytes(data[i:i + 8], "little")); i += 8
+        # bulk-decode all 32-byte stripes in one unpack, inline the round
+        # arithmetic (the per-lane slice + helper-call version spends most
+        # of its time in interpreter overhead)
+        nblk = n // 32
+        lanes = _struct.unpack_from(f"<{nblk * 4}Q", data, 0)
+        P1, P2, M = _P1, _P2, _M
+        for j in range(0, nblk * 4, 4):
+            a = (v1 + lanes[j] * P2) & M
+            v1 = (((a << 31) | (a >> 33)) & M) * P1 & M
+            a = (v2 + lanes[j + 1] * P2) & M
+            v2 = (((a << 31) | (a >> 33)) & M) * P1 & M
+            a = (v3 + lanes[j + 2] * P2) & M
+            v3 = (((a << 31) | (a >> 33)) & M) * P1 & M
+            a = (v4 + lanes[j + 3] * P2) & M
+            v4 = (((a << 31) | (a >> 33)) & M) * P1 & M
+        i = nblk * 32
         h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M
         h = _merge_round(h, v1)
         h = _merge_round(h, v2)

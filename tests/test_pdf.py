@@ -203,3 +203,70 @@ class TestTSR:
         assert block_type({"text": "ABC-12"}) == "Ca"
         assert block_type({"text": "hello there"}) == "En"
         assert block_type({"text": "文"}) == "Sg"
+
+
+class TestConcatDownward:
+    """Model-scored down-concat (pdf_parser.py:125-180, 472-579)."""
+
+    @staticmethod
+    def _box(text, page=1, x0=50.0, x1=400.0, top=100.0, bottom=112.0,
+             layout_type="text", layoutno="text-0"):
+        return {"text": text, "page_number": page, "x0": x0, "x1": x1,
+                "top": top, "bottom": bottom, "layout_type": layout_type,
+                "layoutno": layoutno}
+
+    def test_feature_vector_shape_and_key_flags(self):
+        from ragflow_core16_spark.pdf.concat import updown_concat_features
+        up = self._box("this sentence continues，", bottom=112.0)
+        down = self._box("with a second line.", top=114.0, bottom=126.0)
+        up["in_row"], down["in_row"] = 0, 0
+        fea = updown_concat_features(up, down)
+        assert len(fea) == 32
+        assert fea[8] is False          # up does not end with terminal punct
+        assert fea[9] is True           # up ends with a (fullwidth) comma
+        assert fea[3] is True           # same layout type
+        # reference duplicates the comma-tail feature at 12/13
+        assert fea[12] == fea[13]
+        up2 = self._box("sentence ended.")
+        up2["in_row"] = 0
+        fea2 = updown_concat_features(up2, down)
+        assert fea2[8] is True
+
+    def test_rule_scorer_dangling_comma_concats(self):
+        from ragflow_core16_spark.pdf.concat import (rule_scorer,
+                                                     updown_concat_features)
+        up = self._box("first half of a clause,", bottom=112.0)
+        down = self._box("second half finishes it.", top=114.0, bottom=126.0)
+        up["in_row"], down["in_row"] = 0, 0
+        assert rule_scorer(updown_concat_features(up, down)) > 0.5
+
+    def test_rule_scorer_bullet_breaks(self):
+        from ragflow_core16_spark.pdf.concat import (rule_scorer,
+                                                     updown_concat_features)
+        up = self._box("previous item ends here.", bottom=112.0)
+        down = self._box("2. next numbered item starts", top=114.0,
+                         bottom=126.0)
+        up["in_row"], down["in_row"] = 0, 0
+        assert rule_scorer(updown_concat_features(up, down)) <= 0.5
+
+    def test_concat_downward_fast_path_same_layoutno(self):
+        from ragflow_core16_spark.pdf.concat import concat_downward
+        boxes = [
+            self._box("alpha beta", top=100.0, bottom=112.0),
+            self._box("gamma delta", top=114.0, bottom=126.0),
+            self._box("epsilon zeta", top=128.0, bottom=140.0),
+        ]
+        out = concat_downward(boxes, mean_height=[12.0], mean_width=[6.0])
+        assert len(out) == 1
+        assert out[0]["text"] == "alpha beta gamma delta epsilon zeta"
+        assert out[0]["bottom"] == 140.0
+
+    def test_concat_downward_respects_column_gap(self):
+        from ragflow_core16_spark.pdf.concat import concat_downward
+        left = self._box("left column text", x0=50.0, x1=200.0,
+                         layoutno="text-0")
+        right = self._box("right column text", x0=1500.0, x1=1700.0,
+                          top=114.0, bottom=126.0, layoutno="text-1")
+        out = concat_downward([left, right], mean_height=[12.0],
+                              mean_width=[6.0])
+        assert len(out) == 2
