@@ -319,17 +319,7 @@ def insert_citations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide op is the per-piece max — a broadcast-friendly agg."""
     pv, pt, ptot = _cite_literals()
     pvdf = spark.createDataFrame(pv, ["pidx", "vec_src"])
-    ptdf = spark.createDataFrame(pt, ["pidx", "term", "w"])
-    totdf = spark.createDataFrame(ptot, ["pidx", "tw_total"])
-
-    d = _docs(spark, sf_dir).filter(F.col("doc_id") < CITE_N_DOCS)
-    toks = (d.select("doc_id",
-                     F.explode(F.split(F.regexp_replace(
-                         F.lower(F.trim("text")), r"\s+", " "), " "))
-                     .alias("tok"))
-            .distinct())
-    tksum = (toks.join(F.broadcast(ptdf), toks.tok == ptdf.term)
-             .groupBy("pidx", "doc_id").agg(F.sum("w").alias("sw")))
+    tot = dict(ptot)
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cv = e.filter(F.col("vec_id") < CITE_N_DOCS) \
@@ -337,20 +327,37 @@ def insert_citations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = (e.join(F.broadcast(pvdf), e.vec_id == pvdf.vec_src)
           .select("pidx", F.col("embedding").alias("qv")))
 
-    grid = qv.crossJoin(cv)
+    # per-piece token-overlap sim as a LITERAL expression over the doc's
+    # token array — piece terms are driver constants, so the whole token
+    # side is array_contains folds: no explode, no re-join, one scan
+    d = (_docs(spark, sf_dir).filter(F.col("doc_id") < CITE_N_DOCS)
+         .select("doc_id",
+                 F.split(F.regexp_replace(F.lower(F.trim("text")),
+                                          r"\s+", " "), " ").alias("toks")))
+    by_piece: dict[int, list] = {}
+    for pidx, term, w in pt:
+        by_piece.setdefault(pidx, []).append((term, w))
+    stack_args = []
+    for pidx, terms in by_piece.items():
+        sw = None
+        for term, w in terms:
+            c = F.when(F.array_contains("toks", term), F.lit(w)) \
+                 .otherwise(F.lit(0.0))
+            sw = c if sw is None else sw + c
+        tksim = (F.lit(1e-9) + sw) / F.lit(1e-9 + tot[pidx])
+        stack_args.extend([F.lit(pidx), tksim])
+    n = len(by_piece)
+    tks = d.select("doc_id",
+                   F.stack(F.lit(n), *stack_args).alias("pidx", "tksim"))
+
+    base = tks.join(cv, "doc_id").join(F.broadcast(qv), "pidx")
     dot = F.aggregate(F.zip_with("qv", "dv", lambda x, y: x * y),
                       F.lit(0.0), lambda a, v: a + v)
     nrm = (F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, v: a + v * v)) *
            F.sqrt(F.aggregate("dv", F.lit(0.0), lambda a, v: a + v * v)))
-    cos = grid.select("pidx", "doc_id", (dot / nrm).alias("cos"))
-
-    sim = (cos.join(tksum, ["pidx", "doc_id"], "left")
-           .join(F.broadcast(totdf), "pidx")
-           .select("pidx", "doc_id",
-                   (F.lit(CITE_TK_W) *
-                    ((F.lit(1e-9) + F.coalesce("sw", F.lit(0.0))) /
-                     (F.lit(1e-9) + F.col("tw_total"))) +
-                    F.lit(CITE_VT_W) * F.col("cos")).alias("sim")))
+    sim = base.select("pidx", "doc_id",
+                      (F.lit(CITE_TK_W) * F.col("tksim") +
+                       F.lit(CITE_VT_W) * (dot / nrm)).alias("sim"))
 
     from pyspark.sql import Window
     mx = F.max("sim").over(Window.partitionBy("pidx"))

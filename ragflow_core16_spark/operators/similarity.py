@@ -240,10 +240,55 @@ ORDER BY id_a, id_b
 """
 
 
+def _bucket_sql(dim: int = 64) -> str:
+    """DuckDB expression computing the same LSH bucket as ``_bucket_expr``:
+    the hyperplanes are deterministic md5-derived constants, so they embed
+    as literals — Spark and the oracle score sign(dot) on identical
+    doubles."""
+    terms = []
+    for p in range(N_PLANES):
+        lits = ", ".join(repr(_plane_component(p, d)) for d in range(dim))
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"[{lits}]) >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _lsh_ann_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_bucket_sql()} AS bucket FROM embeddings),
+q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = {QUERY_VEC_ID})
+SELECT b.vec_id, b.label,
+       round(list_dot_product(b.embedding, q.qv) /
+             (sqrt(list_dot_product(b.embedding, b.embedding)) *
+              sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM b, q WHERE b.vec_id != {QUERY_VEC_ID} AND b.bucket = q.qb
+ORDER BY cosine DESC, b.vec_id LIMIT {TOP_K}
+"""
+
+
+def _embedding_near_dup_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_dot_product(a.embedding, c.embedding) /
+             (sqrt(list_dot_product(a.embedding, a.embedding)) *
+              sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_dot_product(a.embedding, c.embedding) /
+            (sqrt(list_dot_product(a.embedding, a.embedding)) *
+             sqrt(list_dot_product(c.embedding, c.embedding))), 4)
+      >= {NEAR_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "near_dup_exact": (near_dup_exact, NEAR_DUP_EXACT_SQL),
-    "lsh_ann_topk": (lsh_ann_topk, None),          # approximate: rows-only
+    "lsh_ann_topk": (lsh_ann_topk, _lsh_ann_sql()),
     "ivf_ann_topk": (ivf_ann_topk, IVF_ANN_SQL),
-    "embedding_near_dup": (embedding_near_dup, None),  # LSH-pruned: rows-only
+    "embedding_near_dup": (embedding_near_dup, _embedding_near_dup_sql()),
 }

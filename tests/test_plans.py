@@ -89,3 +89,17 @@ def test_lsh_near_dup_subset_of_exact(spark):
               for r in embedding_near_dup(spark, SF).collect()}
     for pair, cos in approx.items():
         assert pair in exact and abs(exact[pair] - cos) < 1e-6
+
+
+def test_insert_citations_no_sort_merge_join(spark):
+    # pieces/terms/threshold are literal relations — every join against
+    # them must broadcast; a sort-merge join of a 4-row side is wrong
+    plan = _formatted(E._registry()["insert_citations"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lsh_ann_bucket_join_broadcasts_query(spark):
+    plan = _formatted(E._registry()["lsh_ann_topk"][0](spark, SF))
+    assert "Broadcast" in plan
+    assert "TakeOrderedAndProject" in plan
