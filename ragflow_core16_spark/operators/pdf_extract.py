@@ -253,9 +253,114 @@ def qa_pdf_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "chunk_seq"))
 
 
+# ------------------------------------------------------- two-column paper
+PAPER_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("status", StringType(), False),
+    StructField("is_abstract", IntegerType(), False),
+    StructField("chunk_seq", IntegerType(), False),
+    StructField("chunk_text", StringType(), True),
+])
+
+_ABSTRACT_RE = re.compile(r"(abstract|摘要)")
+
+
+def _synth_two_col_pdfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → deterministic TWO-COLUMN papers (positioned native
+    writer): a title line, an abstract paragraph, then body lines filling
+    the left column top-to-bottom and continuing in the right column —
+    the reading-order challenge ``sort_X_by_page`` exists to solve."""
+    docs = _spread_docs(spark, sf_dir)
+
+    def gen(batches):
+        from ..pdf.plain import build_pdf_positioned
+        for pdf_b in batches:
+            rows = []
+            for doc_id, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                doc_id = int(doc_id)
+                words = (text or "empty").split()
+                head = [(72, 740, f"Document {doc_id} Study"),
+                        (72, 720, "abstract " + " ".join(words[:20]))]
+                body = [" ".join(words[i:i + 5]) + "."
+                        for i in range(20, len(words), 5)]
+                pages, cur, slot = [], list(head), 0
+                for ln in body:
+                    col, row = divmod(slot, 30)
+                    if col > 1:
+                        pages.append(cur)
+                        cur, slot = [], 0
+                        col, row = 0, 0
+                    x = 72 if col == 0 else 320
+                    cur.append((x, 680 - 16 * row, ln))
+                    slot += 1
+                if cur:
+                    pages.append(cur)
+                rows.append((doc_id, build_pdf_positioned(pages)))
+            yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
+
+    return docs.mapInPandas(gen, "doc_id long, pdf binary")
+
+
+def paper_pdf_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-column paper route (reference rag/app/paper.py:64-121,186-208):
+    column detection (median box width < page_width/2) → ``sort_X_by_page``
+    reading-order reorder → whitespace squash → abstract election from the
+    first 32 boxes (>32 words or >64 chars rule) → pivot merge
+    (``paper_merge``).  Rows-only check; reorder correctness is asserted in
+    tests/test_pdf.py."""
+    from ..chunkers.paper import paper_merge
+    from ..pdf.boxops import sort_X_by_page
+    from ..pdf.geometry import sort_Y_firstly
+
+    pdfs = _synth_two_col_pdfs(spark, sf_dir)
+
+    def run(batches):
+        for pdf_b in batches:
+            out = []
+            for doc_id, blob in zip(pdf_b["doc_id"], pdf_b["pdf"]):
+                doc_id = int(doc_id)
+                try:
+                    boxes = extract_pdf_boxes(bytes(blob))
+                    if not boxes:
+                        out.append((doc_id, "empty", 0, 0, None))
+                        continue
+                    # the reference pipeline hands boxes over Y-sorted
+                    # (columns interleaved); reproduce that state, then
+                    # let sort_X_by_page restore column reading order
+                    hs = [b["bottom"] - b["top"] for b in boxes]
+                    boxes = sort_Y_firstly(boxes, statistics.median(hs) / 2)
+                    widths = [b["x1"] - b["x0"] for b in boxes]
+                    column_width = statistics.median(widths)
+                    if column_width < 612 / 2:
+                        boxes = sort_X_by_page(boxes, column_width / 2)
+                    for b in boxes:
+                        b["text"] = re.sub(r"([\t 　]|　){2,}", " ",
+                                           b["text"].strip())
+                    abstr, abs_i = None, -1
+                    for i, b in enumerate(boxes[:32]):
+                        txt = b["text"].lower().strip()
+                        if _ABSTRACT_RE.match(txt):
+                            if len(txt.split()) > 32 or len(txt) > 64:
+                                abstr, abs_i = b["text"], i
+                            break
+                    if abstr is not None:
+                        out.append((doc_id, "ok", 1, 0, abstr))
+                    secs = [b["text"] for i, b in enumerate(boxes)
+                            if b["text"] and i != abs_i]
+                    for i, ck in enumerate(paper_merge(secs)):
+                        out.append((doc_id, "ok", 0, i + 1, ck))
+                except Exception:
+                    out.append((doc_id, "error", 0, 0, None))
+            yield pd.DataFrame(out, columns=[f.name for f in PAPER_SCHEMA])
+
+    return (pdfs.mapInPandas(run, PAPER_SCHEMA)
+            .orderBy("doc_id", "chunk_seq"))
+
+
 QUERIES = {
     "pdf_template": (pdf_template, None),
     "pdf_concat_template": (pdf_concat_template, None),
+    "paper_pdf_template": (paper_pdf_template, None),
     "presentation_template": (presentation_template, None),
     "qa_pdf_template": (qa_pdf_template, None),
 }

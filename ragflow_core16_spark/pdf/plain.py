@@ -74,7 +74,53 @@ def build_pdf(pages: list[list[str]], compress: bool = True,
             objs.append(b"<< /Length " + str(len(payload)).encode() +
                         b" >>\nstream\n" + payload + b"\nendstream")
     objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return _assemble(objs)
 
+
+def build_pdf_positioned(pages: list[list[tuple]], compress: bool = True
+                         ) -> bytes:
+    """Positioned variant: pages = list of pages, each a list of
+    ``(x, y, text)`` with y in PDF space (origin bottom-left).  Used to
+    synthesize multi-column layouts (e.g. two-column papers) for the
+    column-reorder route."""
+    objs: list[bytes] = []
+
+    def ref(i):
+        return f"{i} 0 R".encode()
+
+    n_pages = len(pages)
+    font_num = 3 + 2 * n_pages
+    kids = b" ".join(ref(3 + i) for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(b"<< /Type /Pages /Kids [" + kids +
+                f"] /Count {n_pages} >>".encode())
+    for i in range(n_pages):
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents " + ref(3 + n_pages + i) +
+            b" /Resources << /Font << /F1 " + ref(font_num) + b" >> >> >>")
+    for lines in pages:
+        ops = [b"BT", b"/F1 12 Tf"]
+        for x, y, ln in lines:
+            esc = (ln.replace("\\", r"\\").replace("(", r"\(")
+                     .replace(")", r"\)"))
+            ops.append(f"1 0 0 1 {x:g} {y:g} Tm".encode())
+            ops.append(b"(" + esc.encode("latin-1", "replace") + b") Tj")
+        ops.append(b"ET")
+        payload = b"\n".join(ops)
+        if compress:
+            comp = zlib.compress(payload)
+            objs.append(b"<< /Length " + str(len(comp)).encode() +
+                        b" /Filter /FlateDecode >>\nstream\n" + comp +
+                        b"\nendstream")
+        else:
+            objs.append(b"<< /Length " + str(len(payload)).encode() +
+                        b" >>\nstream\n" + payload + b"\nendstream")
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    return _assemble(objs)
+
+
+def _assemble(objs: list[bytes]) -> bytes:
     out = [b"%PDF-1.4"]
     offsets = []
     pos = len(out[0]) + 1

@@ -270,3 +270,31 @@ class TestConcatDownward:
         out = concat_downward([left, right], mean_height=[12.0],
                               mean_width=[6.0])
         assert len(out) == 2
+
+
+class TestTwoColumnPaper:
+    def test_sort_x_by_page_restores_column_reading_order(self):
+        from ragflow_core16_spark.pdf.plain import (build_pdf_positioned,
+                                                    extract_pdf_boxes)
+        from ragflow_core16_spark.pdf.boxops import sort_X_by_page
+        from ragflow_core16_spark.pdf.geometry import sort_Y_firstly
+        page = [(72, 720, "L1"), (72, 704, "L2"), (72, 688, "L3"),
+                (320, 720, "R1"), (320, 704, "R2"), (320, 688, "R3")]
+        boxes = extract_pdf_boxes(build_pdf_positioned([page]))
+        # Y-sort interleaves the columns (L1 R1 L2 R2 ...)
+        boxes = sort_Y_firstly(boxes, 6.0)
+        interleaved = [b["text"] for b in boxes]
+        assert interleaved == ["L1", "R1", "L2", "R2", "L3", "R3"]
+        # the column-aware reorder restores reading order
+        widths = [b["x1"] - b["x0"] for b in boxes]
+        restored = [b["text"] for b in sort_X_by_page(boxes, max(widths) / 2)]
+        assert restored == ["L1", "L2", "L3", "R1", "R2", "R3"]
+
+    def test_paper_route_emits_abstract_first(self, spark):
+        from ragflow_core16_spark.operators.pdf_extract import \
+            paper_pdf_template
+        df = paper_pdf_template(spark, "/root/testdata/sf0.001")
+        rows = df.filter("doc_id = 1").collect()
+        assert rows[0].is_abstract == 1
+        assert rows[0].chunk_text.startswith("abstract ")
+        assert all(r.is_abstract == 0 for r in rows[1:])
