@@ -197,3 +197,115 @@ def line_tag(bx, page_cum_height, page_heights) -> str:
 
 def remove_tag(txt: str) -> str:
     return re.sub(r"@@[\t0-9.-]+?##", "", txt)
+
+
+# --------------------------------------------------------- scrap filtering
+_PROJ_LEVELS = [
+    (r"第[零一二三四五六七八九十百]+章", 1),
+    (r"第[零一二三四五六七八九十百]+[条节]", 2),
+    (r"[零一二三四五六七八九十百]+[、 　]", 3),
+    (r"[\(（][零一二三四五六七八九十百]+[）\)]", 4),
+    (r"[0-9]+(、|\.[　 ]|\.[^0-9])", 5),
+    (r"[0-9]+\.[0-9]+(、|[. 　]|[^0-9])", 6),
+    (r"[0-9]+\.[0-9]+\.[0-9]+(、|[ 　]|[^0-9])", 7),
+    (r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+(、|[ 　]|[^0-9])", 8),
+    (r".{,48}[：:?？]$", 9),
+    (r"[0-9]+）", 10),
+    (r"[\(（][0-9]+[）\)]", 11),
+    (r"[零一二三四五六七八九十百]+是", 12),
+    (r"[⚫•➢✓]", 12),
+]
+
+
+def proj_match(line: str):
+    """Project/bullet-level classifier (pdf_parser.py:869-891): None for
+    short lines, False for pure numeric/punct lines, else the matched
+    outline level (1-12)."""
+    if len(line) <= 2:
+        return None
+    if re.match(r"[0-9 ().,%%+/-]+$", line):
+        return False
+    for p, j in _PROJ_LEVELS:
+        if re.match(p, line):
+            return j
+    return None
+
+
+def filterout_scraps(boxes: list, mean_height: list, page_widths: list,
+                     line_tags: bool = False, page_cum_height=None,
+                     page_heights=None) -> str:
+    """Project-bullet DFS grouping + narrow-scrap removal — the full-mode
+    assembly of ``PdfParser.__call__`` (pdf_parser.py:910-980).
+
+    Groups boxes into vertical runs seeded at useful boxes (has layout
+    type, wide enough, or tall enough); a run extends to following boxes on
+    the same page that are useful and either bullet-continuation (mmj) or
+    horizontally aligned within page_width/10.  A finished run is kept only
+    when it is bullet-led, or its mean width ≥ 35% of the page, or > 200pt
+    (narrow scraps — margin notes, page furniture — are dropped).
+    Returns the double-newline-joined text (optionally with inline position
+    tags, pdf_parser.py:975)."""
+
+    def width(b):
+        return b["x1"] - b["x0"]
+
+    def height(b):
+        return b["bottom"] - b["top"]
+
+    def usefull(b):
+        if b.get("layout_type"):
+            return True
+        if width(b) > page_widths[b["page_number"] - 1] / 3:
+            return True
+        if height(b) > mean_height[b["page_number"] - 1]:
+            return True
+        return False
+
+    boxes = list(boxes)
+    res = []
+    while boxes:
+        lines = []
+        widths = []
+        pw = page_widths[boxes[0]["page_number"] - 1]
+        mh = mean_height[boxes[0]["page_number"] - 1]
+        mj = proj_match(boxes[0]["text"]) \
+            or boxes[0].get("layout_type", "") == "title"
+
+        def dfs(line, st):
+            lines.append(line)
+            widths.append(width(line))
+            mmj = proj_match(line["text"]) \
+                or line.get("layout_type", "") == "title"
+            for i in range(st + 1, min(st + 20, len(boxes))):
+                if (boxes[i]["page_number"] - line["page_number"]) > 0:
+                    break
+                if not mmj and y_dis(line, boxes[i]) >= 3 * mh \
+                        and height(line) < 1.5 * mh:
+                    break
+                if not usefull(boxes[i]):
+                    continue
+                if mmj or (min(abs(boxes[i]["x1"] - line["x0"]),
+                               abs(boxes[i]["x0"] - line["x1"]),
+                               abs(boxes[i]["x0"] + boxes[i]["x1"]
+                                   - line["x0"] - line["x1"]) / 2) < pw / 10):
+                    dfs(boxes[i], i)
+                    boxes.pop(i)
+                    break
+
+        try:
+            if usefull(boxes[0]):
+                dfs(boxes[0], 0)
+        except Exception:
+            pass
+        boxes.pop(0)
+        if not widths:
+            continue
+        mw = sum(widths) / len(widths)
+        if mj or mw / pw >= 0.35 or mw > 200:
+            if line_tags and page_cum_height is not None:
+                res.append("\n".join(
+                    c["text"] + line_tag(c, page_cum_height, page_heights)
+                    for c in lines))
+            else:
+                res.append("\n".join(c["text"] for c in lines))
+    return "\n\n".join(res)

@@ -298,3 +298,36 @@ class TestTwoColumnPaper:
         assert rows[0].is_abstract == 1
         assert rows[0].chunk_text.startswith("abstract ")
         assert all(r.is_abstract == 0 for r in rows[1:])
+
+
+class TestFilteroutScraps:
+    """Full-mode scrap filtering (pdf_parser.py:869-891, 910-980)."""
+
+    def test_proj_match_levels(self):
+        from ragflow_core16_spark.pdf.boxops import proj_match
+        assert proj_match("1. introduction") == 5
+        assert proj_match("1.2 methods here") == 6
+        assert proj_match("第一章 总则") == 1
+        assert proj_match("short headings end with:") == 9
+        assert proj_match("12") is None          # too short
+        assert proj_match("123 45.6%") is False  # numeric line
+
+    def test_narrow_scraps_dropped_wide_lines_kept(self):
+        from ragflow_core16_spark.pdf.boxops import filterout_scraps
+        wide = mk(50, 100, 500, 112, "a full width paragraph line of text")
+        wide2 = mk(50, 114, 500, 126, "continuing the same paragraph here")
+        scrap = mk(560, 100, 600, 110, "fig 3")
+        out = filterout_scraps([wide, wide2, scrap],
+                               mean_height=[12.0], page_widths=[612.0])
+        assert "full width paragraph" in out
+        assert "continuing the same paragraph" in out
+        assert "fig 3" not in out
+
+    def test_bullet_led_narrow_run_kept(self):
+        from ragflow_core16_spark.pdf.boxops import filterout_scraps
+        # bullet-led runs are kept regardless of width (mj short-circuit);
+        # taller-than-mean boxes pass the usefull() gate
+        b1 = mk(50, 100, 200, 114, "1. short bullet")
+        b2 = mk(50, 116, 200, 130, "more of the item")
+        out = filterout_scraps([b1, b2], [12.0], [612.0])
+        assert "short bullet" in out and "more of the item" in out
