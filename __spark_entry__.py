@@ -85,13 +85,14 @@ def _q_extract_one_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _registry():
-    from ragflow_core16_spark.operators import (dedup, multimodal, office,
-                                                pdf_extract, relational,
-                                                retrieval, similarity,
-                                                templates, textstats)
+    from ragflow_core16_spark.operators import (dedup, embed, multimodal,
+                                                office, pdf_extract,
+                                                relational, retrieval,
+                                                similarity, templates,
+                                                textstats)
     reg: dict[str, tuple] = {}
     for mod in (textstats, dedup, similarity, retrieval, relational,
-                templates, pdf_extract, multimodal, office):
+                templates, pdf_extract, multimodal, office, embed):
         for name, (fn, sql) in mod.QUERIES.items():
             reg[name] = (fn, sql)
     reg["extract_pages_e2e"] = (_q_extract_pages, None)
