@@ -31,7 +31,8 @@ BENCH_QUERIES = [
     "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard", "simhash",
     "cosine_topk", "ivf_ann_topk", "fulltext_topn", "hybrid_fusion",
     "pricing_summary", "revenue_by_nation", "events_hourly", "sessionize",
-    "doc_quality", "xlsx_template",
+    "doc_quality", "xlsx_template", "embed_docs", "insert_citations",
+    "pdf_template", "paper_pdf_template",
 ]
 
 

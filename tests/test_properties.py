@@ -82,3 +82,69 @@ def test_xxh64_hex_stable(txt):
     h = xxh64_hexdigest(txt)
     assert h == xxh64_hexdigest(txt)
     assert len(h) == 16 and int(h, 16) >= 0
+
+
+# ---------------------------------------------- tokenizer fast-path parity
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+               max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_tokenize_ascii_fast_path_matches_general_path(txt):
+    """The pure-ascii fast path in RagTokenizer.tokenize must produce the
+    same output the general (Q2B → run-split) path would."""
+    from ragflow_core16_spark.textnorm.rag_tokenizer import (RagTokenizer,
+                                                             _W_RE)
+    tok = RagTokenizer()
+    line = _W_RE.sub(" ", txt)
+    if not (line.isascii() and "_" not in line):
+        return
+    fast = tok.tokenize(txt)
+    # replicate the general path explicitly
+    folded = tok._tradi2simp(tok._strQ2B(line).lower())
+    res = []
+    for L, zh in tok._split_by_lang(folded):
+        assert not zh  # ascii input cannot yield a CJK run
+        res.extend(tok._en_norm(t) for t in L.split())
+    assert fast == tok.merge_(" ".join(res))
+
+
+@given(st.binary(min_size=0, max_size=2048))
+@settings(max_examples=120, deadline=None)
+def test_xxh64_matches_block_boundaries(data):
+    """Stripe-unpack rewrite must agree with the spec at every length,
+    especially around the 32-byte block boundaries."""
+    from ragflow_core16_spark.textnorm.xxh64 import xxh64_int
+    # reference spec implementation (slice-per-lane, as originally written)
+    P1 = 0x9E3779B185EBCA87; P2 = 0xC2B2AE3D27D4EB4F
+    P3 = 0x165667B19E3779F9; P4 = 0x85EBCA77C2B2AE63
+    P5 = 0x27D4EB2F165667C5; M = (1 << 64) - 1
+    def rotl(x, r): return ((x << r) | (x >> (64 - r))) & M
+    def rnd(acc, lane): return (rotl((acc + lane * P2) & M, 31) * P1) & M
+    def mrg(acc, val):
+        acc ^= rnd(0, val)
+        return ((acc * P1) + P4) & M
+    n, i = len(data), 0
+    if n >= 32:
+        v1, v2, v3, v4 = (P1 + P2) & M, P2, 0, (-P1) & M
+        while i <= n - 32:
+            v1 = rnd(v1, int.from_bytes(data[i:i+8], "little")); i += 8
+            v2 = rnd(v2, int.from_bytes(data[i:i+8], "little")); i += 8
+            v3 = rnd(v3, int.from_bytes(data[i:i+8], "little")); i += 8
+            v4 = rnd(v4, int.from_bytes(data[i:i+8], "little")); i += 8
+        h = (rotl(v1,1)+rotl(v2,7)+rotl(v3,12)+rotl(v4,18)) & M
+        for v in (v1, v2, v3, v4): h = mrg(h, v)
+    else:
+        h = P5
+    h = (h + n) & M
+    while i + 8 <= n:
+        h ^= rnd(0, int.from_bytes(data[i:i+8], "little"))
+        h = (rotl(h, 27) * P1 + P4) & M; i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i+4], "little") * P1) & M
+        h = (rotl(h, 23) * P2 + P3) & M; i += 4
+    while i < n:
+        h ^= (data[i] * P5) & M
+        h = (rotl(h, 11) * P1) & M; i += 1
+    h ^= h >> 33; h = (h * P2) & M
+    h ^= h >> 29; h = (h * P3) & M
+    h ^= h >> 32
+    assert xxh64_int(data) == h
