@@ -40,14 +40,19 @@ def _hashed(tok_col):
     return idx, sign
 
 
-def _hash_embed(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """df(id, text) → (id, vec array<double>[DIM]) via signed feature
-    hashing; absent dims are 0."""
+def _hash_embed(df: DataFrame, id_col: str, text_col: str,
+                weight_col: str | None = None) -> DataFrame:
+    """df(id, text[, weight]) → (id, vec array<double>[DIM]) via signed
+    feature hashing; absent dims are 0.  With ``weight_col`` each token's
+    ±1 vote is scaled — hashing is linear, so a weighted union of token
+    streams IS the blended vector (one pass instead of two)."""
     spark = df.sparkSession
-    toks = df.select(id_col, F.explode(_tokens(text_col)).alias("tok")) \
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    toks = df.select(id_col, w.alias("w"),
+                     F.explode(_tokens(text_col)).alias("tok")) \
              .filter(F.col("tok") != "")
     idx, sign = _hashed(F.col("tok"))
-    sums = (toks.select(id_col, idx.alias("d"), sign.alias("s"))
+    sums = (toks.select(id_col, idx.alias("d"), (sign * F.col("w")).alias("s"))
             .groupBy(id_col, "d").agg(F.sum("s").alias("v")))
     dims = spark.range(DIM).select(F.col("id").alias("d"))
     ids = df.select(id_col).distinct()
@@ -68,15 +73,14 @@ def embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     components and the L2 norm keep the oracle compact while pinning every
     blend coefficient."""
     d = _docs(spark, sf_dir)
-    cv = _hash_embed(d, "doc_id", "text")
-    tv = _hash_embed(d.select("doc_id", F.col("source").alias("t")),
-                     "doc_id", "t") \
-        .select("doc_id", F.col("vec").alias("tvec"))
-    blended = (cv.join(tv, "doc_id")
-               .select("doc_id",
-                       F.zip_with("tvec", "vec",
-                                  lambda t, c: F.lit(TITLE_W) * t +
-                                  F.lit(1 - TITLE_W) * c).alias("q_vec")))
+    # single pass: 0.1·hash(title) + 0.9·hash(content) = hash of the
+    # weighted token union (hashing is linear in token votes)
+    streams = (d.select("doc_id", F.col("text").alias("t"),
+                        F.lit(1 - TITLE_W).alias("w"))
+               .unionByName(d.select("doc_id", F.col("source").alias("t"),
+                                     F.lit(TITLE_W).alias("w"))))
+    blended = _hash_embed(streams, "doc_id", "t", "w") \
+        .select("doc_id", F.col("vec").alias("q_vec"))
     norm = F.sqrt(F.aggregate("q_vec", F.lit(0.0), lambda a, v: a + v * v))
     return (blended.select(
         "doc_id",
