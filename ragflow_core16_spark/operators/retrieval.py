@@ -214,12 +214,8 @@ def _question_terms() -> list[tuple[str, float]]:
     return [(t, float(round(float(w), 6))) for t, w in terms]
 
 
-def rerank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reference rerank (search.py:274-311): token-overlap similarity
-    (Σ matched query weights / Σ query weights, query.py:228-240) fused
-    0.3/0.7 with vector cosine.  The compiled query terms are a broadcast
-    literal relation — query compile happens once on the driver, scoring is
-    all JVM."""
+def _hybrid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hybrid) = 0.3·token-overlap + 0.7·cosine over all docs."""
     terms = _question_terms()
     total_w = round(sum(w for _, w in terms), 6)
     tdf = spark.createDataFrame(terms, ["term", "w"])
@@ -239,9 +235,18 @@ def rerank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("vec_id").alias("doc_id"), (dot / nrm).alias("cos")))
     return (tok_sim.join(vec, "doc_id", "full_outer")
             .select("doc_id",
-                    F.round(F.coalesce("tok_sim", F.lit(0.0)) * 0.3 +
-                            F.coalesce("cos", F.lit(0.0)) * 0.7, 4)
-                    .alias("rerank_score"))
+                    (F.coalesce("tok_sim", F.lit(0.0)) * 0.3 +
+                     F.coalesce("cos", F.lit(0.0)) * 0.7).alias("hybrid")))
+
+
+def rerank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference rerank (search.py:274-311): token-overlap similarity
+    (Σ matched query weights / Σ query weights, query.py:228-240) fused
+    0.3/0.7 with vector cosine.  The compiled query terms are a broadcast
+    literal relation — query compile happens once on the driver, scoring is
+    all JVM."""
+    return (_hybrid_scores(spark, sf_dir)
+            .select("doc_id", F.round("hybrid", 4).alias("rerank_score"))
             .orderBy(F.desc("rerank_score"), "doc_id")
             .limit(TOP_N))
 
@@ -271,6 +276,87 @@ SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
          AS rerank_score
 FROM tok_sim t FULL OUTER JOIN vec v USING (doc_id)
 ORDER BY rerank_score DESC, doc_id LIMIT {TOP_N}
+"""
+
+
+Q_RFEA = {"src1": 2.0, "en": 1.0}   # query rank features (tag → weight)
+
+
+def rerank_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL reference rerank: hybrid 0.3/0.7 PLUS rank-feature scores
+    (search.py:247-272): rank_fea = 10 · tag-cosine(query_rfea, doc tags)
+    + pagerank, added to the hybrid similarity (search.py:305-311).
+
+    Doc-side tag features and pagerank are deterministic column exprs over
+    the documents table (tag_feas = {source: doc_id%5+1, lang: doc_id%3+1},
+    pagerank_fea = (doc_id%7)/10) — the map<string,float> rank_features
+    column of conf/mapping.json:141-155 re-expressed relationally."""
+    import math
+    q_denor = math.sqrt(sum(s * s for s in Q_RFEA.values()))
+    d = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    sc1 = (F.col("doc_id") % 5 + 1).cast("double")   # weight of tag=source
+    sc2 = (F.col("doc_id") % 3 + 1).cast("double")   # weight of tag=lang
+    pagerank = (F.col("doc_id") % 7).cast("double") / 10.0
+    nor = (F.when(F.col("source") == "src1", F.lit(Q_RFEA["src1"]) * sc1)
+           .otherwise(F.lit(0.0)) +
+           F.when(F.col("lang") == "en", F.lit(Q_RFEA["en"]) * sc2)
+           .otherwise(F.lit(0.0)))
+    denor = F.sqrt(sc1 * sc1 + sc2 * sc2)
+    rfea = d.select(
+        "doc_id",
+        (F.lit(10.0) * nor / denor / F.lit(q_denor) + pagerank)
+        .alias("rank_fea"))
+    return (_hybrid_scores(spark, sf_dir)
+            .join(rfea, "doc_id")
+            .select("doc_id",
+                    F.round(F.col("hybrid") + F.col("rank_fea"), 4)
+                    .alias("score"),
+                    F.round("rank_fea", 4).alias("rank_fea"))
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(TOP_N))
+
+
+def _rerank_rank_features_sql() -> str:
+    import math
+    terms = _question_terms()
+    total_w = round(sum(w for _, w in terms), 6)
+    values = ", ".join(f"('{t}', {w})" for t, w in terms)
+    q_denor = math.sqrt(sum(s * s for s in Q_RFEA.values()))
+    return rf"""
+WITH terms(term, w) AS (VALUES {values}),
+toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+tok_sim AS (
+  SELECT doc_id, sum(w) / {total_w} AS tok_sim
+  FROM toks JOIN terms ON tok = term GROUP BY doc_id),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT e.vec_id AS doc_id,
+         list_dot_product(e.embedding, q.qv) /
+         (sqrt(list_dot_product(e.embedding, e.embedding)) *
+          sqrt(list_dot_product(q.qv, q.qv))) AS cos
+  FROM embeddings e, q),
+hybrid AS (
+  SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         COALESCE(t.tok_sim, 0) * 0.3 + COALESCE(v.cos, 0) * 0.7 AS hybrid
+  FROM tok_sim t FULL OUTER JOIN vec v USING (doc_id)),
+rfea AS (
+  SELECT doc_id,
+         10.0 * ((CASE WHEN source = 'src1'
+                       THEN {Q_RFEA['src1']} * (doc_id % 5 + 1) ELSE 0 END) +
+                 (CASE WHEN lang = 'en'
+                       THEN {Q_RFEA['en']} * (doc_id % 3 + 1) ELSE 0 END))
+         / sqrt((doc_id % 5 + 1) * (doc_id % 5 + 1) +
+                (doc_id % 3 + 1) * (doc_id % 3 + 1))
+         / {q_denor}
+         + (doc_id % 7) / 10.0 AS rank_fea
+  FROM documents)
+SELECT h.doc_id, round(h.hybrid + r.rank_fea, 4) AS score,
+       round(r.rank_fea, 4) AS rank_fea
+FROM hybrid h JOIN rfea r USING (doc_id)
+ORDER BY score DESC, h.doc_id LIMIT {TOP_N}
 """
 
 
@@ -440,5 +526,7 @@ QUERIES = {
     "hybrid_fusion": (hybrid_fusion, HYBRID_FUSION_SQL),
     "doc_agg_counts": (doc_agg_counts, DOC_AGG_SQL),
     "rerank_fusion": (rerank_fusion, _rerank_fusion_sql()),
+    "rerank_rank_features": (rerank_rank_features,
+                             _rerank_rank_features_sql()),
     "insert_citations": (insert_citations_q, _insert_citations_sql()),
 }
