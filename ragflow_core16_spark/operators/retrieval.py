@@ -116,7 +116,8 @@ GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT {TOP_N}
 """
 
 
-def hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hybrid_fusion(spark: SparkSession, sf_dir: str,
+                  limit: int | None = None) -> DataFrame:
     """Text/vector fusion 0.05/0.95 (search.py:112-118): text score from
     fulltext_topn-style scoring joined FULL OUTER with vector cosine vs the
     query doc's pseudo-embedding (embeddings row vec_id = doc_id % 500 is
@@ -141,7 +142,7 @@ def hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.coalesce("vscore", F.lit(0.0)) * 0.95, 4)
                     .alias("fused"))
             .orderBy(F.desc("fused"), "doc_id")
-            .limit(TOP_N))
+            .limit(limit or TOP_N))
 
 
 HYBRID_FUSION_SQL = rf"""
@@ -276,6 +277,93 @@ SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
          AS rerank_score
 FROM tok_sim t FULL OUTER JOIN vec v USING (doc_id)
 ORDER BY rerank_score DESC, doc_id LIMIT {TOP_N}
+"""
+
+
+RERANK_LIMIT = 64       # search.py:350
+SIM_THRESHOLD = 0.2     # Dealer.retrieval default (search.py:342-421)
+PAGE, PAGE_SIZE = 1, 8
+
+
+def retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's end-to-end retrieval flow (Dealer.retrieval,
+    search.py:342-421): fusion-scored search (0.05/0.95) keeps the top
+    RERANK_LIMIT candidates → rerank 0.3·token + 0.7·cosine → drop below
+    the 0.2 similarity threshold → paginate (page 1).  One DataFrame
+    chain: top-k is TakeOrderedAndProject, the rerank join touches only
+    the 64 survivors (broadcast), pagination is a row_number window over
+    the tiny reranked set."""
+    from pyspark.sql import Window
+    cands = hybrid_fusion(spark, sf_dir, limit=RERANK_LIMIT) \
+        .select("doc_id")
+    reranked = (_hybrid_scores(spark, sf_dir)
+                .join(F.broadcast(cands), "doc_id")
+                .filter(F.col("hybrid") >= SIM_THRESHOLD))
+    w = Window.orderBy(F.desc("hybrid"), "doc_id")
+    return (reranked
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter((F.col("rank") > (PAGE - 1) * PAGE_SIZE) &
+                    (F.col("rank") <= PAGE * PAGE_SIZE))
+            .select("rank", "doc_id", F.round("hybrid", 4).alias("score"))
+            .orderBy("rank"))
+
+
+def _retrieval_pipeline_sql() -> str:
+    terms = _question_terms()
+    total_w = round(sum(w for _, w in terms), 6)
+    values = ", ".join(f"('{t}', {w})" for t, w in terms)
+    return rf"""
+WITH toks0 AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+fterms AS (SELECT unnest(['{"','".join(QUERY_TERMS)}']) AS term),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks0 JOIN fterms ON tok = term GROUP BY doc_id, term),
+idf AS (
+  SELECT term,
+         ln(1.0 + ((SELECT count(*) FROM documents) - count(DISTINCT doc_id) + 0.5)
+                  / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM tf GROUP BY term),
+tscores AS (
+  SELECT tf.doc_id, round(sum(idf.idf * least(tf.tf, 1)), 4) AS tscore
+  FROM tf JOIN idf ON tf.term = idf.term
+  GROUP BY tf.doc_id ORDER BY tscore DESC, tf.doc_id LIMIT {TOP_N}),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vscores AS (
+  SELECT e.vec_id AS doc_id,
+         list_dot_product(e.embedding, q.qv) /
+         (sqrt(list_dot_product(e.embedding, e.embedding)) *
+          sqrt(list_dot_product(q.qv, q.qv))) AS vscore
+  FROM embeddings e, q),
+cands AS (
+  SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         round(COALESCE(t.tscore, 0) * 0.05 + COALESCE(v.vscore, 0) * 0.95, 4) AS fused
+  FROM tscores t FULL OUTER JOIN vscores v ON t.doc_id = v.doc_id
+  ORDER BY fused DESC, doc_id LIMIT {RERANK_LIMIT}),
+rterms(term, w) AS (VALUES {values}),
+rtoks AS (
+  SELECT DISTINCT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+tok_sim AS (
+  SELECT doc_id, sum(w) / {total_w} AS tok_sim
+  FROM rtoks JOIN rterms ON tok = term GROUP BY doc_id),
+hybrid AS (
+  SELECT COALESCE(t.doc_id, v.doc_id) AS doc_id,
+         COALESCE(t.tok_sim, 0) * 0.3 + COALESCE(v.vscore, 0) * 0.7 AS hybrid
+  FROM tok_sim t FULL OUTER JOIN vscores v USING (doc_id)),
+reranked AS (
+  SELECT h.doc_id, h.hybrid,
+         CAST(row_number() OVER (ORDER BY h.hybrid DESC, h.doc_id) AS BIGINT)
+           AS rank
+  FROM hybrid h JOIN cands c USING (doc_id)
+  WHERE h.hybrid >= {SIM_THRESHOLD})
+SELECT rank, doc_id, round(hybrid, 4) AS score
+FROM reranked
+WHERE rank > {(PAGE - 1) * PAGE_SIZE} AND rank <= {PAGE * PAGE_SIZE}
+ORDER BY rank
 """
 
 
@@ -528,5 +616,6 @@ QUERIES = {
     "rerank_fusion": (rerank_fusion, _rerank_fusion_sql()),
     "rerank_rank_features": (rerank_rank_features,
                              _rerank_rank_features_sql()),
+    "retrieval_pipeline": (retrieval_pipeline, _retrieval_pipeline_sql()),
     "insert_citations": (insert_citations_q, _insert_citations_sql()),
 }
