@@ -122,40 +122,36 @@ def extract_pages(pages: DataFrame, chunk_token_num: int = 128,
                   template: str = "naive") -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → EXTRACTED_SCHEMA rows.
 
-    The ``length(html) <= max_bytes`` split happens JVM-side; only in-budget
-    rows ship their payload through Arrow.
-    """
-    in_budget = pages.filter(
-        F.col("html").isNull() | (F.length("html") <= F.lit(max_bytes)))
-    oversize = pages.filter(
-        F.col("html").isNotNull() & (F.length("html") > F.lit(max_bytes)))
+    The ``length(html) <= max_bytes`` guard is evaluated JVM-side in the
+    same single pass: oversized rows ship a NULL payload (plus their byte
+    count) through Arrow instead of the bytes — one scan, no union branch
+    re-reading the source (a second branch would re-scan 100 TB just to
+    count the handful of oversized rows)."""
+    guarded = pages.select(
+        "url", "warc_ts", "lang",
+        F.when(F.length("html") <= F.lit(max_bytes), F.col("html"))
+         .alias("html"),
+        F.coalesce(F.length("html"), F.lit(0)).cast("long").alias("nbytes"))
 
     def run(batches):
         for pdf in batches:
-            rows = [
-                _extract_one(u, t, h, l, chunk_token_num, delimiter, template)
-                for u, t, h, l in zip(pdf["url"], pdf["warc_ts"],
-                                      pdf["html"], pdf["lang"])
-            ]
+            rows = []
+            for u, t, h, l, nb in zip(pdf["url"], pdf["warc_ts"],
+                                      pdf["html"], pdf["lang"],
+                                      pdf["nbytes"]):
+                nb = int(nb)
+                if h is None and nb > max_bytes:
+                    rows.append(dict(
+                        url=u, warc_ts=t, lang=l, status="oversize",
+                        error=None, title=None, extracted_text=None,
+                        codec=None, n_sections=0, n_chunks=0, n_tokens=0,
+                        bytes_in=nb, chunks=None))
+                else:
+                    rows.append(_extract_one(u, t, h, l, chunk_token_num,
+                                             delimiter, template))
             yield pd.DataFrame(rows, columns=[f.name for f in EXTRACTED_SCHEMA])
 
-    extracted = in_budget.select("url", "warc_ts", "html", "lang") \
-        .mapInPandas(run, EXTRACTED_SCHEMA)
-
-    oversize_rows = oversize.select(
-        "url", "warc_ts", "lang",
-        F.lit("oversize").alias("status"),
-        F.lit(None).cast("string").alias("error"),
-        F.lit(None).cast("string").alias("title"),
-        F.lit(None).cast("string").alias("extracted_text"),
-        F.lit(None).cast("string").alias("codec"),
-        F.lit(0).alias("n_sections"),
-        F.lit(0).alias("n_chunks"),
-        F.lit(0).alias("n_tokens"),
-        F.length("html").cast("long").alias("bytes_in"),
-        F.lit(None).cast(ArrayType(CHUNK_STRUCT)).alias("chunks"),
-    )
-    return extracted.unionByName(oversize_rows)
+    return guarded.mapInPandas(run, EXTRACTED_SCHEMA)
 
 
 def chunks_table(extracted: DataFrame) -> DataFrame:
