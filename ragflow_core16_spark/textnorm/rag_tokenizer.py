@@ -30,7 +30,10 @@ import re
 
 from .porter import lemmatize, stem
 
-# small built-in CJK lexicon (word, freq, pos) for code-path coverage
+# built-in CJK lexicon (word, freq, pos): common general + tech vocabulary,
+# enough for realistic bidirectional max-match; a full huqie-style dict
+# still loads via RAG_TOKENIZER_DICT (the reference's own huqie.txt is a
+# stripped blob, SURVEY.md §0)
 _BUILTIN_DICT = [
     ("中国", 600000, "ns"), ("人民", 120000, "n"), ("共和国", 50000, "ns"),
     ("中华", 80000, "nz"), ("中华人民共和国", 30000, "ns"),
@@ -42,6 +45,53 @@ _BUILTIN_DICT = [
     ("吞吐", 5000, "v"), ("吞吐量", 8000, "n"), ("政策", 60000, "n"),
     ("行业", 50000, "n"), ("影响", 80000, "v"), ("产品", 90000, "n"),
     ("供应", 40000, "n"), ("供应链", 12000, "n"), ("稳定", 50000, "a"),
+    # --- general high-frequency words ---
+    ("我们", 500000, "r"), ("他们", 300000, "r"), ("自己", 250000, "r"),
+    ("可以", 400000, "v"), ("没有", 350000, "v"), ("就是", 300000, "d"),
+    ("知道", 200000, "v"), ("现在", 250000, "t"), ("时候", 220000, "n"),
+    ("什么", 300000, "r"), ("这个", 280000, "r"), ("一个", 450000, "m"),
+    ("不是", 260000, "v"), ("因为", 200000, "c"), ("所以", 180000, "c"),
+    ("但是", 190000, "c"), ("如果", 170000, "c"), ("已经", 200000, "d"),
+    ("还是", 160000, "d"), ("或者", 90000, "c"), ("而且", 80000, "c"),
+    ("问题", 220000, "n"), ("时间", 240000, "n"), ("工作", 230000, "vn"),
+    ("生活", 180000, "vn"), ("学习", 150000, "v"), ("发展", 200000, "vn"),
+    ("经济", 180000, "n"), ("社会", 190000, "n"), ("国家", 230000, "n"),
+    ("世界", 180000, "n"), ("企业", 150000, "n"), ("公司", 200000, "n"),
+    ("政府", 130000, "n"), ("管理", 140000, "vn"), ("服务", 150000, "vn"),
+    ("建设", 120000, "vn"), ("提高", 100000, "v"), ("提供", 110000, "v"),
+    ("通过", 140000, "p"), ("进行", 160000, "v"), ("实现", 90000, "v"),
+    ("使用", 120000, "v"), ("需要", 170000, "v"), ("重要", 130000, "a"),
+    ("主要", 120000, "b"), ("情况", 130000, "n"), ("方面", 110000, "n"),
+    ("方法", 100000, "n"), ("技术", 160000, "n"), ("信息", 150000, "n"),
+    ("网络", 130000, "n"), ("计算", 60000, "v"), ("计算机", 70000, "n"),
+    ("科学", 90000, "n"), ("教育", 110000, "vn"), ("文化", 100000, "n"),
+    ("历史", 90000, "n"), ("环境", 100000, "n"), ("资源", 80000, "n"),
+    ("安全", 100000, "an"), ("标准", 70000, "n"), ("质量", 80000, "n"),
+    ("项目", 90000, "n"), ("内容", 100000, "n"), ("用户", 110000, "n"),
+    ("平台", 80000, "n"), ("模型", 60000, "n"), ("算法", 40000, "n"),
+    ("程序", 60000, "n"), ("软件", 70000, "n"), ("硬件", 30000, "n"),
+    ("互联网", 60000, "n"), ("人工", 40000, "b"), ("智能", 50000, "an"),
+    ("人工智能", 35000, "n"), ("机器", 50000, "n"), ("学习率", 3000, "n"),
+    ("机器学习", 20000, "n"), ("深度", 40000, "n"), ("深度学习", 15000, "n"),
+    ("神经", 20000, "n"), ("神经网络", 18000, "n"), ("训练", 40000, "v"),
+    ("测试", 50000, "vn"), ("运行", 50000, "v"), ("执行", 45000, "v"),
+    ("存储", 35000, "v"), ("内存", 30000, "n"), ("文件", 70000, "n"),
+    ("数据库", 40000, "n"), ("查询", 30000, "v"), ("索引", 20000, "n"),
+    ("分布", 30000, "vn"), ("分布式", 15000, "b"), ("并行", 12000, "d"),
+    ("任务", 70000, "n"), ("节点", 20000, "n"), ("性能", 40000, "n"),
+    ("效率", 45000, "n"), ("优化", 30000, "v"), ("版本", 40000, "n"),
+    ("功能", 60000, "n"), ("应用", 90000, "vn"), ("开发", 80000, "v"),
+    ("设计", 80000, "vn"), ("结构", 60000, "n"), ("过程", 80000, "n"),
+    ("结果", 100000, "n"), ("报告", 60000, "n"), ("监督", 30000, "v"),
+    ("办法", 50000, "n"), ("规定", 60000, "n"), ("法律", 60000, "n"),
+    ("条例", 20000, "n"), ("部门", 70000, "n"), ("机构", 60000, "n"),
+    ("主管", 20000, "n"), ("主管部门", 8000, "n"), ("依法", 20000, "d"),
+    ("履行", 15000, "v"), ("职责", 20000, "n"), ("适用", 20000, "v"),
+    ("相关", 70000, "v"), ("总则", 5000, "n"), ("目录", 20000, "n"),
+    ("章节", 8000, "n"), ("第一", 150000, "m"), ("第二", 100000, "m"),
+    ("第三", 80000, "m"), ("成立", 40000, "v"), ("摘要", 10000, "n"),
+    ("引言", 5000, "n"), ("背景", 30000, "n"), ("关键", 40000, "a"),
+    ("关键词", 10000, "n"), ("前言", 6000, "n"),
 ]
 
 # minimal traditional→simplified map (HanziConv replacement) for common chars
