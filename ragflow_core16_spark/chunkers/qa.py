@@ -319,3 +319,28 @@ def qa_from_pdf_boxes(boxes: list[dict], eng: bool = True) -> list[str]:
     if last_q:
         qai_list.append((last_q, last_a))
     return [qa_text(q, a, eng) for q, a in qai_list]
+
+
+def qa_from_xlsx(binary: bytes, eng: bool = True) -> list[str]:
+    """Excel 2-col Q&A route (reference rag/app/qa.py:36-75): per row, the
+    first non-empty cell is the question, the second the answer; rows
+    without both are skipped.  Language election is a deterministic
+    parameter here (the reference samples 30 random pairs —
+    nondeterministic; documented divergence, pair text unaffected)."""
+    from ..parsers.ooxml import xlsx_sheets
+    res = []
+    for _name, rows in xlsx_sheets(binary):
+        for r in rows:
+            q, a = "", ""
+            for cell in r:
+                if cell is None or str(cell) == "":
+                    continue
+                if not q:
+                    q = str(cell)
+                elif not a:
+                    a = str(cell)
+                else:
+                    break
+            if q and a:
+                res.append(qa_text(q, a, eng))
+    return res

@@ -145,6 +145,73 @@ ORDER BY doc_id, row_num
 """
 
 
+# -------------------------------------------------------------- qa (xlsx)
+QA_XLSX_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("pair_num", IntegerType(), False),
+    StructField("chunk_text", StringType(), False),
+])
+
+
+def qa_xlsx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → synthetic 2-col Q&A .xlsx (rows of 3-word question
+    + 6-word answer) → native workbook parse → ``Question: q\\tAnswer: a``
+    pairs (reference rag/app/qa.py:36-75 Excel route + beAdoc:292-301).
+    Oracle-checked: the pair assembly incl. the rmPrefix strip is
+    reproduced relationally in DuckDB."""
+    from ..chunkers.qa import qa_from_xlsx
+    from ..parsers.ooxml import build_xlsx
+    d = _docs(spark, sf_dir).filter(F.length(F.trim("text")) > 0)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                words = (text or "").split()
+                rows = []
+                for i in range(0, len(words) - 8, 9):
+                    rows.append([" ".join(words[i:i + 3]),
+                                 " ".join(words[i + 3:i + 9])])
+                if not rows:
+                    continue
+                try:
+                    pairs = qa_from_xlsx(build_xlsx([("QA", rows)]))
+                except Exception:
+                    pairs = []
+                out.extend((doc_id, i, p) for i, p in enumerate(pairs))
+            yield pd.DataFrame(out, columns=[f.name for f in QA_XLSX_SCHEMA])
+
+    return (d.mapInPandas(run, QA_XLSX_SCHEMA)
+            .orderBy("doc_id", "pair_num"))
+
+
+_RM_PREFIX_SQL = (r"^(问题|答案|回答|user|assistant|Q|A|Question|Answer|问|答)"
+                  r"[\t:： ]+")
+
+QA_XLSX_SQL = rf"""
+WITH toklists AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS l
+  FROM documents
+  WHERE length(trim(text)) > 0),
+pairs AS (
+  SELECT doc_id,
+         CAST((i - 1) // 9 AS INTEGER) AS pair_num,
+         array_to_string(list_slice(l, i, i + 2), ' ') AS q,
+         array_to_string(list_slice(l, i + 3, i + 8), ' ') AS a
+  FROM toklists,
+       LATERAL (SELECT unnest(generate_series(1, len(l) - 8, 9)) AS i) u)
+SELECT doc_id, pair_num,
+       'Question: ' || regexp_replace(trim(q), '{_RM_PREFIX_SQL}', '', 'i')
+       || chr(9) ||
+       'Answer: '   || regexp_replace(trim(a), '{_RM_PREFIX_SQL}', '', 'i')
+         AS chunk_text
+FROM pairs
+ORDER BY doc_id, pair_num
+"""
+
+
 # ------------------------------------------------------------------- pptx
 PPTX_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
@@ -341,6 +408,7 @@ def qa_docx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "docx_template": (docx_template, None),
     "xlsx_template": (xlsx_template, XLSX_TEMPLATE_SQL),
+    "qa_xlsx_template": (qa_xlsx_template, QA_XLSX_SQL),
     "pptx_template": (pptx_template, None),
     "manual_template": (manual_template, None),
     "laws_docx_template": (laws_docx_template, None),
