@@ -296,15 +296,19 @@ def retrieval_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     cands = hybrid_fusion(spark, sf_dir, limit=RERANK_LIMIT) \
         .select("doc_id")
+    # round BEFORE the threshold and the rank window (same discipline as
+    # the sibling queries): ordering on the raw double could flip ranks
+    # between engines on sub-ulp accumulation differences
     reranked = (_hybrid_scores(spark, sf_dir)
+                .withColumn("score", F.round("hybrid", 4))
                 .join(F.broadcast(cands), "doc_id")
-                .filter(F.col("hybrid") >= SIM_THRESHOLD))
-    w = Window.orderBy(F.desc("hybrid"), "doc_id")
+                .filter(F.col("score") >= SIM_THRESHOLD))
+    w = Window.orderBy(F.desc("score"), "doc_id")
     return (reranked
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter((F.col("rank") > (PAGE - 1) * PAGE_SIZE) &
                     (F.col("rank") <= PAGE * PAGE_SIZE))
-            .select("rank", "doc_id", F.round("hybrid", 4).alias("score"))
+            .select("rank", "doc_id", "score")
             .orderBy("rank"))
 
 
@@ -355,12 +359,12 @@ hybrid AS (
          COALESCE(t.tok_sim, 0) * 0.3 + COALESCE(v.vscore, 0) * 0.7 AS hybrid
   FROM tok_sim t FULL OUTER JOIN vscores v USING (doc_id)),
 reranked AS (
-  SELECT h.doc_id, h.hybrid,
-         CAST(row_number() OVER (ORDER BY h.hybrid DESC, h.doc_id) AS BIGINT)
-           AS rank
+  SELECT h.doc_id, round(h.hybrid, 4) AS score,
+         CAST(row_number() OVER (ORDER BY round(h.hybrid, 4) DESC, h.doc_id)
+              AS BIGINT) AS rank
   FROM hybrid h JOIN cands c USING (doc_id)
-  WHERE h.hybrid >= {SIM_THRESHOLD})
-SELECT rank, doc_id, round(hybrid, 4) AS score
+  WHERE round(h.hybrid, 4) >= {SIM_THRESHOLD})
+SELECT rank, doc_id, score
 FROM reranked
 WHERE rank > {(PAGE - 1) * PAGE_SIZE} AND rank <= {PAGE * PAGE_SIZE}
 ORDER BY rank

@@ -271,32 +271,40 @@ def filterout_scraps(boxes: list, mean_height: list, page_widths: list,
         mj = proj_match(boxes[0]["text"]) \
             or boxes[0].get("layout_type", "") == "title"
 
-        def dfs(line, st):
-            lines.append(line)
-            widths.append(width(line))
-            mmj = proj_match(line["text"]) \
-                or line.get("layout_type", "") == "title"
-            for i in range(st + 1, min(st + 20, len(boxes))):
-                if (boxes[i]["page_number"] - line["page_number"]) > 0:
+        # iterative walk of the reference's tail recursion (the recursive
+        # form can overflow on a page with 1000+ aligned boxes and then
+        # re-emit partially-consumed runs): follow the chain, defer the
+        # pops, pop in reverse index order at the end
+        if usefull(boxes[0]):
+            line, st = boxes[0], 0
+            to_pop = []
+            while line is not None:
+                lines.append(line)
+                widths.append(width(line))
+                mmj = proj_match(line["text"]) \
+                    or line.get("layout_type", "") == "title"
+                nxt = None
+                for i in range(st + 1, min(st + 20, len(boxes))):
+                    if (boxes[i]["page_number"] - line["page_number"]) > 0:
+                        break
+                    if not mmj and y_dis(line, boxes[i]) >= 3 * mh \
+                            and height(line) < 1.5 * mh:
+                        break
+                    if not usefull(boxes[i]):
+                        continue
+                    if mmj or (min(abs(boxes[i]["x1"] - line["x0"]),
+                                   abs(boxes[i]["x0"] - line["x1"]),
+                                   abs(boxes[i]["x0"] + boxes[i]["x1"]
+                                       - line["x0"] - line["x1"]) / 2)
+                               < pw / 10):
+                        nxt = i
+                        break
+                if nxt is None:
                     break
-                if not mmj and y_dis(line, boxes[i]) >= 3 * mh \
-                        and height(line) < 1.5 * mh:
-                    break
-                if not usefull(boxes[i]):
-                    continue
-                if mmj or (min(abs(boxes[i]["x1"] - line["x0"]),
-                               abs(boxes[i]["x0"] - line["x1"]),
-                               abs(boxes[i]["x0"] + boxes[i]["x1"]
-                                   - line["x0"] - line["x1"]) / 2) < pw / 10):
-                    dfs(boxes[i], i)
-                    boxes.pop(i)
-                    break
-
-        try:
-            if usefull(boxes[0]):
-                dfs(boxes[0], 0)
-        except Exception:
-            pass
+                to_pop.append(nxt)
+                line, st = boxes[nxt], nxt + 1
+            for i in reversed(to_pop):
+                boxes.pop(i)
         boxes.pop(0)
         if not widths:
             continue

@@ -30,8 +30,10 @@ import numpy as np
 def nms(bboxes: np.ndarray, scores: np.ndarray, iou_thresh: float) -> list:
     """Greedy IoU suppression, identical arithmetic to
     operators.py:702-725 (+1 pixel-inclusive widths)."""
-    bboxes = np.asarray(bboxes, dtype=float)
+    bboxes = np.asarray(bboxes, dtype=float).reshape(-1, 4)
     scores = np.asarray(scores, dtype=float)
+    if bboxes.shape[0] == 0:
+        return []
     x1, y1, x2, y2 = bboxes[:, 0], bboxes[:, 1], bboxes[:, 2], bboxes[:, 3]
     areas = (y2 - y1) * (x2 - x1)
     indices = []

@@ -32,9 +32,13 @@ from ..textnorm.xxh64 import xxh64_hexdigest
 
 def chunk_row(url: str, chunk_text: str, chunk_seq: int = 0,
               warc_ts=None, lang: str | None = None) -> dict:
-    """Assemble one chunk record exactly as the extraction UDF does
-    (chunk id parity: xxh64 hexdigest of content + doc key,
-    task_executor.py:266)."""
+    """Assemble one chunk record with id/tokenizer-column parity to the
+    extraction UDF (chunk id = xxh64 hexdigest of content + doc key,
+    task_executor.py:266).  ``token_cnt`` is recomputed from the whole
+    text — an API-added chunk has no section structure, so it can differ
+    by the per-section-sum count the extraction pipeline stores (the
+    reference's create-chunk API likewise re-derives everything from the
+    submitted content)."""
     ltks = tokenize(chunk_text)
     return {
         "url": url, "warc_ts": warc_ts, "lang": lang,
@@ -76,13 +80,21 @@ def add_chunks(spark: SparkSession, store: str, rows: list) -> None:
 def delete_chunks(spark: SparkSession, store: str, chunk_ids: list) -> int:
     """Delete by id set (LEFT ANTI rewrite; DELETE FROM under Iceberg).
     Returns rows removed."""
+    if not chunk_ids:
+        return 0
     df = spark.read.parquet(store)
-    ids = spark.createDataFrame([(i,) for i in chunk_ids], ["chunk_id"])
+    ids = spark.createDataFrame([(i,) for i in chunk_ids],
+                                "chunk_id string")
+    removed = df.join(F.broadcast(ids), "chunk_id", "left_semi").count()
+    if removed == 0:
+        return 0
     kept = df.join(F.broadcast(ids), "chunk_id", "left_anti")
-    n_before, n_after = df.count(), kept.count()
-    kept.write.mode("overwrite").parquet(store + ".tmp")
-    spark.read.parquet(store + ".tmp").write.mode("overwrite").parquet(store)
-    return n_before - n_after
+    tmp = store + ".tmp"
+    kept.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(store)
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    return removed
 
 
 def update_chunk(spark: SparkSession, store: str, chunk_id: str,

@@ -64,3 +64,9 @@ class TestChunkStore:
         assert n == len(got)
         assert list_chunks(spark, store,
                            url="https://example.org/manual").count() == 0
+
+    def test_delete_empty_and_missing_ids(self, spark, store):
+        assert delete_chunks(spark, store, []) == 0
+        assert delete_chunks(spark, store, ["nonexistent-id"]) == 0
+        import os
+        assert not os.path.exists(store + ".tmp")

@@ -331,3 +331,12 @@ class TestFilteroutScraps:
         b2 = mk(50, 116, 200, 130, "more of the item")
         out = filterout_scraps([b1, b2], [12.0], [612.0])
         assert "short bullet" in out and "more of the item" in out
+
+    def test_long_aligned_run_no_duplication(self):
+        # regression: recursive walk overflowed and re-emitted runs
+        from ragflow_core16_spark.pdf.boxops import filterout_scraps
+        boxes = [mk(50, 100 + 14 * i, 500, 112 + 14 * i,
+                    f"row {i} body text") for i in range(2500)]
+        out = filterout_scraps(boxes, [12.0], [612.0])
+        assert out.count("row 7 body text") == 1
+        assert out.count("row 2499 body text") == 1

@@ -68,3 +68,7 @@ class TestRotateCrop:
         out = rotate_crop(img, pts)
         # 100 tall / 20 wide ≥ 1.5 → rotated to 20 x 100
         assert out.shape == (20, 100)
+
+    def test_empty_detections_no_crash(self):
+        assert nms([], [], 0.5) == []
+        assert nms(np.zeros((0, 4)), np.array([]), 0.5) == []
