@@ -612,8 +612,26 @@ WHERE cite_rank <= 4 ORDER BY pidx, doc_id
 """
 
 
+SQL_RETRIEVAL_TEXT = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS DOUBLE) AS total_chars,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def sql_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass-through SQL (reference ``sql_retrieval``, search.py:423-425 —
+    the ES-SQL endpoint): the engine accepts the SQL text verbatim; here
+    Spark SQL executes it natively against the registered tables.  The
+    oracle runs the IDENTICAL string."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(SQL_RETRIEVAL_TEXT)
+
+
 QUERIES = {
     "term_idf_weights": (term_idf_weights, TERM_IDF_SQL),
+    "sql_retrieval": (sql_retrieval, SQL_RETRIEVAL_TEXT),
     "fulltext_topn": (fulltext_topn, FULLTEXT_TOPN_SQL),
     "hybrid_fusion": (hybrid_fusion, HYBRID_FUSION_SQL),
     "doc_agg_counts": (doc_agg_counts, DOC_AGG_SQL),
