@@ -212,6 +212,38 @@ ORDER BY doc_id, pair_num
 """
 
 
+PPTX_TEMPLATE_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '),
+                     x -> x != '') AS l
+  FROM documents),
+sized AS (SELECT doc_id, l, len(l) AS n FROM docs),
+body AS (
+  SELECT doc_id, CAST(s AS INTEGER) AS slide_num,
+    'Doc ' || doc_id || ' — slide ' || s || chr(10) ||
+    '.' || array_to_string(list_slice(l, (s-1)*24+1, least((s-1)*24+8, n)), ' ') ||
+    CASE WHEN n > (s-1)*24+8 THEN chr(10) || '  .' ||
+         array_to_string(list_slice(l, (s-1)*24+9, least((s-1)*24+16, n)), ' ')
+         ELSE '' END ||
+    CASE WHEN n > (s-1)*24+16 THEN chr(10) || '  .' ||
+         array_to_string(list_slice(l, (s-1)*24+17, least((s-1)*24+24, n)), ' ')
+         ELSE '' END AS chunk_text
+  FROM sized,
+       LATERAL (SELECT unnest(generate_series(1, CAST(ceil(n/24.0) AS BIGINT))) AS s) u
+  WHERE n > 0),
+tbl AS (
+  SELECT doc_id,
+         CAST(CASE WHEN n = 0 THEN 1
+              ELSE CAST(ceil(n/24.0) AS INTEGER) + 1 END AS INTEGER) AS slide_num,
+         'metric: words; value: ' || n AS chunk_text
+  FROM sized)
+SELECT doc_id, slide_num, chunk_text FROM body
+UNION ALL SELECT doc_id, slide_num, chunk_text FROM tbl
+ORDER BY doc_id, slide_num
+"""
+
+
 # ------------------------------------------------------------------- pptx
 PPTX_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
@@ -409,7 +441,7 @@ QUERIES = {
     "docx_template": (docx_template, None),
     "xlsx_template": (xlsx_template, XLSX_TEMPLATE_SQL),
     "qa_xlsx_template": (qa_xlsx_template, QA_XLSX_SQL),
-    "pptx_template": (pptx_template, None),
+    "pptx_template": (pptx_template, PPTX_TEMPLATE_SQL),
     "manual_template": (manual_template, None),
     "laws_docx_template": (laws_docx_template, None),
     "qa_docx_template": (qa_docx_template, None),
