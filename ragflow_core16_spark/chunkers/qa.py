@@ -333,7 +333,9 @@ def qa_from_xlsx(binary: bytes, eng: bool = True) -> list[str]:
         for r in rows:
             q, a = "", ""
             for cell in r:
-                if cell is None or str(cell) == "":
+                # reference uses `if not cell.value: continue` — ALL falsy
+                # values skip (numeric 0, False, empty), not just None/""
+                if not cell or not str(cell):
                     continue
                 if not q:
                     q = str(cell)

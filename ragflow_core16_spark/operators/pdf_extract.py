@@ -336,17 +336,25 @@ def paper_pdf_template(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for b in boxes:
                         b["text"] = re.sub(r"([\t 　]|　){2,}", " ",
                                            b["text"].strip())
-                    abstr, abs_i = None, -1
+                    abstr, abs_idx = None, set()
                     for i, b in enumerate(boxes[:32]):
                         txt = b["text"].lower().strip()
                         if _ABSTRACT_RE.match(txt):
                             if len(txt.split()) > 32 or len(txt) > 64:
-                                abstr, abs_i = b["text"], i
+                                abstr, abs_idx = b["text"], {i}
+                            elif i + 1 < len(boxes):
+                                # bare 'Abstract' heading: the reference
+                                # (rag/app/paper.py:114-117) falls back to
+                                # the NEXT box under the same length rule
+                                nxt = boxes[i + 1]["text"].lower().strip()
+                                if len(nxt.split()) > 32 or len(nxt) > 64:
+                                    abstr = boxes[i + 1]["text"]
+                                    abs_idx = {i, i + 1}
                             break
                     if abstr is not None:
                         out.append((doc_id, "ok", 1, 0, abstr))
                     secs = [b["text"] for i, b in enumerate(boxes)
-                            if b["text"] and i != abs_i]
+                            if b["text"] and i not in abs_idx]
                     for i, ck in enumerate(paper_merge(secs)):
                         out.append((doc_id, "ok", 0, i + 1, ck))
                 except Exception:

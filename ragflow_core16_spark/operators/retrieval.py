@@ -492,7 +492,14 @@ def insert_citations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     first — deterministic variant of the reference's set-order [:4]),
     admission threshold = highest of the 0.63·0.8ⁿ decay levels reached by
     any piece.  Pieces/terms are driver-compiled broadcast literals; all
-    scoring is JVM columnar.  Scale: |pieces|×|chunks| grid is tiny per
+    scoring is JVM columnar.
+
+    Documented divergence: the reference tokenizes pieces AND chunks via
+    rag_tokenizer.tokenize (stemming + CJK segmentation, search.py:209-218);
+    this operator uses lowercase whitespace tokens on BOTH sides so the
+    chunk side stays a pure column expression (no Python stage) and the
+    DuckDB oracle can reproduce it exactly.  The local Python path
+    (textnorm/citations.py) uses the reference tokenizer.  Scale: |pieces|×|chunks| grid is tiny per
     query; at corpus scale the chunk side stays a DataFrame and the only
     wide op is the per-piece max — a broadcast-friendly agg."""
     pv, pt, ptot = _cite_literals()

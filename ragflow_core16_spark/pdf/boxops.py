@@ -302,7 +302,7 @@ def filterout_scraps(boxes: list, mean_height: list, page_widths: list,
                 if nxt is None:
                     break
                 to_pop.append(nxt)
-                line, st = boxes[nxt], nxt + 1
+                line, st = boxes[nxt], nxt
             for i in reversed(to_pop):
                 boxes.pop(i)
         boxes.pop(0)

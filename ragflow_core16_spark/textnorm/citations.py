@@ -93,9 +93,13 @@ def insert_citations(answer: str, chunks: list[str], chunk_v,
     if not pieces_:
         return answer, set()
 
+    from .rag_tokenizer import tokenize as rag_tokenize
+
     ans_v = piece_vecs(pieces_)
-    chunks_tks = [qryr.rmWWW(ck).lower().split() for ck in chunks]
-    piece_tks = [qryr.rmWWW(p).lower().split() for p in pieces_]
+    # reference (search.py:209-218) tokenizes via rag_tokenizer.tokenize
+    # (stemming + CJK segmentation), not bare whitespace split
+    chunks_tks = [rag_tokenize(qryr.rmWWW(ck)).split() for ck in chunks]
+    piece_tks = [rag_tokenize(qryr.rmWWW(p)).split() for p in pieces_]
 
     sims = np.array([
         qryr.hybrid_similarity(ans_v[i], chunk_v, piece_tks[i], chunks_tks,

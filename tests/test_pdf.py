@@ -340,3 +340,16 @@ class TestFilteroutScraps:
         out = filterout_scraps(boxes, [12.0], [612.0])
         assert out.count("row 7 body text") == 1
         assert out.count("row 2499 body text") == 1
+
+    def test_chain_walk_keeps_consecutive_boxes(self):
+        # regression (ADVICE r1): after a chain hop to index nxt the next
+        # search window must start at nxt+1 (reference dfs searches
+        # range(i+1, ...)), not nxt+2 — 4 aligned boxes are ONE run,
+        # in order, not [0,1,3] + [2]
+        from ragflow_core16_spark.pdf.boxops import filterout_scraps
+        boxes = [mk(50, 100 + 14 * i, 500, 112 + 14 * i,
+                    f"row{i} aligned body text") for i in range(4)]
+        out = filterout_scraps(boxes, [12.0], [612.0])
+        assert out.split("\n\n") == [
+            "row0 aligned body text\nrow1 aligned body text\n"
+            "row2 aligned body text\nrow3 aligned body text"]
