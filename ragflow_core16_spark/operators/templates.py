@@ -351,14 +351,192 @@ def resume_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+# --------------------------------------------------------------- oracles
+#
+# The synthetic corpus (documents.text = single-space-separated lowercase
+# ASCII words, max length 8) makes the approximate-cl100k token counter
+# (textnorm/tokens.py) exact SQL arithmetic: a word piece costs 1 token when
+# its char length (incl. the leading space for non-first words) is <= 5,
+# else ceil(len/4.4); a trailing '.' costs 1.  The greedy close-late packer
+# (naive_merge, rag/nlp/__init__.py:510-541) is a linear scan with
+# reset-on-threshold — expressed as a recursive CTE that advances every
+# document one section per iteration.
+
+# shared SQL fragments
+_WORDS_CTE = r"""
+toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE length(trim(text)) > 0),
+words AS (
+  SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS wi
+  FROM toklists)"""
+
+def _cost(expr: str) -> str:
+    """Token cost of a piece whose char length is `expr`."""
+    return (f"CASE WHEN {expr} <= 5 THEN 1 "
+            f"ELSE CAST(ceil(({expr})/4.4) AS BIGINT) END")
+
+
+TXT_TEMPLATE_SQL = rf"""
+WITH RECURSIVE {_WORDS_CTE},
+wcost AS (
+  SELECT doc_id, wi, w, (wi-1) // 12 AS line_num,
+         CASE WHEN (wi-1) % 12 = 0 THEN length(w) ELSE length(w)+1 END AS plen
+  FROM words),
+lines AS (
+  SELECT doc_id, CAST(line_num AS INTEGER) AS line_num,
+         string_agg(w, ' ' ORDER BY wi) || '.' AS line_text,
+         sum({_cost('plen')}) + 1 AS tok
+  FROM wcost GROUP BY doc_id, line_num),
+pack AS (
+  SELECT doc_id, line_num, line_text, tok, 0 AS chunk_seq, tok AS run
+  FROM lines WHERE line_num = 0
+  UNION ALL
+  SELECT l.doc_id, l.line_num, l.line_text, l.tok,
+         CASE WHEN p.run > 128 THEN p.chunk_seq + 1 ELSE p.chunk_seq END,
+         CASE WHEN p.run > 128 THEN l.tok ELSE p.run + l.tok END
+  FROM pack p JOIN lines l
+    ON l.doc_id = p.doc_id AND l.line_num = p.line_num + 1)
+SELECT doc_id, CAST(chunk_seq AS INTEGER) AS chunk_seq,
+       string_agg(line_text, '' ORDER BY line_num) AS chunk_text
+FROM pack GROUP BY doc_id, chunk_seq
+ORDER BY doc_id, chunk_seq
+"""
+
+
+_RM_PREFIX_SQL = (r"^(问题|答案|回答|user|assistant|Q|A|Question|Answer|问|答)"
+                  r"[\t:： ]+")
+
+QA_TEMPLATE_SQL = rf"""
+WITH {_WORDS_CTE.replace("toklists AS (", "toklists AS (", 1)},
+sized AS (SELECT doc_id, l, len(l) AS n FROM toklists),
+pairs AS (
+  SELECT doc_id, CAST((i-1) // 12 AS INTEGER) AS chunk_seq,
+         'What about ' || array_to_string(list_slice(l, i, least(i+3, n)), ' ')
+           || '?' AS q,
+         coalesce(array_to_string(list_slice(l, i+4, least(i+11, n)), ' '),
+                  '') AS a_raw
+  FROM sized,
+       LATERAL (SELECT unnest(generate_series(1, least(n, 60), 12)) AS i) u)
+SELECT doc_id, chunk_seq,
+       'Question: ' ||
+         regexp_replace(q, '{_RM_PREFIX_SQL}', '', 'i') || chr(9) ||
+       'Answer: ' ||
+         regexp_replace(CASE WHEN a_raw = '' THEN 'nothing' ELSE a_raw END,
+                        '{_RM_PREFIX_SQL}', '', 'i') AS chunk_text
+FROM pairs
+ORDER BY doc_id, chunk_seq
+"""
+
+
+PAPER_TEMPLATE_SQL = r"""
+WITH toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+sized AS (SELECT doc_id, l, len(l) AS n FROM toklists),
+head AS (
+  SELECT doc_id, 0 AS chunk_seq,
+         'Document ' || doc_id || ': A Study' || chr(10) || 'Abstract' ||
+         chr(10) ||
+         CASE WHEN n = 0 THEN 'empty'
+              ELSE array_to_string(list_slice(l, 1, least(24, n)), ' ') END
+           AS chunk_text
+  FROM sized),
+body AS (
+  SELECT doc_id, CAST(k AS INTEGER) AS chunk_seq,
+         k || '. Section ' || k || chr(10) ||
+         (SELECT string_agg(
+                   array_to_string(
+                     list_slice(l, 25 + (k-1)*48 + (pj-1)*16,
+                                least(24 + (k-1)*48 + pj*16, n)), ' '),
+                   chr(10) ORDER BY pj)
+          FROM unnest(generate_series(
+                 1, least(3, CAST(ceil((n - 24 - (k-1)*48)/16.0) AS BIGINT))))
+               AS t(pj)) AS chunk_text
+  FROM sized,
+       LATERAL (SELECT unnest(generate_series(
+                  1, CAST(ceil(greatest(n - 24, 0)/48.0) AS BIGINT))) AS k) u
+  WHERE n > 24)
+SELECT doc_id, chunk_seq, chunk_text FROM head
+UNION ALL SELECT doc_id, chunk_seq, chunk_text FROM body
+ORDER BY doc_id, chunk_seq
+"""
+
+
+TABLE_TEMPLATE_SQL = r"""
+WITH typed AS (
+  SELECT user_id, event_id, event_type,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS when_s,
+         CAST(value AS VARCHAR) AS val_s,
+         regexp_matches(CAST(value AS VARCHAR),
+                        '^[+-]?[0-9]{0,19}(\.0+)?$') AS val_int
+  FROM events),
+vote AS (
+  -- column_data_type per user's value column: int wins ties (dict order)
+  SELECT user_id,
+         count(*) FILTER (val_int) >= count(*) FILTER (NOT val_int) AS as_int
+  FROM typed GROUP BY user_id),
+rendered AS (
+  SELECT t.user_id AS doc_id,
+         CAST(row_number() OVER (PARTITION BY t.user_id ORDER BY t.event_id)
+              - 1 AS INTEGER) AS chunk_seq,
+         'event_id:' || t.event_id ||
+         '; event_type:' || t.event_type ||
+         '; when:' || t.when_s ||
+         '; value:' ||
+         CASE WHEN v.as_int THEN CAST(CAST(trunc(CAST(t.val_s AS DOUBLE))
+                                           AS BIGINT) AS VARCHAR)
+              ELSE t.val_s END AS chunk_text
+  FROM typed t JOIN vote v ON v.user_id = t.user_id)
+SELECT doc_id, chunk_seq, chunk_text FROM rendered
+ORDER BY doc_id, chunk_seq
+"""
+
+
+RESUME_TEMPLATE_SQL = r"""
+WITH toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+f AS (
+  SELECT doc_id,
+         'Person ' || doc_id AS name_kwd,
+         CAST(22 + doc_id % 40 AS INTEGER) AS age_int,
+         CASE WHEN doc_id % 2 = 1 THEN '男' ELSE '女' END AS gender,
+         '1380000' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS phone,
+         'p' || doc_id || '@example . com' AS email,
+         array_to_string(list_slice(l, 1, 3), ' ') AS position,
+         doc_id % 30 AS we2,
+         array_to_string(list_slice(l, 4, 6), ' ') AS corp,
+         array_to_string(list_slice(l, 7, least(8, len(l))), ' ') AS school,
+         CASE WHEN doc_id % 3 = 0 THEN '本科 硕士' ELSE '本科' END AS degree,
+         2000 + doc_id % 25 AS edu_end
+  FROM toklists)
+SELECT doc_id, name_kwd, age_int, CAST(12 AS INTEGER) AS n_fields,
+       '姓名/名字: ' || name_kwd || chr(10) ||
+       '性别: ' || gender || chr(10) ||
+       '年龄/岁/年纪: ' || age_int || chr(10) ||
+       '电话/手机/微信: ' || phone || chr(10) ||
+       'email/e-mail/邮箱: ' || email || chr(10) ||
+       '职位/职能/岗位/职责: ' || position || chr(10) ||
+       CASE WHEN we2 = 0 THEN ''
+            ELSE '工作年限/工作年份/N年经验/毕业了多少年: ' ||
+                 (we2 // 2) || '.' || CASE WHEN we2 % 2 = 0 THEN '0'
+                                          ELSE '5' END || chr(10) END ||
+       '最近就职(上班)的公司/上一家公司: ' || corp || chr(10) ||
+       '过往学历: ' || degree || chr(10) ||
+       '学校/毕业院校: ' || school || chr(10) ||
+       '毕业年份: ' || edu_end AS content
+FROM f
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
-    "txt_template": (txt_template, None),
+    "txt_template": (txt_template, TXT_TEMPLATE_SQL),
     "markdown_template": (markdown_template, None),
     "json_template": (json_template, None),
-    "qa_template": (qa_template, None),
-    "table_template": (table_template, None),
+    "qa_template": (qa_template, QA_TEMPLATE_SQL),
+    "table_template": (table_template, TABLE_TEMPLATE_SQL),
     "email_template": (email_template, None),
     "tag_template": (tag_template, TAG_TEMPLATE_SQL),
-    "paper_template": (paper_template, None),
-    "resume_template": (resume_template, None),
+    "paper_template": (paper_template, PAPER_TEMPLATE_SQL),
+    "resume_template": (resume_template, RESUME_TEMPLATE_SQL),
 }
