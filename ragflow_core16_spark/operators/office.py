@@ -437,8 +437,62 @@ def qa_docx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "chunk_seq"))
 
 
+# Docx: the parsed section stream is exactly the synthesized paragraph list
+# (native writer → native reader round trip), so the oracle re-derives the
+# sections (Heading1 'Document N' + 14-word body lines + 'Part p' every 4th
+# body line) and replays the greedy close-late packer; the composed table
+# line is one trailing chunk.  Token arithmetic as in templates.py.
+DOCX_TEMPLATE_SQL = r"""
+WITH RECURSIVE toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+words AS (
+  SELECT doc_id, n, unnest(l) AS w, generate_subscripts(l, 1) AS wi
+  FROM toklists),
+blines AS (
+  SELECT doc_id, CAST((wi-1) // 14 AS BIGINT) AS bl,
+         string_agg(w, ' ' ORDER BY wi) || '.' AS txt,
+         sum(CASE WHEN (CASE WHEN (wi-1) % 14 = 0 THEN length(w)
+                             ELSE length(w)+1 END) <= 5 THEN 1
+                  ELSE CAST(ceil((CASE WHEN (wi-1) % 14 = 0 THEN length(w)
+                                       ELSE length(w)+1 END)/4.4) AS BIGINT)
+             END) + 1 AS tok
+  FROM words GROUP BY doc_id, (wi-1) // 14),
+secs AS (
+  SELECT doc_id, 0 AS seq, 'Document ' || doc_id AS txt, 3 AS tok
+  FROM toklists
+  UNION ALL
+  SELECT doc_id, 1 + bl + bl // 4 AS seq, txt, tok FROM blines
+  UNION ALL
+  SELECT t.doc_id, 5 * p AS seq, 'Part ' || (p + 1) AS txt, 2 AS tok
+  FROM (SELECT doc_id, CAST(ceil(n/14.0) AS BIGINT) AS nb FROM toklists) t,
+       LATERAL (SELECT unnest(generate_series(1, (t.nb - 1) // 4)) AS p) u),
+pack AS (
+  SELECT doc_id, seq, txt, tok, 0 AS cseq, tok AS run
+  FROM secs WHERE seq = 0
+  UNION ALL
+  SELECT s.doc_id, s.seq, s.txt, s.tok,
+         CASE WHEN p.run > 128 THEN p.cseq + 1 ELSE p.cseq END,
+         CASE WHEN p.run > 128 THEN s.tok ELSE p.run + s.tok END
+  FROM pack p JOIN secs s ON s.doc_id = p.doc_id AND s.seq = p.seq + 1),
+packed AS (
+  SELECT doc_id, CAST(cseq AS INTEGER) AS chunk_seq,
+         string_agg(txt, '' ORDER BY seq) AS chunk_text
+  FROM pack GROUP BY doc_id, cseq),
+tblck AS (
+  SELECT p.doc_id, CAST(max(p.chunk_seq) + 1 AS INTEGER) AS chunk_seq,
+         'metric: words;value: ' || any_value(t.n) || chr(10) ||
+         'metric: doc;value: ' || p.doc_id AS chunk_text
+  FROM packed p JOIN toklists t ON t.doc_id = p.doc_id
+  GROUP BY p.doc_id)
+SELECT doc_id, chunk_seq, chunk_text FROM packed
+UNION ALL SELECT doc_id, chunk_seq, chunk_text FROM tblck
+ORDER BY doc_id, chunk_seq
+"""
+
+
 QUERIES = {
-    "docx_template": (docx_template, None),
+    "docx_template": (docx_template, DOCX_TEMPLATE_SQL),
     "xlsx_template": (xlsx_template, XLSX_TEMPLATE_SQL),
     "qa_xlsx_template": (qa_xlsx_template, QA_XLSX_SQL),
     "pptx_template": (pptx_template, PPTX_TEMPLATE_SQL),

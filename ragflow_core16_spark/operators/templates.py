@@ -529,13 +529,215 @@ ORDER BY doc_id
 """
 
 
+# Email: two chained greedy packs — TxtParser.parser_txt over
+# [5 header lines split on ';' + plain-payload lines] (pass 1), then
+# naive_merge over [pass-1 chunks + HTML title + <p> sections] (pass 2).
+# Header token counts are constants (digit runs of 1-3 chars are one piece);
+# the one concatenation fusion ('...example.comTo:...' merges 'com'+'To'
+# into a single 5-char piece) costs exactly -1 token on the chunk that
+# carries all six header sections.
+EMAIL_TEMPLATE_SQL = rf"""
+WITH RECURSIVE toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+words AS (
+  SELECT doc_id, n, n // 2 AS half, unnest(l) AS w,
+         generate_subscripts(l, 1) AS wi
+  FROM toklists),
+plines AS (
+  SELECT doc_id, CAST((wi-1) // 12 AS BIGINT) AS ln,
+         string_agg(w, ' ' ORDER BY wi) || '.' AS txt,
+         sum({_cost('CASE WHEN (wi-1) % 12 = 0 THEN length(w) ELSE length(w)+1 END')}) + 1 AS tok
+  -- lines start at word 1, 13, 25… while the START is within the plain
+  -- half, but each line slices 12 words from the FULL word list (the
+  -- builder's words[i:i+12] is not capped at half)
+  FROM words WHERE ((wi-1) // 12) * 12 + 1 <= half
+  GROUP BY doc_id, (wi-1) // 12),
+s1 AS (
+  SELECT d.doc_id, h.seq,
+         CASE h.seq
+           WHEN 0 THEN 'From: sender-' || d.doc_id || '@example.com'
+           WHEN 1 THEN 'To: corpus@example.com'
+           WHEN 2 THEN 'Subject: Document ' || d.doc_id
+           WHEN 3 THEN 'MIME-Version: 1.0'
+           WHEN 4 THEN 'Content-Type: multipart/alternative'
+           ELSE ' boundary="B"' END AS txt,
+         h.tok
+  FROM (SELECT DISTINCT doc_id FROM toklists) d,
+       (VALUES (0, 11), (1, 9), (2, 7), (3, 8), (4, 12), (5, 6)) h(seq, tok)
+  UNION ALL
+  SELECT doc_id, 6 + ln, txt, tok FROM plines),
+pack1 AS (
+  SELECT doc_id, seq, txt, tok, 0 AS cseq, tok AS run
+  FROM s1 WHERE seq = 0
+  UNION ALL
+  SELECT s.doc_id, s.seq, s.txt, s.tok,
+         CASE WHEN p.run > 128 THEN p.cseq + 1 ELSE p.cseq END,
+         CASE WHEN p.run > 128 THEN s.tok ELSE p.run + s.tok END
+  FROM pack1 p JOIN s1 s ON s.doc_id = p.doc_id AND s.seq = p.seq + 1),
+c1 AS (
+  SELECT doc_id, cseq,
+         string_agg(txt, '' ORDER BY seq) AS txt,
+         sum(tok) - CASE WHEN cseq = 0 THEN 1 ELSE 0 END AS tok
+  FROM pack1 GROUP BY doc_id, cseq),
+hparas AS (
+  SELECT doc_id, CAST((wi - half - 1) // 12 AS BIGINT) AS ln,
+         string_agg(w, ' ' ORDER BY wi) || '.' AS txt,
+         sum({_cost('CASE WHEN (wi-half-1) % 12 = 0 THEN length(w) ELSE length(w)+1 END')}) + 1 AS tok
+  FROM words WHERE wi > half GROUP BY doc_id, (wi - half - 1) // 12),
+s2raw AS (
+  SELECT doc_id, 0 AS ph, cseq AS k, txt, tok FROM c1
+  UNION ALL
+  SELECT doc_id, 1 AS ph, 0 AS k, 'Doc ' || doc_id AS txt, 2 AS tok
+  FROM toklists
+  UNION ALL
+  SELECT doc_id, 2 AS ph, ln AS k, txt, tok FROM hparas),
+s2 AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ph, k) - 1 AS seq,
+         txt, tok
+  FROM s2raw),
+pack2 AS (
+  SELECT doc_id, seq, txt, tok, 0 AS cseq, tok AS run
+  FROM s2 WHERE seq = 0
+  UNION ALL
+  SELECT s.doc_id, s.seq, s.txt, s.tok,
+         CASE WHEN p.run > 128 THEN p.cseq + 1 ELSE p.cseq END,
+         CASE WHEN p.run > 128 THEN s.tok ELSE p.run + s.tok END
+  FROM pack2 p JOIN s2 s ON s.doc_id = p.doc_id AND s.seq = p.seq + 1)
+SELECT doc_id, CAST(cseq AS INTEGER) AS chunk_seq,
+       string_agg(txt, '' ORDER BY seq) AS chunk_text
+FROM pack2 GROUP BY doc_id, cseq
+ORDER BY doc_id, chunk_seq
+"""
+
+
+# Markdown: the sectioner fuses each heading with every following line
+# until the next heading (the '#'-absorb rule applies repeatedly), so
+# sections are per-heading blocks; the last block carries the two blank
+# lines left behind by the extracted pipe table ('\n\n' = one 1-token
+# piece).  The rendered <table> html is one trailing chunk.
+MARKDOWN_TEMPLATE_SQL = rf"""
+WITH RECURSIVE toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+words AS (
+  SELECT doc_id, n, unnest(l) AS w, generate_subscripts(l, 1) AS wi
+  FROM toklists),
+paras AS (
+  SELECT doc_id, CAST((wi-1) // 20 AS BIGINT) AS pi,
+         string_agg(w, ' ' ORDER BY wi) AS txt,
+         sum({_cost('CASE WHEN (wi-1) % 20 = 0 THEN length(w) ELSE length(w)+1 END')}) AS ptok
+  FROM words GROUP BY doc_id, (wi-1) // 20),
+grps AS (
+  SELECT doc_id, pi // 3 AS g,
+         string_agg(chr(10) || txt, '' ORDER BY pi) AS body,
+         sum(1 + ptok) AS btok,
+         max(max(pi // 3)) OVER (PARTITION BY doc_id) AS glast
+  FROM paras GROUP BY doc_id, pi // 3),
+secs AS (
+  SELECT doc_id, g AS seq,
+         CASE WHEN g = 0 THEN '# Document ' || doc_id
+              ELSE '## Part ' || g END || body ||
+         CASE WHEN g = glast THEN chr(10) || chr(10) ELSE '' END AS txt,
+         CASE WHEN g = 0 THEN 5 ELSE 3 END + btok +
+         CASE WHEN g = glast THEN 1 ELSE 0 END AS tok
+  FROM grps),
+pack AS (
+  SELECT doc_id, seq, txt, tok, 0 AS cseq, tok AS run
+  FROM secs WHERE seq = 0
+  UNION ALL
+  SELECT s.doc_id, s.seq, s.txt, s.tok,
+         CASE WHEN p.run > 128 THEN p.cseq + 1 ELSE p.cseq END,
+         CASE WHEN p.run > 128 THEN s.tok ELSE p.run + s.tok END
+  FROM pack p JOIN secs s ON s.doc_id = p.doc_id AND s.seq = p.seq + 1),
+packed AS (
+  SELECT doc_id, CAST(cseq AS INTEGER) AS chunk_seq,
+         string_agg(txt, '' ORDER BY seq) AS chunk_text
+  FROM pack GROUP BY doc_id, cseq),
+tblck AS (
+  SELECT p.doc_id, CAST(max(p.chunk_seq) + 1 AS INTEGER) AS chunk_seq,
+         '<table><thead><tr><th>key</th><th>value</th></tr></thead><tbody>'
+         || '<tr><td>doc</td><td>' || p.doc_id || '</td></tr>'
+         || '<tr><td>words</td><td>' || any_value(t.n)
+         || '</td></tr></tbody></table>' AS chunk_text
+  FROM packed p JOIN toklists t ON t.doc_id = p.doc_id GROUP BY p.doc_id)
+SELECT doc_id, chunk_seq, chunk_text FROM packed
+UNION ALL SELECT doc_id, chunk_seq, chunk_text FROM tblck
+ORDER BY doc_id, chunk_seq
+"""
+
+
+# JSON: the LangChain-style splitter packs (key, paragraph) subtrees by
+# SERIALIZED CHAR SIZE (budget 2×256, floor 56): adding paragraph k to a
+# chunk costs 24+len(key)+len(text) chars when it opens the "paragraphs"
+# object, 8+len(key)+len(text) when appended; a subtree whose entry size
+# 8+dk+L >= 512 - current closes the chunk.  The resulting JSON strings
+# then go through the 256-token greedy merge; their token counts follow
+# the fitted skeleton constants (chunk0 = 26 + Σ(5 + para tokens),
+# later chunks = 5 + Σ(5 + para tokens)) — asserted against the real
+# counter for every sf0.01 document.
+JSON_TEMPLATE_SQL = rf"""
+WITH RECURSIVE toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+words AS (
+  SELECT doc_id, n, unnest(l) AS w, generate_subscripts(l, 1) AS wi
+  FROM toklists),
+paras AS (
+  SELECT doc_id, CAST((wi-1) // 15 AS BIGINT) AS k,
+         string_agg(w, ' ' ORDER BY wi) AS txt,
+         sum({_cost('CASE WHEN (wi-1) % 15 = 0 THEN length(w) ELSE length(w)+1 END')}) AS ptok,
+         length(string_agg(w, ' ' ORDER BY wi)) AS plen,
+         length(CAST((wi-1) // 15 AS VARCHAR)) AS dk
+  FROM words GROUP BY doc_id, (wi-1) // 15),
+base AS (
+  SELECT doc_id, 48 + length(CAST(doc_id AS VARCHAR)) +
+         length(CAST(n AS VARCHAR)) AS b
+  FROM toklists),
+cpack AS (
+  SELECT p.doc_id, p.k, p.txt, p.ptok, 0 AS cj,
+         b.b + 24 + p.dk + p.plen AS s
+  FROM paras p JOIN base b ON b.doc_id = p.doc_id WHERE p.k = 0
+  UNION ALL
+  SELECT q.doc_id, q.k, q.txt, q.ptok,
+         CASE WHEN 8 + q.dk + q.plen < 512 - c.s THEN c.cj ELSE c.cj + 1 END,
+         CASE WHEN 8 + q.dk + q.plen < 512 - c.s THEN c.s + 8 + q.dk + q.plen
+              ELSE 24 + q.dk + q.plen END
+  FROM cpack c JOIN paras q ON q.doc_id = c.doc_id AND q.k = c.k + 1),
+jchunks AS (
+  SELECT doc_id, cj,
+         CASE WHEN cj = 0 THEN
+           '{{"doc_id": ' || doc_id || ', "meta": {{"n_words": ' ||
+           any_value(n) || ', "lang": "x"}}, "paragraphs": {{'
+         ELSE '{{"paragraphs": {{' END ||
+         string_agg('"' || k || '": "' || txt || '"', ', ' ORDER BY k)
+         || '}}}}' AS txt,
+         CASE WHEN cj = 0 THEN 26 ELSE 5 END + sum(5 + ptok) AS tok
+  FROM (SELECT c.*, t.n FROM cpack c JOIN toklists t ON t.doc_id = c.doc_id)
+  GROUP BY doc_id, cj),
+pack AS (
+  SELECT doc_id, cj AS seq, txt, tok, 0 AS cseq, tok AS run
+  FROM jchunks WHERE cj = 0
+  UNION ALL
+  SELECT s.doc_id, s.cj, s.txt, s.tok,
+         CASE WHEN p.run > 256 THEN p.cseq + 1 ELSE p.cseq END,
+         CASE WHEN p.run > 256 THEN s.tok ELSE p.run + s.tok END
+  FROM pack p JOIN jchunks s ON s.doc_id = p.doc_id AND s.cj = p.seq + 1)
+SELECT doc_id, CAST(cseq AS INTEGER) AS chunk_seq,
+       string_agg(txt, '' ORDER BY seq) AS chunk_text
+FROM pack GROUP BY doc_id, cseq
+ORDER BY doc_id, chunk_seq
+"""
+
+
 QUERIES = {
     "txt_template": (txt_template, TXT_TEMPLATE_SQL),
-    "markdown_template": (markdown_template, None),
-    "json_template": (json_template, None),
+    "markdown_template": (markdown_template, MARKDOWN_TEMPLATE_SQL),
+    "json_template": (json_template, JSON_TEMPLATE_SQL),
     "qa_template": (qa_template, QA_TEMPLATE_SQL),
     "table_template": (table_template, TABLE_TEMPLATE_SQL),
-    "email_template": (email_template, None),
+    "email_template": (email_template, EMAIL_TEMPLATE_SQL),
     "tag_template": (tag_template, TAG_TEMPLATE_SQL),
     "paper_template": (paper_template, PAPER_TEMPLATE_SQL),
     "resume_template": (resume_template, RESUME_TEMPLATE_SQL),
