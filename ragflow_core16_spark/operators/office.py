@@ -491,6 +491,74 @@ ORDER BY doc_id, chunk_seq
 """
 
 
+# Excel HTML mode: <table> chunks of ≤8 data rows, header row repeated,
+# sheet name as <caption>, partial last row padded to 4 <td> cells, one
+# trailing newline per chunk (excel_parser.py:73-104).
+XLSX_HTML_SQL = r"""
+WITH toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+rows_ AS (
+  SELECT doc_id, CAST(r AS BIGINT) AS r,
+         '<tr>' ||
+         '<td>' || coalesce(l[(r-1)*4 + 1], '') || '</td>' ||
+         '<td>' || coalesce(l[(r-1)*4 + 2], '') || '</td>' ||
+         '<td>' || coalesce(l[(r-1)*4 + 3], '') || '</td>' ||
+         '<td>' || coalesce(l[(r-1)*4 + 4], '') || '</td>' ||
+         '</tr>' AS row_html
+  FROM toklists,
+       LATERAL (SELECT unnest(generate_series(
+                  1, CAST(ceil(n/4.0) AS BIGINT))) AS r) u),
+grps AS (
+  -- (len(rows)-1)//chunk_rows + 1 chunks: a trailing header-only chunk
+  -- appears when the data row count is an exact multiple of 8
+  SELECT doc_id, CAST(g AS INTEGER) AS chunk_seq
+  FROM (SELECT doc_id, CAST(ceil(n/4.0) AS BIGINT) AS nd FROM toklists) t,
+       LATERAL (SELECT unnest(generate_series(0, nd // 8)) AS g) u)
+SELECT g.doc_id, g.chunk_seq,
+       '<table><caption>Sheet1</caption>'
+       || '<tr><th>c1</th><th>c2</th><th>c3</th><th>c4</th></tr>'
+       || coalesce(string_agg(r.row_html, '' ORDER BY r.r), '')
+       || '</table>' || chr(10) AS chunk_text
+FROM grps g LEFT JOIN rows_ r
+  ON r.doc_id = g.doc_id AND (r.r - 1) // 8 = g.chunk_seq
+GROUP BY g.doc_id, g.chunk_seq
+ORDER BY g.doc_id, g.chunk_seq
+"""
+
+
+# Docx Q&A route: every even 10-word group carries a Heading question over
+# its first 3 words; the answer is that group's body line plus the odd
+# follower (joined by newline), through the qa_text prefix strip.
+QA_DOCX_SQL = rf"""
+WITH toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+pairs AS (
+  SELECT doc_id, CAST(k AS BIGINT) AS k,
+         'What about ' ||
+         array_to_string(list_slice(l, k*20 + 1, least(k*20 + 3, n)), ' ')
+         || '?' AS q,
+         array_to_string(list_slice(l, k*20 + 1, least(k*20 + 10, n)), ' ')
+         || '.' ||
+         CASE WHEN n > k*20 + 10 THEN
+           chr(10) ||
+           array_to_string(list_slice(l, k*20 + 11, least(k*20 + 20, n)), ' ')
+           || '.'
+         ELSE '' END AS a
+  FROM toklists,
+       LATERAL (SELECT unnest(generate_series(
+                  0, CAST(ceil(n/20.0) AS BIGINT) - 1)) AS k) u)
+SELECT doc_id, CAST(k AS INTEGER) AS chunk_seq,
+       'Question: ' || regexp_replace(q, '{_RM_PREFIX_SQL}', '', 'i')
+       || chr(9) ||
+       'Answer: ' || regexp_replace(a, '{_RM_PREFIX_SQL}', '', 'i')
+         AS chunk_text
+FROM pairs
+ORDER BY doc_id, chunk_seq
+"""
+
+
 QUERIES = {
     "docx_template": (docx_template, DOCX_TEMPLATE_SQL),
     "xlsx_template": (xlsx_template, XLSX_TEMPLATE_SQL),
@@ -498,6 +566,6 @@ QUERIES = {
     "pptx_template": (pptx_template, PPTX_TEMPLATE_SQL),
     "manual_template": (manual_template, None),
     "laws_docx_template": (laws_docx_template, None),
-    "qa_docx_template": (qa_docx_template, None),
-    "xlsx_html_template": (xlsx_html_template, None),
+    "qa_docx_template": (qa_docx_template, QA_DOCX_SQL),
+    "xlsx_html_template": (xlsx_html_template, XLSX_HTML_SQL),
 }

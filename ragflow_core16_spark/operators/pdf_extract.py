@@ -137,7 +137,7 @@ def pdf_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests assert byte-level round-trip fidelity."""
     pdfs = _synth_pdfs(spark, sf_dir)
     return (pdf_chunks_df(pdfs)
-            .select("doc_id", "status", "n_pages", "chunk_seq", "chunk_id",
+            .select("doc_id", "status", "n_pages", "chunk_seq", "chunk_text",
                     "token_cnt")
             .orderBy("doc_id", "chunk_seq"))
 
@@ -147,7 +147,7 @@ def pdf_concat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference's naive PDF mode, pdf_parser.py:472-579)."""
     pdfs = _synth_pdfs(spark, sf_dir)
     return (pdf_chunks_df(pdfs, merge="concat")
-            .select("doc_id", "status", "n_pages", "chunk_seq", "chunk_id",
+            .select("doc_id", "status", "n_pages", "chunk_seq", "chunk_text",
                     "token_cnt")
             .orderBy("doc_id", "chunk_seq"))
 
@@ -365,10 +365,178 @@ def paper_pdf_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "chunk_seq"))
 
 
+# ----------------------------------------------------------------- oracles
+#
+# The synthetic PDFs round-trip bytes exactly through the native writer +
+# reader (asserted in tests/test_pdf.py), so each box is one written line
+# and the oracles re-derive the extraction output relationally.  Token
+# arithmetic notes: a trailing '.' is 1 token standalone AND when followed
+# by a newline ('.\n' is one ≤5-char punctuation piece), so page/chunk
+# token counts are exact sums of per-line counts.
+
+def _pdf_cost(expr: str) -> str:
+    return (f"CASE WHEN {expr} <= 5 THEN 1 "
+            f"ELSE CAST(ceil(({expr})/4.4) AS BIGINT) END")
+
+
+# 10-word '.'-terminated lines; 40 lines per page; naive vertical merge
+# keeps '.'-terminated lines separate, so sections == lines; greedy
+# close-late pack at 128 concatenates section texts with no separator and
+# reports the running token sums (naive_merge_with_counts).
+PDF_TEMPLATE_SQL = rf"""
+WITH RECURSIVE toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+words AS (
+  SELECT doc_id, n, unnest(l) AS w, generate_subscripts(l, 1) AS wi
+  FROM toklists),
+lines AS (
+  SELECT doc_id, CAST((wi-1) // 10 AS BIGINT) AS ln,
+         string_agg(w, ' ' ORDER BY wi) || '.' AS txt,
+         sum({_pdf_cost('CASE WHEN (wi-1) % 10 = 0 THEN length(w) ELSE length(w)+1 END')}) + 1 AS tok
+  FROM words GROUP BY doc_id, (wi-1) // 10),
+pack AS (
+  SELECT doc_id, ln, txt, tok, 0 AS cseq, tok AS run
+  FROM lines WHERE ln = 0
+  UNION ALL
+  SELECT l.doc_id, l.ln, l.txt, l.tok,
+         CASE WHEN p.run > 128 THEN p.cseq + 1 ELSE p.cseq END,
+         CASE WHEN p.run > 128 THEN l.tok ELSE p.run + l.tok END
+  FROM pack p JOIN lines l ON l.doc_id = p.doc_id AND l.ln = p.ln + 1)
+SELECT p.doc_id, 'ok' AS status,
+       CAST(ceil(ceil(t.n/10.0)/40.0) AS INTEGER) AS n_pages,
+       CAST(p.cseq AS INTEGER) AS chunk_seq,
+       string_agg(p.txt, '' ORDER BY p.ln) AS chunk_text,
+       CAST(sum(p.tok) AS INTEGER) AS token_cnt
+FROM pack p JOIN toklists t ON t.doc_id = p.doc_id
+GROUP BY p.doc_id, p.cseq, t.n
+ORDER BY p.doc_id, chunk_seq
+"""
+
+# Downward-concat route: within one page every '.'-terminated line merges
+# into a single space-joined section (one chunk per ≤40-line document at
+# oracle scale; every sf0.01 document fits one page).
+PDF_CONCAT_SQL = rf"""
+WITH toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+words AS (
+  SELECT doc_id, n, unnest(l) AS w, generate_subscripts(l, 1) AS wi
+  FROM toklists)
+SELECT doc_id, 'ok' AS status, 1 AS n_pages, 0 AS chunk_seq,
+       string_agg(
+         CASE WHEN (wi-1) % 10 = 0 AND wi > 1 THEN ' ' || w ELSE
+              CASE WHEN (wi-1) % 10 = 0 THEN w ELSE ' ' || w END END ||
+         CASE WHEN wi % 10 = 0 OR wi = n THEN '.' ELSE '' END,
+         '' ORDER BY wi) AS chunk_text,
+       CAST(sum(
+         {_pdf_cost('CASE WHEN wi = 1 THEN length(w) ELSE length(w)+1 END')}
+         + CASE WHEN wi % 10 = 0 OR wi = n THEN 1 ELSE 0 END)
+         AS INTEGER) AS token_cnt
+FROM words
+GROUP BY doc_id, n
+ORDER BY doc_id
+"""
+
+# Presentation mode: one chunk per page, token_cnt = Σ per-line counts
+# (the joining newline is absorbed into the preceding '.' piece).
+PRESENTATION_SQL = rf"""
+WITH toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+words AS (
+  SELECT doc_id, n, unnest(l) AS w, generate_subscripts(l, 1) AS wi
+  FROM toklists),
+lines AS (
+  -- slide garbage rule (presentation.py:57-62): drop boxes under 3 chars
+  -- (a 1-char word + '.'); the numeric-only rule never fires on alpha text
+  SELECT doc_id, CAST((wi-1) // 10 AS BIGINT) AS ln,
+         sum({_pdf_cost('CASE WHEN (wi-1) % 10 = 0 THEN length(w) ELSE length(w)+1 END')}) + 1 AS tok
+  FROM words GROUP BY doc_id, (wi-1) // 10
+  HAVING length(string_agg(w, ' ')) + 1 >= 3)
+SELECT doc_id, 'ok' AS status,
+       CAST(ln // 40 + 1 AS INTEGER) AS page_num,
+       CAST(sum(tok) AS INTEGER) AS token_cnt
+FROM lines
+GROUP BY doc_id, ln // 40
+ORDER BY doc_id, page_num
+"""
+
+_QA_RM_PREFIX = (r"^(问题|答案|回答|user|assistant|Q|A|Question|Answer|问|答)"
+                 r"[\t:： ]+")
+
+# FAQ PDFs: question k covers words 12(k-1)+1..+4, the answer the next 8
+# words with a trailing '.'; empty tails keep the bare '.' line.
+QA_PDF_SQL = rf"""
+WITH toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+pairs AS (
+  SELECT doc_id, CAST((i-1) // 12 AS INTEGER) AS chunk_seq,
+         ((i-1) // 12 + 1) || '. What about ' ||
+           array_to_string(list_slice(l, i, least(i+3, n)), ' ') || '?' AS q,
+         coalesce(array_to_string(list_slice(l, i+4, least(i+11, n)), ' '),
+                  '') || '.' AS a
+  FROM toklists,
+       LATERAL (SELECT unnest(generate_series(1, n, 12)) AS i) u)
+SELECT doc_id, chunk_seq,
+       'Question: ' || regexp_replace(q, '{_QA_RM_PREFIX}', '', 'i')
+       || chr(9) ||
+       'Answer: ' || regexp_replace(a, '{_QA_RM_PREFIX}', '', 'i')
+         AS chunk_text
+FROM pairs
+ORDER BY doc_id, chunk_seq
+"""
+
+# Two-column paper route: the abstract box is elected when its text
+# ('abstract ' + first ≤20 words) exceeds 64 chars (the ≤21-word count
+# never exceeds 32); the remaining boxes — title then 5-word body lines in
+# restored reading order — fuse into one pivot-merge chunk (no numbered
+# headings → bullet family -1 → single group).
+PAPER_PDF_SQL = r"""
+WITH toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+abst AS (
+  SELECT doc_id, n,
+         'abstract ' || array_to_string(list_slice(l, 1, least(20, n)), ' ')
+           AS atxt
+  FROM toklists),
+elected AS (
+  SELECT doc_id, n, atxt, length(atxt) > 64 AS has_abs FROM abst),
+body AS (
+  SELECT t.doc_id,
+         string_agg(
+           array_to_string(list_slice(t.l, 21 + (b-1)*5,
+                                      least(20 + b*5, t.n)), ' ') || '.',
+           chr(10) ORDER BY b) AS btxt
+  FROM toklists t,
+       LATERAL (SELECT unnest(generate_series(
+                  1, CAST(ceil(greatest(t.n - 20, 0)/5.0) AS BIGINT))) AS b) u
+  WHERE t.n > 20
+  GROUP BY t.doc_id),
+absrows AS (
+  SELECT doc_id, 'ok' AS status, 1 AS is_abstract, 0 AS chunk_seq,
+         atxt AS chunk_text
+  FROM elected WHERE has_abs),
+bodyrows AS (
+  SELECT e.doc_id, 'ok' AS status, 0 AS is_abstract, 1 AS chunk_seq,
+         'Document ' || e.doc_id || ' Study' ||
+         CASE WHEN NOT e.has_abs THEN chr(10) || e.atxt ELSE '' END ||
+         CASE WHEN b.btxt IS NOT NULL THEN chr(10) || b.btxt ELSE '' END
+           AS chunk_text
+  FROM elected e LEFT JOIN body b ON b.doc_id = e.doc_id)
+SELECT doc_id, status, is_abstract, chunk_seq, chunk_text FROM absrows
+UNION ALL
+SELECT doc_id, status, is_abstract, chunk_seq, chunk_text FROM bodyrows
+ORDER BY doc_id, chunk_seq
+"""
+
+
 QUERIES = {
-    "pdf_template": (pdf_template, None),
-    "pdf_concat_template": (pdf_concat_template, None),
-    "paper_pdf_template": (paper_pdf_template, None),
-    "presentation_template": (presentation_template, None),
-    "qa_pdf_template": (qa_pdf_template, None),
+    "pdf_template": (pdf_template, PDF_TEMPLATE_SQL),
+    "pdf_concat_template": (pdf_concat_template, PDF_CONCAT_SQL),
+    "paper_pdf_template": (paper_pdf_template, PAPER_PDF_SQL),
+    "presentation_template": (presentation_template, PRESENTATION_SQL),
+    "qa_pdf_template": (qa_pdf_template, QA_PDF_SQL),
 }
