@@ -533,8 +533,119 @@ ORDER BY doc_id, chunk_seq
 """
 
 
+# -------------------------------------------------- table/figure extraction
+TABLEFIG_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("kind", StringType(), False),
+    StructField("seq", IntegerType(), False),
+    StructField("content", StringType(), False),
+])
+
+
+def pdf_table_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_extract_table_figure`` end-to-end (pdf_parser.py:656-867): a
+    deterministic layout-tagged box stream per document — body text lines,
+    a table caption, a CROSS-PAGE tagged grid (header + 2..5 numeric rows
+    split over two pages within the 23·mean-height merge window), a figure
+    with its caption — through grouping, cross-page merge, nearest-caption
+    attach and ``construct_table`` HTML.  Emits text/table/figure rows;
+    the DuckDB oracle re-derives all three streams relationally."""
+    from ..pdf.tablefig import extract_table_figure
+
+    docs = _spread_docs(spark, sf_dir)
+
+    def run(batches):
+        for pdf_b in batches:
+            out = []
+            for doc_id, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                doc_id = int(doc_id)
+                words = (text or "").split()
+                if not words:
+                    continue
+
+                def mk(x0, top, x1, bottom, txt, page=1, lt="text", ln="x"):
+                    return {"x0": x0, "top": top, "x1": x1, "bottom": bottom,
+                            "text": txt, "page_number": page,
+                            "layout_type": lt, "layoutno": ln}
+
+                boxes = []
+                for i in range(0, len(words), 8):
+                    boxes.append(mk(72, 80 + 14 * (i // 8), 400,
+                                    92 + 14 * (i // 8),
+                                    " ".join(words[i:i + 8]) + ".",
+                                    ln=f"x{i // 8}"))
+                boxes.append(mk(72, 750, 160, 762,
+                                f"summary table for doc {doc_id}",
+                                lt="table caption", ln="cap0"))
+                cols = [72, 150, 228]
+                for c in range(3):
+                    boxes.append(mk(cols[c], 770, cols[c] + 60, 782,
+                                    f"c{c + 1}", lt="table", ln="t0"))
+                nrows = 2 + doc_id % 4
+                for r in range(nrows):
+                    page = 1 if r < 2 else 2
+                    top = 790 + 20 * r if r < 2 else 830 + 20 * (r - 2)
+                    for c in range(3):
+                        boxes.append(mk(cols[c], top, cols[c] + 60, top + 12,
+                                        str(100 * (c + 1) + r), page=page,
+                                        lt="table", ln="t0"))
+                boxes.append(mk(72, 930, 220, 942,
+                                "figure " + " ".join(words[:4]), page=2,
+                                lt="figure", ln="f0"))
+                boxes.append(mk(72, 950, 200, 962,
+                                f"figure caption for doc {doc_id}", page=2,
+                                lt="figure caption", ln="fc0"))
+                try:
+                    rem, res = extract_table_figure(
+                        boxes, [12.0, 12.0], return_html=True)
+                    for i, b in enumerate(rem):
+                        out.append((doc_id, "text", i, b["text"]))
+                    for i, r in enumerate(res):
+                        out.append((doc_id, r["type"], i, r["content"]))
+                except Exception:
+                    out.append((doc_id, "error", 0, ""))
+            yield pd.DataFrame(out, columns=[f.name for f in TABLEFIG_SCHEMA])
+
+    return (docs.mapInPandas(run, TABLEFIG_SCHEMA)
+            .orderBy("doc_id", "kind", "seq"))
+
+
+PDF_TABLE_SQL = r"""
+WITH toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+textrows AS (
+  SELECT doc_id, 'text' AS kind, CAST((i-1) // 8 AS INTEGER) AS seq,
+         array_to_string(list_slice(l, i, least(i+7, n)), ' ') || '.' AS content
+  FROM toklists, LATERAL (SELECT unnest(generate_series(1, n, 8)) AS i) u),
+figrows AS (
+  SELECT doc_id, 'figure' AS kind, 0 AS seq,
+         'figure caption for doc ' || doc_id || chr(10) ||
+         'figure ' || array_to_string(list_slice(l, 1, least(4, n)), ' ')
+           AS content
+  FROM toklists),
+tblrows AS (
+  SELECT t.doc_id, 'table' AS kind, 1 AS seq,
+         '<table><caption>summary table for doc ' || t.doc_id
+         || '</caption>' || chr(10)
+         || '<tr><th  >c1</th><th  >c2</th><th  >c3</th></tr>' || chr(10)
+         || string_agg('<tr><td  >' || (100 + r) || '</td><td  >'
+                       || (200 + r) || '</td><td  >' || (300 + r)
+                       || '</td></tr>', chr(10) ORDER BY r)
+         || chr(10) || '</table>' AS content
+  FROM toklists t,
+       LATERAL (SELECT unnest(generate_series(0, 1 + t.doc_id % 4)) AS r) u
+  GROUP BY t.doc_id)
+SELECT doc_id, kind, seq, content FROM textrows
+UNION ALL SELECT doc_id, kind, seq, content FROM figrows
+UNION ALL SELECT doc_id, kind, seq, content FROM tblrows
+ORDER BY doc_id, kind, seq
+"""
+
+
 QUERIES = {
     "pdf_template": (pdf_template, PDF_TEMPLATE_SQL),
+    "pdf_table_template": (pdf_table_template, PDF_TABLE_SQL),
     "pdf_concat_template": (pdf_concat_template, PDF_CONCAT_SQL),
     "paper_pdf_template": (paper_pdf_template, PAPER_PDF_SQL),
     "presentation_template": (presentation_template, PRESENTATION_SQL),

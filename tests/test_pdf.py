@@ -353,3 +353,87 @@ class TestFilteroutScraps:
         assert out.split("\n\n") == [
             "row0 aligned body text\nrow1 aligned body text\n"
             "row2 aligned body text\nrow3 aligned body text"]
+
+
+class TestExtractTableFigure:
+    """_extract_table_figure parity (pdf_parser.py:656-867)."""
+
+    @staticmethod
+    def _mk(x0, top, x1, bottom, text, page=1, lt="text", ln="x"):
+        return {"x0": x0, "top": top, "x1": x1, "bottom": bottom,
+                "text": text, "page_number": page,
+                "layout_type": lt, "layoutno": ln}
+
+    def _grid(self, page, y0, ln="t0", rows=2):
+        out = []
+        for r in range(rows):
+            for c in range(2):
+                out.append(self._mk(72 + 100 * c, y0 + 20 * r,
+                                    152 + 100 * c, y0 + 20 * r + 12,
+                                    str(10 * c + r), page=page,
+                                    lt="table", ln=ln))
+        return out
+
+    def test_source_lines_dropped(self):
+        from ragflow_core16_spark.pdf.tablefig import extract_table_figure
+        boxes = self._grid(1, 100)
+        boxes.append(self._mk(72, 150, 200, 162, "数据来源：wind",
+                              lt="table", ln="t0"))
+        rem, res = extract_table_figure(boxes, [12.0])
+        assert not rem
+        assert len(res) == 1
+        assert "来源" not in str(res[0]["content"])
+
+    def test_cross_page_gap_blocks_merge(self):
+        from ragflow_core16_spark.pdf.tablefig import extract_table_figure
+        # gap 400 > 23*12: two separate tables
+        boxes = self._grid(1, 100) + self._grid(2, 540)
+        rem, res = extract_table_figure(boxes, [12.0, 12.0])
+        assert len(res) == 2
+        # gap 24 <= 276: merged
+        boxes = self._grid(1, 100) + self._grid(2, 160)
+        rem, res = extract_table_figure(boxes, [12.0, 12.0])
+        assert len(res) == 1
+        assert len(res[0]["poss"]) == 2
+
+    def test_caption_between_blocks_merge(self):
+        from ragflow_core16_spark.pdf.tablefig import extract_table_figure
+        boxes = self._grid(1, 100)
+        # caption right after the page-1 group marks it no-merge
+        boxes.append(self._mk(72, 145, 200, 157, "tbl one caption",
+                              lt="table caption", ln="cap"))
+        boxes += self._grid(2, 170, ln="t1")
+        rem, res = extract_table_figure(boxes, [12.0, 12.0])
+        assert len(res) == 2
+
+    def test_caption_popped_even_without_groups(self):
+        from ragflow_core16_spark.pdf.tablefig import extract_table_figure
+        boxes = [self._mk(72, 100, 200, 112, "body text here", ln="x0"),
+                 self._mk(72, 130, 200, 142, "orphan cap",
+                          lt="figure caption", ln="c0")]
+        rem, res = extract_table_figure(boxes, [12.0])
+        assert [b["text"] for b in rem] == ["body text here"]
+        assert res == []
+
+    def test_nearest_tie_goes_to_figure(self):
+        # reference: `if tv < fv and tk` — a strict inequality, so an
+        # exact distance tie attaches the caption to the FIGURE branch
+        from ragflow_core16_spark.pdf.tablefig import extract_table_figure
+        boxes = self._grid(1, 100)
+        boxes.append(self._mk(72, 200, 200, 212, "fig body",
+                              lt="figure", ln="f0"))
+        # equidistant: table row-1 center 126, figure center 206, cap 166
+        boxes.append(self._mk(72, 160, 200, 172, "shared cap",
+                              lt="table caption", ln="c0"))
+        rem, res = extract_table_figure(boxes, [12.0])
+        fig = [r for r in res if r["type"] == "figure"][0]
+        assert "shared cap" in fig["content"]
+        # nudge the caption 2pt up: the table now strictly wins
+        boxes = self._grid(1, 100)
+        boxes.append(self._mk(72, 200, 200, 212, "fig body",
+                              lt="figure", ln="f0"))
+        boxes.append(self._mk(72, 158, 200, 170, "shared cap",
+                              lt="table caption", ln="c0"))
+        rem, res = extract_table_figure(boxes, [12.0])
+        tbl = [r for r in res if r["type"] == "table"][0]
+        assert "shared cap" in str(tbl["content"])
