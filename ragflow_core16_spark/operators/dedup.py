@@ -63,7 +63,34 @@ FROM d GROUP BY content_md5 HAVING count(*) > 1 ORDER BY content_md5
 """
 
 
-# -------------------------------------------------------- shingles helper
+# -------------------------------------------------------- shared intermediates
+#
+# The shingle relation and the wide minhash signature feed three queries
+# (signatures, LSH pairs, jaccard verify) and the jaccard verify uses the
+# shingles twice more internally.  Memoize them per (session, sf_dir) with
+# a MEMORY_AND_DISK persist — the local-mode analogue of materializing the
+# intermediate to a temp table, which is what a 100 TB run would do between
+# the signature job and the verify job (recomputing a 10^12-row shingle
+# derivation three times is the single biggest avoidable cost in the whole
+# dedup suite).
+_MEMO: dict = {}
+
+
+def _memo(name: str, spark, sf_dir: str, build):
+    key = (name, sf_dir, id(spark))
+    df = _MEMO.get(key)
+    if df is None:
+        from pyspark import StorageLevel
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        _MEMO[key] = df
+    return df
+
+
+def _shingles_cached(spark, sf_dir) -> DataFrame:
+    return _memo("shingles", spark, sf_dir,
+                 lambda: _shingles(spark, sf_dir))
+
+
 def _shingles(spark, sf_dir, k: int = 3) -> DataFrame:
     """Distinct k-word shingles per doc.  Shingling is a pure array-slice
     expression over the split token array (``transform(sequence(...))``) —
@@ -111,11 +138,13 @@ def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(doc_id) with map-side partial agg.  No seed cross join (K×
     row multiplication), no (doc, seed) shuffle key — the shuffle moves
     |docs| rows of K longs, independent of shingle count."""
-    sh = _shingles(spark, sf_dir)
-    aggs = [F.min(_md5_bigint(
-        F.concat_ws("#", "shingle", F.lit(str(s))))).alias(f"h{s}")
-        for s in range(N_HASHES)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    def build():
+        sh = _shingles_cached(spark, sf_dir)
+        aggs = [F.min(_md5_bigint(
+            F.concat_ws("#", "shingle", F.lit(str(s))))).alias(f"h{s}")
+            for s in range(N_HASHES)]
+        return sh.groupBy("doc_id").agg(*aggs)
+    return _memo("sigwide", spark, sf_dir, build)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,7 +202,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement count is a ``zip_with`` expression — no K-row re-join per
     pair.  Shuffles: shingle distinct, signature agg, bucket join, and the
     two signature-array joins — all keyed, none quadratic."""
-    wide = _signature_wide(spark, sf_dir).cache()
+    wide = _signature_wide(spark, sf_dir)
     cand = _lsh_candidates(wide)
     sig_arr = wide.select("doc_id", F.array(
         *[f"h{s}" for s in range(N_HASHES)]).alias("sig"))
@@ -225,7 +254,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-shingle sets.  The cross-product is never materialized — the
     intersection count is a (doc_a, shingle)⋈(doc_b, shingle) join whose
     key includes the shingle, and the candidate set is LSH-pruned."""
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles_cached(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     cand = _lsh_candidates(_signature_wide(spark, sf_dir))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
                                LongType, StringType, StructField, StructType)
 
+from ..session import ordered as _ordered
+
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
     StructField("kind", StringType(), False),      # image | audio | video
@@ -145,7 +147,7 @@ def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (m.select("media_id", "kind", "n_bytes",
                      F.round(F.element_at("features", 1), 4).alias("f0"),
                      F.round(F.element_at("features", 16), 4).alias("f15"))
-            .orderBy("media_id"))
+            .transform(_ordered("media_id")))
 
 
 def media_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,7 +156,7 @@ def media_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_sampled"),
                  F.min("frame_no").alias("first_frame"),
                  F.max("frame_no").alias("last_frame"))
-            .orderBy("media_id"))
+            .transform(_ordered("media_id")))
 
 
 QUERIES = {

@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (IntegerType, LongType, StringType, StructField,
                                StructType)
 
+from ..session import ordered as _ordered
+
 CHUNKS_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
     StructField("chunk_seq", IntegerType(), False),
@@ -82,7 +84,7 @@ def docx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              "chunk_text"])
 
     return (_docs(spark, sf_dir).mapInPandas(run, CHUNKS_SCHEMA)
-            .orderBy("doc_id", "chunk_seq"))
+            .transform(_ordered("doc_id", "chunk_seq")))
 
 
 # ------------------------------------------------------------------- xlsx
@@ -121,7 +123,7 @@ def xlsx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "row_num", "line"])
 
     return (d.mapInPandas(run, XLSX_SCHEMA)
-            .orderBy("doc_id", "row_num"))
+            .transform(_ordered("doc_id", "row_num")))
 
 
 XLSX_TEMPLATE_SQL = r"""
@@ -183,7 +185,7 @@ def qa_xlsx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in QA_XLSX_SCHEMA])
 
     return (d.mapInPandas(run, QA_XLSX_SCHEMA)
-            .orderBy("doc_id", "pair_num"))
+            .transform(_ordered("doc_id", "pair_num")))
 
 
 _RM_PREFIX_SQL = (r"^(问题|答案|回答|user|assistant|Q|A|Question|Answer|问|答)"
@@ -291,7 +293,7 @@ def pptx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              "chunk_text"])
 
     return (d.mapInPandas(run, PPTX_SCHEMA)
-            .orderBy("doc_id", "slide_num"))
+            .transform(_ordered("doc_id", "slide_num")))
 
 
 # ----------------------------------------------------------------- manual
@@ -330,7 +332,7 @@ def manual_template(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              "chunk_text"])
 
     return (_docs(spark, sf_dir).mapInPandas(run, CHUNKS_SCHEMA)
-            .orderBy("doc_id", "chunk_seq"))
+            .transform(_ordered("doc_id", "chunk_seq")))
 
 
 # ------------------------------------------------------------- laws (docx)
@@ -366,7 +368,7 @@ def laws_docx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              "chunk_text"])
 
     return (_docs(spark, sf_dir).mapInPandas(run, CHUNKS_SCHEMA)
-            .orderBy("doc_id", "chunk_seq"))
+            .transform(_ordered("doc_id", "chunk_seq")))
 
 
 # --------------------------------------------------------- xlsx html mode
@@ -398,7 +400,7 @@ def xlsx_html_template(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              "chunk_text"])
 
     return (d.mapInPandas(run, CHUNKS_SCHEMA)
-            .orderBy("doc_id", "chunk_seq"))
+            .transform(_ordered("doc_id", "chunk_seq")))
 
 
 # --------------------------------------------------------------- qa (docx)
@@ -434,7 +436,7 @@ def qa_docx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              "chunk_text"])
 
     return (_docs(spark, sf_dir).mapInPandas(run, CHUNKS_SCHEMA)
-            .orderBy("doc_id", "chunk_seq"))
+            .transform(_ordered("doc_id", "chunk_seq")))
 
 
 # Docx: the parsed section stream is exactly the synthesized paragraph list

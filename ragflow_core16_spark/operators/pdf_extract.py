@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (IntegerType, LongType, StringType, StructField,
                                StructType)
 
+from ..session import ordered as _ordered
+
 from ..chunkers.naive import naive_merge_with_counts
 from ..pdf.boxops import filter_forpages, naive_vertical_merge
 from ..pdf.plain import build_pdf, extract_pdf_boxes
@@ -139,7 +141,7 @@ def pdf_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pdf_chunks_df(pdfs)
             .select("doc_id", "status", "n_pages", "chunk_seq", "chunk_text",
                     "token_cnt")
-            .orderBy("doc_id", "chunk_seq"))
+            .transform(_ordered("doc_id", "chunk_seq")))
 
 
 def pdf_concat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,7 +151,7 @@ def pdf_concat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pdf_chunks_df(pdfs, merge="concat")
             .select("doc_id", "status", "n_pages", "chunk_seq", "chunk_text",
                     "token_cnt")
-            .orderBy("doc_id", "chunk_seq"))
+            .transform(_ordered("doc_id", "chunk_seq")))
 
 
 # ------------------------------------------------------------ presentation
@@ -209,7 +211,7 @@ def presentation_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdfs = _synth_pdfs(spark, sf_dir)
     return (presentation_pages_df(pdfs)
             .select("doc_id", "status", "page_num", "token_cnt")
-            .orderBy("doc_id", "page_num"))
+            .transform(_ordered("doc_id", "page_num")))
 
 
 # ---------------------------------------------------------------- qa (pdf)
@@ -250,7 +252,7 @@ def qa_pdf_template(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructField("chunk_text", StringType(), False),
     ])
     return (docs.mapInPandas(run, schema)
-            .orderBy("doc_id", "chunk_seq"))
+            .transform(_ordered("doc_id", "chunk_seq")))
 
 
 # ------------------------------------------------------- two-column paper
@@ -362,7 +364,7 @@ def paper_pdf_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in PAPER_SCHEMA])
 
     return (pdfs.mapInPandas(run, PAPER_SCHEMA)
-            .orderBy("doc_id", "chunk_seq"))
+            .transform(_ordered("doc_id", "chunk_seq")))
 
 
 # ----------------------------------------------------------------- oracles
@@ -607,7 +609,7 @@ def pdf_table_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in TABLEFIG_SCHEMA])
 
     return (docs.mapInPandas(run, TABLEFIG_SCHEMA)
-            .orderBy("doc_id", "kind", "seq"))
+            .transform(_ordered("doc_id", "kind", "seq")))
 
 
 PDF_TABLE_SQL = r"""

@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (IntegerType, LongType, StringType, StructField,
                                StructType)
 
+from ..session import ordered as _ordered
+
 CHUNKS_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
     StructField("chunk_seq", IntegerType(), False),
@@ -60,7 +62,7 @@ def _template_query(template_fn):
                                                  "chunk_text"])
 
         return (d.mapInPandas(run, CHUNKS_SCHEMA)
-                .orderBy("doc_id", "chunk_seq"))
+                .transform(_ordered("doc_id", "chunk_seq")))
     return make
 
 
@@ -153,7 +155,7 @@ def table_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             columns=["doc_id", "chunk_seq", "chunk_text"])
 
     return (e.groupBy("user_id").applyInPandas(per_user, CHUNKS_SCHEMA)
-            .orderBy("doc_id", "chunk_seq"))
+            .transform(_ordered("doc_id", "chunk_seq")))
 
 
 def email_template(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -196,7 +198,7 @@ def email_template(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              "chunk_text"])
 
     return (d.mapInPandas(run, CHUNKS_SCHEMA)
-            .orderBy("doc_id", "chunk_seq"))
+            .transform(_ordered("doc_id", "chunk_seq")))
 
 
 TAG_SCHEMA = StructType([
@@ -235,7 +237,7 @@ def tag_template(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              "tag_kwd"])
 
     return (d.mapInPandas(run, TAG_SCHEMA)
-            .orderBy("doc_id", "row_num"))
+            .transform(_ordered("doc_id", "row_num")))
 
 
 TAG_TEMPLATE_SQL = r"""
@@ -293,7 +295,7 @@ def paper_template(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              "chunk_text"])
 
     return (d.mapInPandas(run, CHUNKS_SCHEMA)
-            .orderBy("doc_id", "chunk_seq"))
+            .transform(_ordered("doc_id", "chunk_seq")))
 
 
 def resume_template(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,7 +350,7 @@ def resume_template(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              "n_fields", "content"])
 
     return (d.mapInPandas(run, schema)
-            .orderBy("doc_id"))
+            .transform(_ordered("doc_id")))
 
 
 # --------------------------------------------------------------- oracles

@@ -41,6 +41,26 @@ def spread(df, partitions: int | None = None):
     return df.repartition(n) if df.rdd.getNumPartitions() < n else df
 
 
+def ordered_once(df, *cols):
+    """``orderBy`` for presentation without re-executing the upstream
+    Python stage.
+
+    A global sort samples its child to build the range partitioner, which
+    executes the whole plan a second time — for a ``mapInPandas``-backed
+    query that doubles the expensive Python stage.  Lazily local-checkpoint
+    the (small) result first: the sampling pass materializes it once and
+    the sort reads the checkpoint.  Driver-compare outputs are tiny
+    relative to their inputs, so the checkpoint cost is noise; at
+    production scale sorted presentation belongs in the sink
+    (``sortWithinPartitions`` at write time), not a global sort."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
+def ordered(*cols):
+    """Curried ``ordered_once`` for use as ``df.transform(ordered(...))``."""
+    return lambda df: ordered_once(df, *cols)
+
+
 def get_spark(master: str | None = None, app_name: str = "ragflow_core16_spark",
               extra_conf: dict | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
