@@ -2,32 +2,31 @@
 
 A 100 TB training-data pipeline carries media payloads next to text; the
 Spark-side plumbing is what matters at scale — schema, partitioning, Arrow
-batch shape, UDF signatures.  Per the build contract the codec step itself
-is STUBBED: no image/audio libraries exist in this container, so
+batch shape, UDF signatures.  PNG and WAV are decoded FOR REAL
+(``media/codecs.py`` — zlib+struct and the stdlib ``wave`` module need no
+external codec libraries); JPEG and MP4 remain the documented
+``NotImplementedError`` integration slot where PIL / ffmpeg decoders plug
+in per-executor.  "Video" payloads use the deterministic SYNTH container
+(fixed-size frame blocks) — a stand-in container with real explode-shaped
+frame-sampling plumbing.
 
-  * ``decode_media``      parses the deterministic SYNTH container header
-    (our fixture format) and raises ``NotImplementedError`` for real
-    formats (PNG/JPEG/WAV/MP4) — the marked integration point where PIL /
-    torchaudio / ffmpeg decoders slot in per-executor;
-  * ``media_features``    numpy byte-histogram embedding (deterministic
-    fake feature extractor with the real Arrow-batched plumbing);
-  * ``frame_sample``      every-k-th fixed-size block from "video"
-    payloads — the explode-shaped frame sampler.
-
-Fixture payloads: ``SYNTH:<kind>:<w>x<h>x<c>:`` header + deterministic
-bytes derived from the media id.
+Synthetic content is CLOSED-FORM in ``media_id`` (pixel i of image k is
+``(k + 3·i) mod 256`` …), so the feature queries have exact DuckDB
+oracles: the oracle re-derives width/height/sample counts and the integer
+content sums relationally and the driver hash-compares them.
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (ArrayType, BinaryType, FloatType, IntegerType,
-                               LongType, StringType, StructField, StructType)
+from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+                               StructField, StructType)
 
+from ..media.codecs import (PNG_MAGIC, decode_png, decode_wav, encode_png,
+                            encode_wav)
 from ..session import ordered as _ordered
 
 MEDIA_SCHEMA = StructType([
@@ -41,34 +40,60 @@ MEDIA_SCHEMA = StructType([
 
 _MAGIC = b"SYNTH:"
 FRAME_BYTES = 256
+WAV_RATE = 8000
+
+
+def _image_dims(media_id: int) -> tuple[int, int]:
+    return 8 + (media_id * 7) % 56, 8 + (media_id * 11) % 56
+
+
+def _audio_len(media_id: int) -> int:
+    return 64 + (media_id * 13) % 192
+
+
+def _video_frames(media_id: int) -> int:
+    return 4 + media_id % 8
 
 
 def synth_payload(media_id: int, kind: str) -> bytes:
-    """Deterministic fake media container (seeded by media_id)."""
-    rng = np.random.RandomState(media_id % (2**31))
-    w, h, c = int(rng.randint(8, 64)), int(rng.randint(8, 64)), 3
-    n = w * h if kind == "image" else FRAME_BYTES * int(rng.randint(4, 12))
-    body = rng.randint(0, 256, size=n, dtype=np.int64).astype(np.uint8).tobytes()
-    return _MAGIC + f"{kind}:{w}x{h}x{c}:".encode() + body
+    """Deterministic media payload: REAL PNG for images, REAL WAV for
+    audio, SYNTH frame container for video."""
+    if kind == "image":
+        w, h = _image_dims(media_id)
+        pixels = bytes((media_id + 3 * i) % 256 for i in range(w * h))
+        return encode_png(pixels, w, h, channels=1)
+    if kind == "audio":
+        n = _audio_len(media_id)
+        samples = [((media_id * 31 + i * 17) % 2048) - 1024 for i in range(n)]
+        return encode_wav(samples, rate=WAV_RATE)
+    nf = _video_frames(media_id)
+    body = bytes((media_id + i) % 256 for i in range(nf * FRAME_BYTES))
+    return _MAGIC + f"video:{FRAME_BYTES}x{nf}x1:".encode() + body
 
 
 def decode_media(payload: bytes) -> dict:
-    """Header decode. Real codecs are NOT shipped in this environment —
-    that branch is the documented stub."""
+    """Container-sniffing decode: PNG and WAV are real decodes; the SYNTH
+    video container parses its header; JPEG/MP4 are the documented stub."""
+    if payload[:8] == PNG_MAGIC:
+        img = decode_png(payload)
+        return {"kind": "image", "w": img["w"], "h": img["h"],
+                "c": img["channels"], "body": img["pixels"]}
+    if payload[:4] == b"RIFF":
+        au = decode_wav(payload)
+        return {"kind": "audio", "w": au["rate"], "h": au["n_samples"],
+                "c": au["channels"], "body": au["samples"]}
     if payload[: len(_MAGIC)] == _MAGIC:
-        head, body = payload.split(b":", 2)[-1], None
         parts = payload.split(b":", 3)
-        kind = parts[1].decode()
         w, h, c = (int(x) for x in parts[2].decode().split("x"))
-        return {"kind": kind, "w": w, "h": h, "c": c,
+        return {"kind": parts[1].decode(), "w": w, "h": h, "c": c,
                 "body": parts[3]}
     raise NotImplementedError(
-        "real media decode (PNG/JPEG/WAV/MP4) requires codec libraries not "
-        "present in this container; plug a per-executor decoder here")
+        "JPEG/MP4 decode requires codec libraries not present in this "
+        "container; plug a per-executor decoder here")
 
 
 def media_df(spark: SparkSession, n: int = 60) -> DataFrame:
-    """Deterministic synthetic media table."""
+    """Deterministic synthetic media table (real PNG/WAV payloads)."""
     base = spark.range(n)
 
     def gen(batches):
@@ -80,7 +105,8 @@ def media_df(spark: SparkSession, n: int = 60) -> DataFrame:
                 kind = kinds[i % 3]
                 payload = synth_payload(i, kind)
                 meta = decode_media(payload)
-                rows.append((i, kind, payload, meta["w"], meta["h"], meta["c"]))
+                rows.append((i, kind, payload, meta["w"], meta["h"],
+                             meta["c"]))
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA])
 
     return base.mapInPandas(gen, MEDIA_SCHEMA)
@@ -90,35 +116,46 @@ FEATURES_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
     StructField("kind", StringType(), False),
     StructField("n_bytes", IntegerType(), False),
-    StructField("features", ArrayType(FloatType()), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("content_sum", LongType(), False),
 ])
-
-
-def media_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
-    """Arrow-batched feature extraction: byte histogram (normalized) —
-    deterministic stand-in with the production plumbing shape."""
-
-    def run(batches):
-        for pdf in batches:
-            rows = []
-            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
-                                          pdf["payload"]):
-                body = decode_media(bytes(payload))["body"]
-                arr = np.frombuffer(body, dtype=np.uint8)
-                hist, _ = np.histogram(arr, bins=n_bins, range=(0, 256))
-                feat = (hist / max(len(arr), 1)).astype(np.float32)
-                rows.append((int(mid), kind, len(body),
-                             [float(x) for x in feat]))
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA])
-
-    return media.mapInPandas(run, FEATURES_SCHEMA)
-
 
 FRAMES_SCHEMA = StructType([
     StructField("media_id", LongType(), False),
     StructField("frame_no", IntegerType(), False),
     StructField("frame", BinaryType(), False),
 ])
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over DECODED content:
+
+      * image: (w, h), pixel-value sum over the real PNG decode;
+      * audio: (sample rate, sample count), Σ|amplitude| over the real
+        WAV decode;
+      * video: (frame bytes, frame count), byte sum over the container.
+
+    Integer content sums keep the check float-free and exact."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                m = decode_media(bytes(payload))
+                body = m["body"]
+                if kind == "audio":
+                    csum = sum(abs(s) for s in body)
+                    n_bytes = 2 * len(body)
+                else:
+                    csum = sum(body)
+                    n_bytes = len(body)
+                rows.append((int(mid), kind, n_bytes, m["w"], m["h"],
+                             int(csum)))
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA])
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
@@ -136,17 +173,15 @@ def frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
                 n_frames = len(body) // FRAME_BYTES
                 for f_no in range(0, n_frames, every_k):
                     rows.append((int(mid), f_no,
-                                 body[f_no * FRAME_BYTES:(f_no + 1) * FRAME_BYTES]))
+                                 body[f_no * FRAME_BYTES:
+                                      (f_no + 1) * FRAME_BYTES]))
             yield pd.DataFrame(rows, columns=[f.name for f in FRAMES_SCHEMA])
 
     return media.mapInPandas(run, FRAMES_SCHEMA)
 
 
 def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = media_features(media_df(spark, 60))
-    return (m.select("media_id", "kind", "n_bytes",
-                     F.round(F.element_at("features", 1), 4).alias("f0"),
-                     F.round(F.element_at("features", 16), 4).alias("f15"))
+    return (media_features(media_df(spark, 60))
             .transform(_ordered("media_id")))
 
 
@@ -155,11 +190,58 @@ def media_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (f.groupBy("media_id")
             .agg(F.count(F.lit(1)).alias("n_sampled"),
                  F.min("frame_no").alias("first_frame"),
-                 F.max("frame_no").alias("last_frame"))
+                 F.max("frame_no").alias("last_frame"),
+                 F.sum(F.length("frame")).alias("sampled_bytes"))
             .transform(_ordered("media_id")))
 
 
+MEDIA_FEATURES_SQL = r"""
+WITH m AS (SELECT unnest(generate_series(0, 59)) AS id),
+img AS (
+  SELECT id, 8 + (id*7) % 56 AS w, 8 + (id*11) % 56 AS h
+  FROM m WHERE id % 3 = 0),
+imgrows AS (
+  SELECT id, 'image' AS kind, CAST(w*h AS INTEGER) AS n_bytes,
+         CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         (SELECT CAST(sum((id + 3*i) % 256) AS BIGINT)
+          FROM unnest(generate_series(0, w*h - 1)) AS t(i)) AS content_sum
+  FROM img),
+aud AS (
+  SELECT id, 64 + (id*13) % 192 AS n FROM m WHERE id % 3 = 1),
+audrows AS (
+  SELECT id, 'audio' AS kind, CAST(2*n AS INTEGER) AS n_bytes,
+         CAST(8000 AS INTEGER) AS width, CAST(n AS INTEGER) AS height,
+         (SELECT CAST(sum(abs(((id*31 + i*17) % 2048) - 1024)) AS BIGINT)
+          FROM unnest(generate_series(0, n - 1)) AS t(i)) AS content_sum
+  FROM aud),
+vid AS (
+  SELECT id, 4 + id % 8 AS nf FROM m WHERE id % 3 = 2),
+vidrows AS (
+  SELECT id, 'video' AS kind, CAST(nf*256 AS INTEGER) AS n_bytes,
+         CAST(256 AS INTEGER) AS width, CAST(nf AS INTEGER) AS height,
+         (SELECT CAST(sum((id + i) % 256) AS BIGINT)
+          FROM unnest(generate_series(0, nf*256 - 1)) AS t(i)) AS content_sum
+  FROM vid)
+SELECT id AS media_id, kind, n_bytes, width, height, content_sum
+FROM (SELECT * FROM imgrows UNION ALL SELECT * FROM audrows
+      UNION ALL SELECT * FROM vidrows)
+ORDER BY media_id
+"""
+
+MEDIA_FRAMES_SQL = r"""
+WITH vid AS (
+  SELECT id, 4 + id % 8 AS nf
+  FROM (SELECT unnest(generate_series(0, 59)) AS id) WHERE id % 3 = 2)
+SELECT id AS media_id,
+       (nf + 1) // 2 AS n_sampled,
+       0 AS first_frame,
+       CAST(2 * ((nf - 1) // 2) AS INTEGER) AS last_frame,
+       CAST(((nf + 1) // 2) * 256 AS BIGINT) AS sampled_bytes
+FROM vid
+ORDER BY media_id
+"""
+
 QUERIES = {
-    "media_features": (media_features_q, None),
-    "media_frames": (media_frames_q, None),
+    "media_features": (media_features_q, MEDIA_FEATURES_SQL),
+    "media_frames": (media_frames_q, MEDIA_FRAMES_SQL),
 }

@@ -1,25 +1,94 @@
-"""Multimodal plumbing tests: synthetic container decode, feature UDF,
-frame sampling, real-codec stub behavior."""
+"""Multimodal tests: real PNG/WAV codecs, container decode, feature UDF,
+frame sampling, remaining JPEG/MP4 stub behavior."""
 
 import pytest
 
+from ragflow_core16_spark.media.codecs import (decode_png, decode_wav,
+                                               encode_png, encode_wav)
 from ragflow_core16_spark.operators.multimodal import (
     synth_payload, decode_media, media_df, media_features, frame_sample,
-    FRAME_BYTES)
+    FRAME_BYTES, WAV_RATE)
+
+
+class TestPngCodec:
+    def test_grey_roundtrip(self):
+        pixels = bytes((3 * i) % 256 for i in range(24 * 17))
+        img = decode_png(encode_png(pixels, 24, 17, 1))
+        assert (img["w"], img["h"], img["channels"]) == (24, 17, 1)
+        assert img["pixels"] == pixels
+
+    def test_rgb_roundtrip(self):
+        pixels = bytes((7 * i) % 256 for i in range(10 * 8 * 3))
+        img = decode_png(encode_png(pixels, 10, 8, 3))
+        assert (img["w"], img["h"], img["channels"]) == (10, 8, 3)
+        assert img["pixels"] == pixels
+
+    def test_all_filters_reconstruct(self):
+        # hand-build a 3x3 grey PNG using filters Sub/Up/Average/Paeth
+        import struct
+        import zlib
+        from ragflow_core16_spark.media.codecs import PNG_MAGIC, _chunk
+        rows = [bytes([10, 20, 30]), bytes([40, 50, 60]),
+                bytes([70, 80, 90])]
+        raw = b"\x01" + bytes([10, 10, 10])          # Sub: 10,20,30
+        raw += b"\x02" + bytes([30, 30, 30])         # Up: 40,50,60
+        # Average: x = raw + (left + up)//2
+        line = bytearray()
+        left = 0
+        for i, want in enumerate([70, 80, 90]):
+            avg = (left + [40, 50, 60][i]) >> 1
+            line.append((want - avg) & 0xFF)
+            left = want
+        raw += b"\x03" + bytes(line)
+        ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0)
+        png = (PNG_MAGIC + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", zlib.compress(raw))
+               + _chunk(b"IEND", b""))
+        img = decode_png(png)
+        assert img["pixels"] == b"".join(rows)
+
+    def test_unsupported_depth_raises(self):
+        import struct
+        import zlib
+        from ragflow_core16_spark.media.codecs import PNG_MAGIC, _chunk
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+        png = (PNG_MAGIC + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+               + _chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError):
+            decode_png(png)
+
+
+class TestWavCodec:
+    def test_roundtrip(self):
+        samples = [((i * 37) % 2000) - 1000 for i in range(100)]
+        au = decode_wav(encode_wav(samples, rate=8000))
+        assert au["rate"] == 8000 and au["n_samples"] == 100
+        assert au["samples"] == samples
 
 
 class TestDecode:
-    def test_synth_roundtrip(self):
+    def test_image_is_real_png(self):
         p = synth_payload(7, "image")
+        assert p[:8] == b"\x89PNG\r\n\x1a\n"
         m = decode_media(p)
-        assert m["kind"] == "image" and m["w"] > 0 and len(m["body"]) == m["w"] * m["h"]
+        assert m["kind"] == "image" and m["w"] > 0
+        assert len(m["body"]) == m["w"] * m["h"]
+        assert m["body"][0] == 7 % 256 and m["body"][1] == 10
+
+    def test_audio_is_real_wav(self):
+        p = synth_payload(4, "audio")
+        assert p[:4] == b"RIFF"
+        m = decode_media(p)
+        assert m["kind"] == "audio" and m["w"] == WAV_RATE
+        assert m["h"] == len(m["body"])
 
     def test_deterministic(self):
         assert synth_payload(7, "video") == synth_payload(7, "video")
 
-    def test_real_codec_is_stubbed(self):
+    def test_jpeg_mp4_still_stubbed(self):
         with pytest.raises(NotImplementedError):
-            decode_media(b"\x89PNG\r\n\x1a\n....")
+            decode_media(b"\xff\xd8\xff\xe0 jpeg bytes")
 
 
 class TestSparkPlumbing:
@@ -30,12 +99,18 @@ class TestSparkPlumbing:
         assert {r["kind"] for r in rows} == {"image", "audio", "video"}
         assert all(r["meta_w"] > 0 for r in rows)
 
-    def test_features_shape(self, spark):
-        f = media_features(media_df(spark, 6)).collect()
+    def test_features_decode_real_content(self, spark):
+        f = {r["media_id"]: r
+             for r in media_features(media_df(spark, 6)).collect()}
         assert len(f) == 6
-        for r in f:
-            assert len(r["features"]) == 16
-            assert abs(sum(r["features"]) - 1.0) < 1e-3  # normalized histogram
+        img = f[0]        # media 0: image, w=8, h=8
+        assert (img["width"], img["height"]) == (8, 8)
+        assert img["content_sum"] == sum((0 + 3 * i) % 256 for i in range(64))
+        aud = f[1]        # media 1: audio
+        n = 64 + (1 * 13) % 192
+        assert (aud["width"], aud["height"]) == (WAV_RATE, n)
+        assert aud["content_sum"] == sum(
+            abs(((31 + i * 17) % 2048) - 1024) for i in range(n))
 
     def test_frame_sampling(self, spark):
         frames = frame_sample(media_df(spark, 9), every_k=2).collect()
