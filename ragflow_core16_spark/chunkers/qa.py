@@ -8,9 +8,10 @@ Re-implementation of ``rag/app/qa.py`` semantics:
     answer; rows before any question are failures (qa.py:317-399);
   * markdown: ``#``-level heading stack forms the question path; body lines
     accumulate into the answer; a new heading flushes the previous Q&A
-    (qa.py:415-447).  The reference renders answers through the ``markdown``
-    lib; absent here, answers stay raw markdown text (divergence documented —
-    affects only the answer rendering, not pairing logic).
+    (qa.py:415-447).  Answers are rendered to HTML like the reference's
+    ``markdown(..., extensions=['tables'])`` via the native subset renderer
+    (``parsers/markdown.py::md_render``; inline emphasis stays verbatim —
+    documented subset).
 """
 
 from __future__ import annotations
@@ -83,6 +84,10 @@ def qa_from_csv(txt: str, eng: bool = True) -> tuple[list[str], list[int]]:
 
 
 def qa_from_markdown(txt: str, eng: bool = True) -> list[str]:
+    """Markdown heading-stack Q&A; answers are RENDERED to HTML like the
+    reference's ``markdown(last_answer, extensions=['tables'])``
+    (rag/app/qa.py:434,446) via the native subset renderer."""
+    from ..parsers.markdown import md_render
     lines = txt.split("\n")
     last_answer = ""
     question_stack: list[str] = []
@@ -101,7 +106,8 @@ def qa_from_markdown(txt: str, eng: bool = True) -> list[str]:
             if last_answer.strip():
                 sum_question = "\n".join(question_stack)
                 if sum_question:
-                    res.append(qa_text(sum_question, last_answer, eng))
+                    res.append(qa_text(sum_question, md_render(last_answer),
+                                       eng))
                 last_answer = ""
             while question_stack and question_level <= level_stack[-1]:
                 question_stack.pop()
@@ -111,7 +117,7 @@ def qa_from_markdown(txt: str, eng: bool = True) -> list[str]:
     if last_answer.strip():
         sum_question = "\n".join(question_stack)
         if sum_question:
-            res.append(qa_text(sum_question, last_answer, eng))
+            res.append(qa_text(sum_question, md_render(last_answer), eng))
     return res
 
 

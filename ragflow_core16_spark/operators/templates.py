@@ -1,5 +1,7 @@
-"""Spark-side chunk-template queries (rows-only driver checks — greedy
-packing and regex table extraction are not SQL-expressible).
+"""Spark-side chunk-template queries, each with a DuckDB oracle: the
+synthetic corpus (single-space lowercase ASCII words) makes the token
+counter exact SQL arithmetic and the greedy close-late packer a recursive
+CTE, so even the packed templates hash-compare against SQL derivations.
 
 Each query exercises one chunk template end-to-end over deterministic inputs
 derived from the driver tables:
@@ -35,6 +37,10 @@ CHUNKS_SCHEMA = StructType([
     StructField("chunk_seq", IntegerType(), False),
     StructField("chunk_text", StringType(), False),
 ])
+
+
+_RM_PREFIX_SQL = (r"^(问题|答案|回答|user|assistant|Q|A|Question|Answer|问|答)"
+                  r"[\t:： ]+")
 
 
 def _docs(spark, sf_dir):
@@ -133,6 +139,53 @@ def qa_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mk = _template_query(lambda t: chunk_qa_text(t, "txt", "English"))
     return mk(spark, sf_dir, to_text)
+
+
+def qa_md_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown Q&A route (rag/app/qa.py:415-447): heading-stack pairing
+    with the answer body RENDERED to HTML (the reference pipes it through
+    ``markdown(..., extensions=['tables'])``; here the native subset
+    renderer).  Per 16 words: one ``# What about …?`` heading + two 6-word
+    body lines → one pair with a ``<p>…</p>`` answer."""
+    from ..chunkers.templates import chunk_qa_text
+
+    def to_text(doc_id, text):
+        words = text.split()
+        md = []
+        for i in range(0, len(words), 16):
+            md.append("# What about " + " ".join(words[i:i + 4]) + "?")
+            if words[i + 4:i + 10]:
+                md.append(" ".join(words[i + 4:i + 10]))
+            if words[i + 10:i + 16]:
+                md.append(" ".join(words[i + 10:i + 16]))
+        return "\n".join(md)
+
+    mk = _template_query(lambda t: chunk_qa_text(t, "md", "English"))
+    return mk(spark, sf_dir, to_text)
+
+
+QA_MD_SQL = rf"""
+WITH toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+pairs AS (
+  SELECT doc_id, CAST((i-1) // 16 AS INTEGER) AS chunk_seq,
+         'What about ' ||
+           array_to_string(list_slice(l, i, least(i+3, n)), ' ') || '?' AS q,
+         array_to_string(list_slice(l, i+4, least(i+9, n)), ' ') AS b1,
+         coalesce(array_to_string(list_slice(l, i+10, least(i+15, n)), ' '),
+                  '') AS b2
+  FROM toklists,
+       LATERAL (SELECT unnest(generate_series(1, n, 16)) AS i) u
+  WHERE i + 4 <= n)
+SELECT doc_id, chunk_seq,
+       'Question: ' || regexp_replace(q, '{_RM_PREFIX_SQL}', '', 'i')
+       || chr(9) || 'Answer: <p>' || b1 ||
+       CASE WHEN b2 != '' THEN chr(10) || b2 ELSE '' END || '</p>'
+         AS chunk_text
+FROM pairs
+ORDER BY doc_id, chunk_seq
+"""
 
 
 def table_template(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,8 +459,6 @@ ORDER BY doc_id, chunk_seq
 """
 
 
-_RM_PREFIX_SQL = (r"^(问题|答案|回答|user|assistant|Q|A|Question|Answer|问|答)"
-                  r"[\t:： ]+")
 
 QA_TEMPLATE_SQL = rf"""
 WITH {_WORDS_CTE.replace("toklists AS (", "toklists AS (", 1)},
@@ -738,6 +789,7 @@ QUERIES = {
     "markdown_template": (markdown_template, MARKDOWN_TEMPLATE_SQL),
     "json_template": (json_template, JSON_TEMPLATE_SQL),
     "qa_template": (qa_template, QA_TEMPLATE_SQL),
+    "qa_md_template": (qa_md_template, QA_MD_SQL),
     "table_template": (table_template, TABLE_TEMPLATE_SQL),
     "email_template": (email_template, EMAIL_TEMPLATE_SQL),
     "tag_template": (tag_template, TAG_TEMPLATE_SQL),

@@ -87,6 +87,99 @@ class MarkdownParser:
         return sections, tbls
 
 
+def md_render(text: str) -> str:
+    """Markdown → HTML for Q&A answer bodies — native subset of what the
+    reference renders via ``markdown(..., extensions=['tables'])``
+    (rag/app/qa.py:434,446).  Covered blocks, emitting the python-markdown
+    block shapes (tags on their own lines for lists/tables, blocks joined
+    by a single newline):
+
+      * paragraphs (blank-line separated; single newlines kept inside),
+      * ATX headers (``#`` … ``######``),
+      * fenced code blocks,
+      * unordered (-/*/+) and ordered lists,
+      * pipe tables (the ``tables`` extension shape).
+
+    Inline emphasis/links are left verbatim — Q&A answer bodies in this
+    pipeline are plain prose, and inline markup parity is documented as
+    out of scope."""
+    lines = text.split("\n")
+    blocks: list[str] = []
+    i = 0
+    # strip leading/trailing blank lines (markdown lib ignores them)
+    while lines and not lines[0].strip():
+        lines.pop(0)
+    while lines and not lines[-1].strip():
+        lines.pop()
+
+    def is_sep(ln: str) -> bool:
+        return bool(re.match(r"^\s*\|?(\s*:?-+:?\s*\|)+\s*:?-+:?\s*\|?\s*$",
+                             ln))
+
+    while i < len(lines):
+        ln = lines[i]
+        if not ln.strip():
+            i += 1
+            continue
+        if ln.lstrip().startswith("```"):
+            j = i + 1
+            while j < len(lines) and not lines[j].lstrip().startswith("```"):
+                j += 1
+            code = "\n".join(lines[i + 1:j])
+            blocks.append(f"<pre><code>{code}\n</code></pre>")
+            i = j + 1
+            continue
+        m = re.match(r"^(#{1,6})\s+(.*?)\s*#*\s*$", ln)
+        if m:
+            lvl = len(m.group(1))
+            blocks.append(f"<h{lvl}>{m.group(2)}</h{lvl}>")
+            i += 1
+            continue
+        if "|" in ln and i + 1 < len(lines) and is_sep(lines[i + 1]):
+            j = i + 2
+            while j < len(lines) and "|" in lines[j] and lines[j].strip():
+                j += 1
+            def cells(row):
+                return [c.strip() for c in row.strip().strip("|").split("|")]
+            out = ["<table>", "<thead>", "<tr>"]
+            out += [f"<th>{h}</th>" for h in cells(ln)]
+            out += ["</tr>", "</thead>", "<tbody>"]
+            for row in lines[i + 2:j]:
+                out.append("<tr>")
+                out += [f"<td>{c}</td>" for c in cells(row)]
+                out.append("</tr>")
+            out += ["</tbody>", "</table>"]
+            blocks.append("\n".join(out))
+            i = j
+            continue
+        m = re.match(r"^\s*([-*+]|\d+\.)\s+(.*)$", ln)
+        if m:
+            ordered = m.group(1)[0].isdigit()
+            items = []
+            while i < len(lines):
+                mm = re.match(r"^\s*(?:[-*+]|\d+\.)\s+(.*)$", lines[i])
+                if not mm:
+                    break
+                items.append(f"<li>{mm.group(1).strip()}</li>")
+                i += 1
+            tag = "ol" if ordered else "ul"
+            blocks.append(f"<{tag}>\n" + "\n".join(items) + f"\n</{tag}>")
+            continue
+        j = i
+        para: list[str] = []
+        while j < len(lines) and lines[j].strip() \
+                and not lines[j].lstrip().startswith("```") \
+                and not re.match(r"^(#{1,6})\s+", lines[j]) \
+                and not re.match(r"^\s*(?:[-*+]|\d+\.)\s+", lines[j]) \
+                and not ("|" in lines[j] and j + 1 < len(lines)
+                         and is_sep(lines[j + 1])):
+            para.append(lines[j].strip())
+            j += 1
+        blocks.append("<p>" + "\n".join(para) + "</p>")
+        i = j
+    return "\n".join(blocks)
+
+
 def md_table_to_html(md: str) -> str:
     """Render a markdown pipe table (or pass through an HTML table) to HTML."""
     md = md.strip()
