@@ -1,21 +1,35 @@
-"""Arc90 readability main-content extraction, implemented from scratch.
+"""readability-lxml 0.8.1 main-content extraction, re-implemented natively.
 
 The reference delegates boilerplate stripping to readability-lxml 0.8.1
 (``deepdoc/parser/html_parser.py:45-47``: ``Document(txt).summary(
-html_partial=True)``).  That library is a public implementation of the Arc90
-"Readability" text-density + link-density scoring algorithm; this module is a
-native re-implementation of that published algorithm over our stdlib DOM
-(no lxml available here):
+html_partial=True)``).  lxml is not available here, so this module
+re-implements that library's PUBLISHED ALGORITHM over our stdlib DOM —
+not generic Arc90, but the 0.8.1 behaviors specifically (each pinned by a
+test in ``tests/test_html.py::TestReadability081Checklist``):
 
-  1. remove script/style; drop "unlikely candidate" nodes by class/id regex;
-  2. score every <p>/<td>/<pre> by text length + comma count, propagating to
-     parent (x1) and grandparent (x0.5), with tag + class/id weight priors;
-  3. penalize candidates by link density;
-  4. pick the best candidate, re-attach qualifying siblings;
-  5. conditional cleanup of low-signal lists/tables/divs in the article.
+  1.  the exact 0.8.1 regex sets (unlikelyCandidates / okMaybeItsACandidate
+      / positive / negative / divToPElements) — no additions;
+  2.  ``remove_unlikely_candidates``: class+id concatenated, <html>/<body>
+      exempt, okMaybe overrides unlikely;
+  3.  div→p transform driven by the SERIALIZED child markup (a block tag
+      anywhere in the subtree keeps the div — not just direct children),
+      plus the second pass that wraps stray div text/tails into <p> and
+      drops <br> children;
+  4.  paragraph scoring ``1 + len(text.split(',')) + min(len(text)/100,
+      3)`` (the split yields pieces, so a comma-less paragraph scores 2+),
+      parent ×1 / grandparent ×0.5, candidate init by tag prior +
+      class weight, final scale by (1 − link_density);
+  5.  sibling re-attachment at ``max(10, best_score·0.2)``; the extra <p>
+      rules use the sibling's LEADING TEXT (lxml ``.text``), link density
+      thresholds 0.25 / 0, and the ``\\.( |$)`` sentence test;
+  6.  ``html_partial=True`` wraps the article in a bare <div> fragment
+      (no html/body shell);
+  7.  sanitize: headers with negative class weight or link density > 0.33
+      removed; conditional cleaning of table/ul/div/aside/header/footer/
+      section by the 0.8.1 counts rules (img vs p, li vs p outside lists,
+      input density, short-content, link-density by weight band, embeds).
 
-Pure Python, runs only inside Arrow-batched UDFs.  Deterministic: regexes and
-thresholds are the published Arc90 constants.
+Pure Python, runs only inside Arrow-batched UDFs.
 """
 
 from __future__ import annotations
@@ -24,29 +38,43 @@ import re
 
 from .dom import Node, parse_html, inner_html
 
+# the 0.8.1 regex sets, verbatim
 UNLIKELY_RE = re.compile(
     r"combx|comment|community|disqus|extra|foot|header|menu|remark|rss|"
     r"shoutbox|sidebar|sponsor|ad-break|agegate|pagination|pager|popup|"
-    r"tweet|twitter|nav|banner|advert|\bad\b|\bads\b",
+    r"tweet|twitter",
     re.I,
 )
 MAYBE_RE = re.compile(r"and|article|body|column|main|shadow", re.I)
 POSITIVE_RE = re.compile(
-    r"article|body|content|entry|hentry|main|page|pagination|post|text|blog|story", re.I
+    r"article|body|content|entry|hentry|main|page|pagination|post|text|"
+    r"blog|story", re.I,
 )
 NEGATIVE_RE = re.compile(
     r"combx|comment|com-|contact|foot|footer|footnote|masthead|media|meta|"
     r"outbrain|promo|related|scroll|shoutbox|sidebar|sponsor|shopping|tags|"
-    r"tool|widget|nav|ad-|advert",
+    r"tool|widget",
     re.I,
 )
-_DIV_TO_P_BLOCKS = ("a", "blockquote", "dl", "div", "img", "ol", "p", "pre", "table", "ul")
+DIV_TO_P_RE = re.compile(r"<(a|blockquote|dl|div|img|ol|p|pre|table|ul)",
+                         re.I)
 
 MIN_TEXT_LEN = 25
 
 
 def _norm_text(n: Node) -> str:
     return re.sub(r"\s+", " ", n.text_content()).strip()
+
+
+def _leading_text(n: Node) -> str:
+    """lxml ``elem.text``: the text before the first child ELEMENT."""
+    out = []
+    for c in n.children:
+        if isinstance(c, str):
+            out.append(c)
+        else:
+            break
+    return "".join(out)
 
 
 def _class_weight(n: Node) -> float:
@@ -104,12 +132,12 @@ class Document:
 
     # ------------------------------------------------------------------
     def summary(self, html_partial: bool = True) -> str:
-        """Return the main-article fragment as an HTML string.
-
-        html_partial=True (the reference's mode) omits any wrapping
-        body/html — we return the best candidate subtree + joined siblings
-        inside a single <div>."""
-        return inner_html(self.summary_node())
+        """Main-article fragment as an HTML string.  ``html_partial=True``
+        (the reference's mode) returns the bare <div> fragment, as 0.8.1
+        does with ``fragment_fromstring('<div/>')``."""
+        node = self.summary_node()
+        body = inner_html(node)
+        return f"<div>{body}</div>" if html_partial else body
 
     def summary_node(self) -> Node:
         """Main-article fragment as a DOM node (fast path: callers that only
@@ -120,8 +148,9 @@ class Document:
         if self._title is None:
             t = root.find("title")
             self._title = _norm_text(t) if t is not None else ""
-        for bad in root.find_all("script", "style", "noscript", "iframe", "form",
-                                 "button", "input", "textarea", "select"):
+        for bad in root.find_all("script", "style", "noscript", "iframe",
+                                 "form", "button", "input", "textarea",
+                                 "select"):
             bad.drop()
         self._remove_unlikely(root)
         self._divs_to_paragraphs(root)
@@ -136,17 +165,46 @@ class Document:
 
     # ------------------------------------------------------------------
     def _remove_unlikely(self, root: Node):
+        # 0.8.1 remove_unlikely_candidates: "<class> <id>", html/body exempt
         for n in list(root.iter()):
             if n.tag in ("#document", "html", "body"):
                 continue
             attrs = f"{n.get('class', '')} {n.get('id', '')}"
-            if attrs.strip() and UNLIKELY_RE.search(attrs) and not MAYBE_RE.search(attrs):
+            if len(attrs) < 2:
+                continue
+            if UNLIKELY_RE.search(attrs) and not MAYBE_RE.search(attrs):
                 n.drop()
 
     def _divs_to_paragraphs(self, root: Node):
+        # pass 1 (0.8.1): a div whose SERIALIZED subtree markup contains no
+        # block tag becomes a <p> — the test is over tostring(children),
+        # so a block element at ANY depth keeps the div
         for n in root.find_all("div"):
-            if not any(isinstance(c, Node) and c.tag in _DIV_TO_P_BLOCKS for c in n.children):
+            # equivalent to searching tostring(children): text/tails cannot
+            # contain a literal '<' post-parse, so the descendant tag
+            # openings are exactly what the regex can match
+            child_tags = "".join(
+                f"<{c.tag}" for c in n.iter() if c is not n)
+            if not DIV_TO_P_RE.search(child_tags):
                 n.tag = "p"
+        # pass 2 (0.8.1): wrap stray div text/tails into <p>, drop <br>s
+        for n in root.find_all("div"):
+            new_children = []
+            for c in n.children:
+                if isinstance(c, str):
+                    if c.strip():
+                        p = Node("p", {})
+                        p.append(c)
+                        p.parent = n
+                        new_children.append(p)
+                    # whitespace-only stray text is dropped with its wrap
+                    else:
+                        new_children.append(c)
+                elif c.tag == "br":
+                    continue
+                else:
+                    new_children.append(c)
+            n.children[:] = new_children
 
     def _score_paragraphs(self, root: Node) -> dict:
         candidates: dict[Node, float] = {}
@@ -159,7 +217,10 @@ class Document:
             text = _norm_text(p)
             if len(text) < MIN_TEXT_LEN:
                 continue
-            score = 1.0 + text.count(",") + text.count("，") + min(len(text) / 100.0, 3.0)
+            # 0.8.1: 1 + len(split(',')) + min(len/100, 3) — the split
+            # yields pieces (commas+1), so a comma-less paragraph adds 2+
+            score = (1.0 + len(text.split(","))
+                     + min(len(text) / 100.0, 3.0))
             for node, share in ((parent, 1.0), (grand, 0.5)):
                 if node is None or node.tag in ("#document", "html"):
                     continue
@@ -171,8 +232,9 @@ class Document:
             candidates[node] *= (1.0 - _link_density(node))
         return candidates
 
-    def _join_siblings(self, best: Node, best_score: float, candidates: dict) -> Node:
-        article = Node("div", {"class": "article"})
+    def _join_siblings(self, best: Node, best_score: float,
+                       candidates: dict) -> Node:
+        article = Node("div", {})
         threshold = max(10.0, best_score * 0.2)
         parent = best.parent
         siblings = parent.children if parent is not None else [best]
@@ -185,11 +247,15 @@ class Document:
             elif candidates.get(sib, -1e9) >= threshold:
                 keep = True
             elif sib.tag == "p":
-                text = _norm_text(sib)
+                # 0.8.1 uses the sibling's LEADING text (lxml .text), not
+                # the full text_content, for these two rules
+                node_content = _leading_text(sib)
+                node_length = len(node_content)
                 ld = _link_density(sib)
-                if len(text) > 80 and ld < 0.25:
+                if node_length > 80 and ld < 0.25:
                     keep = True
-                elif len(text) <= 80 and ld == 0 and re.search(r"[.。]( |$)", text):
+                elif node_length <= 80 and ld == 0 \
+                        and re.search(r"\.( |$)", node_content):
                     keep = True
             if keep:
                 article.append(_clone(sib))
@@ -198,21 +264,50 @@ class Document:
         return article
 
     def _sanitize(self, article: Node, candidates: dict):
-        # conditional cleaning of low-signal containers inside the article
-        for n in list(article.iter()):
-            if n is article or n.tag not in ("table", "ul", "div", "section"):
-                continue
+        # 0.8.1: headers go when negatively classed or link-dense
+        for h in list(article.find_all("h1", "h2", "h3", "h4", "h5", "h6")):
+            if _class_weight(h) < 0 or _link_density(h) > 0.33:
+                h.drop()
+        # conditional cleaning (0.8.1 clean_conditionally), deepest-first
+        targets = [n for n in article.iter()
+                   if n is not article and n.tag in (
+                       "table", "ul", "div", "aside", "header", "footer",
+                       "section")]
+        for n in reversed(targets):
+            if n.parent is None:
+                continue        # already dropped with an ancestor
             weight = _class_weight(n)
-            if weight < 0:
+            if weight + candidates.get(n, 0.0) < 0:
                 n.drop()
                 continue
             text = _norm_text(n)
-            if text.count(",") + text.count("，") < 10:
-                ld = _link_density(n)
-                if weight < 25 and ld > 0.2:
-                    n.drop()
-                elif weight >= 25 and ld > 0.5:
-                    n.drop()
+            if text.count(",") >= 10:
+                continue
+            counts = {t: len(n.find_all(t))
+                      for t in ("p", "img", "li", "input", "embed")}
+            counts["li"] -= 100
+            content_length = len(text)
+            ld = _link_density(n)
+            remove = False
+            if counts["img"] > 1 + counts["p"] * 1.3:
+                remove = True           # too many images
+            elif counts["li"] > counts["p"] and n.tag not in ("ol", "ul"):
+                remove = True           # more list items than paragraphs
+            elif counts["input"] > counts["p"] / 3:
+                remove = True           # form-like
+            elif content_length < MIN_TEXT_LEN and counts["img"] == 0:
+                remove = True           # short with nothing to show
+            elif content_length < MIN_TEXT_LEN and counts["img"] > 2:
+                remove = True
+            elif weight < 25 and ld > 0.2:
+                remove = True           # link farm, unclassed
+            elif weight >= 25 and ld > 0.5:
+                remove = True           # link farm, even well-classed
+            elif (counts["embed"] == 1 and content_length < 75) \
+                    or counts["embed"] > 1:
+                remove = True
+            if remove:
+                n.drop()
 
 
 def _clone(n):
