@@ -143,7 +143,10 @@ class RagTokenizer:
         # encode round trip is too slow for merge_'s per-window probes)
         self._freq_str: dict[str, int] = {}
         self._tag_str: dict[str, str] = {}
+        from .cjk_lexicon import LEXICON
         entries = list(_BUILTIN_DICT)
+        seen = {w for w, _f, _t in entries}
+        entries.extend(e for e in LEXICON if e[0] not in seen)
         path = dict_path or os.environ.get("RAG_TOKENIZER_DICT")
         if path and os.path.exists(path):
             entries = self._read_dict(path)

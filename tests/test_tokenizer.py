@@ -85,3 +85,33 @@ class TestCustomDict:
         p.write_text("测试词 50000 n\n", encoding="utf-8")
         tk = RagTokenizer(dict_path=str(p))
         assert "测试词" in tk.tokenize("这是测试词汇")
+
+
+class TestBuiltinLexicon:
+    """The enlarged built-in lexicon (cjk_lexicon.py): hand-verified
+    segmentations of mixed-script text and sanity bounds."""
+
+    def test_lexicon_size(self):
+        from ragflow_core16_spark.textnorm.rag_tokenizer import get_tokenizer
+        assert len(get_tokenizer()._freq_str) > 1200
+
+    def test_hand_verified_segmentations(self):
+        from ragflow_core16_spark.textnorm.rag_tokenizer import tokenize
+        assert tokenize("大数据分析平台支持流式计算").split() == [
+            "大数据", "分析平台", "支持", "流式计算"]
+        assert tokenize("机器学习模型的训练数据来自分布式存储系统").split() == [
+            "机器学习", "模型", "的", "训练", "数据", "来自", "分布式",
+            "存储系统"]
+        assert tokenize("根据中华人民共和国数据安全法的规定").split() == [
+            "根据", "中华人民共和国", "数据", "安全", "法", "的", "规定"]
+
+    def test_mixed_script(self):
+        from ragflow_core16_spark.textnorm.rag_tokenizer import tokenize
+        toks = tokenize("spark 实时计算脚本 window 聚合").split()
+        assert "实时" in toks and "脚本" in toks
+        assert "spark" in toks and "window" in toks
+
+    def test_generated_compounds_segment(self):
+        from ragflow_core16_spark.textnorm.rag_tokenizer import tokenize
+        assert tokenize("数据平台与存储服务").split() == [
+            "数据平台", "与", "存储服务"]
