@@ -561,13 +561,77 @@ ORDER BY doc_id, chunk_seq
 """
 
 
+# Manual route: one chunk per Topic — the question-stack path 'Manual N\n
+# Topic k' + blank line + the topic's three 12-word body lines — plus the
+# colspan-merged table HTML.  Laws route: hierarchical level tree — chunk 0
+# is the H1 with its H2 children, then one chunk per chapter with its four
+# 'Article i.' sections.
+MANUAL_TEMPLATE_SQL = r"""
+WITH toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+sized AS (SELECT doc_id, l, n, CAST(ceil(n/12.0) AS BIGINT) AS nl
+          FROM toklists),
+topics AS (
+  SELECT doc_id, CAST(k - 1 AS INTEGER) AS chunk_seq,
+         'Manual ' || doc_id || chr(10) || 'Topic ' || k
+         || chr(10) || chr(10) ||
+         (SELECT string_agg(
+            array_to_string(list_slice(l, i*12 + 1, least(i*12 + 12, n)),
+                            ' ') || '.', chr(10) ORDER BY i)
+          FROM unnest(generate_series(3*(k-1), least(3*k, nl) - 1)) AS t(i))
+           AS chunk_text
+  FROM sized,
+       LATERAL (SELECT unnest(generate_series(
+                  1, CAST(ceil(nl/3.0) AS BIGINT))) AS k) u),
+tbl AS (
+  SELECT doc_id,
+         CAST(ceil(CAST(ceil(n/12.0) AS BIGINT)/3.0) AS INTEGER) AS chunk_seq,
+         '<table><tr><td colspan=''2''>spec</td><td>value</td></tr>' ||
+         '<tr><td colspan=''2''>words</td><td>' || n ||
+         '</td></tr></table>' AS chunk_text
+  FROM sized)
+SELECT doc_id, chunk_seq, chunk_text FROM topics
+UNION ALL SELECT doc_id, chunk_seq, chunk_text FROM tbl
+ORDER BY doc_id, chunk_seq
+"""
+
+LAWS_DOCX_SQL = r"""
+WITH toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+sized AS (SELECT doc_id, l, n, CAST(ceil(n/10.0) AS BIGINT) AS nl,
+                 CAST(ceil(ceil(n/10.0)/4.0) AS BIGINT) AS nc
+          FROM toklists),
+head AS (
+  SELECT doc_id, 0 AS chunk_seq,
+         'Statute ' || doc_id || chr(10) ||
+         (SELECT string_agg('Chapter ' || c, chr(10) ORDER BY c)
+          FROM unnest(generate_series(1, nc)) AS t(c)) AS chunk_text
+  FROM sized),
+chapters AS (
+  SELECT doc_id, CAST(c AS INTEGER) AS chunk_seq,
+         'Chapter ' || c || chr(10) ||
+         (SELECT string_agg(
+            'Article ' || (i + 1) || '. ' ||
+            array_to_string(list_slice(l, i*10 + 1, least(i*10 + 10, n)),
+                            ' '), chr(10) ORDER BY i)
+          FROM unnest(generate_series(4*(c-1), least(4*c, nl) - 1)) AS t(i))
+           AS chunk_text
+  FROM sized, LATERAL (SELECT unnest(generate_series(1, nc)) AS c) u)
+SELECT doc_id, chunk_seq, chunk_text FROM head
+UNION ALL SELECT doc_id, chunk_seq, chunk_text FROM chapters
+ORDER BY doc_id, chunk_seq
+"""
+
+
 QUERIES = {
     "docx_template": (docx_template, DOCX_TEMPLATE_SQL),
     "xlsx_template": (xlsx_template, XLSX_TEMPLATE_SQL),
     "qa_xlsx_template": (qa_xlsx_template, QA_XLSX_SQL),
     "pptx_template": (pptx_template, PPTX_TEMPLATE_SQL),
-    "manual_template": (manual_template, None),
-    "laws_docx_template": (laws_docx_template, None),
+    "manual_template": (manual_template, MANUAL_TEMPLATE_SQL),
+    "laws_docx_template": (laws_docx_template, LAWS_DOCX_SQL),
     "qa_docx_template": (qa_docx_template, QA_DOCX_SQL),
     "xlsx_html_template": (xlsx_html_template, XLSX_HTML_SQL),
 }
