@@ -1,18 +1,26 @@
-"""HTML → plain text with html-text-style whitespace normalization.
+"""HTML → plain text with html-text 0.6.2 whitespace normalization.
 
 The reference uses ``html_text.extract_text(...)`` (html-text 0.6.2) on the
 readability summary (``deepdoc/parser/html_parser.py:47``).  html-text's
-public behavior, reproduced here natively:
+behavior, reproduced natively (each rule pinned in
+``tests/test_html.py::TestHtmlText062Whitespace``):
 
   * script/style content dropped;
-  * block-level elements separated by a single newline;
-  * inline text chunks joined by a single space, except that no space is
-    inserted before trailing punctuation (``.,!?;:)]"'%``) or after an
-    opening bracket/quote — the "guess_punct_space" heuristic;
-  * all runs of whitespace inside a text node collapse to one space;
-  * leading/trailing whitespace trimmed, no blank lines.
+  * block-level elements force line breaks (html-text distinguishes
+    single- vs double-newline tags; the reference immediately splits on
+    ``"\\n"`` — ``html_parser.py:49`` — so a single newline is
+    text-equivalent and is what we emit);
+  * within a line, chunks are joined by one space, using 0.6.2's
+    ``guess_punct_space`` rules:
+      - if the previous RAW text fragment ended with whitespace, a space
+        is ALWAYS inserted;
+      - otherwise the space is suppressed when the next fragment starts
+        with one of ``,:;.!?")`` or the previous fragment ends with ``(``;
+  * runs of whitespace inside a fragment collapse to one space;
+  * no leading/trailing whitespace, no blank lines.
 
-Deterministic pure Python over our stdlib DOM; runs inside Arrow-batched UDFs.
+Deterministic pure Python over our stdlib DOM; runs inside Arrow-batched
+UDFs.
 """
 
 from __future__ import annotations
@@ -21,9 +29,8 @@ import re
 
 from .dom import Node, parse_html
 
-# html-text's newline-forcing tags (block-level, double-newline in the lib
-# collapse to "\n" after RAGFlow's split("\n") + empty-drop, so a single \n
-# is equivalent for section output).
+# html-text's newline-forcing tags (NEWLINE_TAGS ∪ DOUBLE_NEWLINE_TAGS —
+# the downstream split("\n") makes the single/double distinction moot)
 BLOCK_TAGS = frozenset(
     """address article aside blockquote body br caption center col colgroup dd
     details dir div dl dt fieldset figcaption figure footer form h1 h2 h3 h4 h5
@@ -32,8 +39,10 @@ BLOCK_TAGS = frozenset(
 )
 _SKIP_TAGS = frozenset(("script", "style", "noscript", "title", "head"))
 
-_NO_SPACE_BEFORE = set(".,!?;:)]}»›'\"%")
-_NO_SPACE_AFTER = set("([{«‹\"'")
+# 0.6.2's exact rules
+_PUNCT_AFTER = re.compile(r'^[,:;.!?")]')
+_OPEN_BRACKET_BEFORE = re.compile(r"\($")
+_TRAILING_WS = re.compile(r"\s$")
 _WS = re.compile(r"\s+")
 
 
@@ -46,7 +55,7 @@ def extract_text(html: str) -> str:
 
 def extract_text_from_node(root: Node) -> str:
     lines: list[str] = []
-    cur: list[str] = []  # inline chunks of the current line
+    cur: list[tuple[str, str]] = []  # (normalized fragment, raw fragment)
 
     def flush():
         if cur:
@@ -57,9 +66,9 @@ def extract_text_from_node(root: Node) -> str:
 
     def walk(n):
         if isinstance(n, str):
-            t = _WS.sub(" ", n).strip()
-            if t:
-                cur.append(t)
+            t = _WS.sub(" ", n)
+            if t.strip():
+                cur.append((t, n))
             return
         if n.tag in _SKIP_TAGS:
             return
@@ -76,13 +85,20 @@ def extract_text_from_node(root: Node) -> str:
     return "\n".join(lines)
 
 
-def _join_inline(chunks: list[str]) -> str:
-    out = chunks[0]
-    for c in chunks[1:]:
-        if not c:
+def _join_inline(chunks: list[tuple[str, str]]) -> str:
+    out = chunks[0][0].strip()
+    prev_raw = chunks[0][1]
+    for norm, raw in chunks[1:]:
+        stripped = norm.strip()
+        if not stripped:
             continue
-        if out and (c[0] in _NO_SPACE_BEFORE or out[-1] in _NO_SPACE_AFTER):
-            out += c
+        # 0.6.2 guess_punct_space: trailing whitespace on the RAW previous
+        # fragment always wins; only a tight join may suppress the space
+        if not _TRAILING_WS.search(prev_raw) and (
+                _PUNCT_AFTER.match(norm) or
+                _OPEN_BRACKET_BEFORE.search(prev_raw)):
+            out += stripped
         else:
-            out += " " + c
+            out += " " + stripped
+        prev_raw = raw
     return out.strip()

@@ -299,3 +299,56 @@ class TestReadability081Checklist:
                 f'<ul>{links}</ul></div>')
         out = self._doc(html).summary()
         assert "link text 3" not in out
+
+
+class TestHtmlText062Whitespace:
+    """html-text 0.6.2 guess_punct_space rules, each pinned (textify.py)."""
+
+    def _t(self, html):
+        from ragflow_core16_spark.html.textify import extract_text
+        return extract_text(html)
+
+    def test_tight_punct_join(self):
+        # no whitespace in the source between 'foo' and '.' → glued; the
+        # fragment AFTER the punct still gets a space (it neither starts
+        # with punct nor follows '(')
+        assert self._t("<p>foo<b>.</b>continues</p>") == "foo. continues"
+        assert self._t("<p>foo<b>.</b></p>") == "foo."
+
+    def test_raw_trailing_whitespace_always_spaces(self):
+        # source whitespace before the punct fragment survives as a space
+        assert self._t("<p>foo <b>.</b></p>") == "foo ."
+
+    def test_open_bracket_glues_forward(self):
+        assert self._t("<p>see(<b>note</b>) here</p>") == "see(note) here"
+
+    def test_punct_set_is_exact_062(self):
+        # '%' and ']' are NOT in 0.6.2's punct-after set → spaced
+        assert self._t("<p>50<b>%</b></p>") == "50 %"
+        assert self._t("<p>a<b>]</b></p>") == "a ]"
+        # ')' IS in the set
+        assert self._t("<p>a<b>)</b></p>") == "a)"
+
+    def test_inline_whitespace_collapses(self):
+        assert self._t("<p>a\n\t  b</p>") == "a b"
+
+    def test_blocks_become_lines(self):
+        assert self._t("<div>a</div><div>b</div>") == "a\nb"
+        assert self._t("<p>a<br>b</p>") == "a\nb"
+
+    def test_nested_table_cells_line_split(self):
+        out = self._t("<table><tr><td>c1</td><td><table><tr><td>n1</td>"
+                      "</tr></table></td></tr></table>")
+        assert out.split("\n") == ["c1", "n1"]
+
+    def test_definition_list(self):
+        out = self._t("<dl><dt>term</dt><dd>def one</dd></dl>")
+        assert out.split("\n") == ["term", "def one"]
+
+    def test_nbsp_and_entities(self):
+        # &nbsp; is whitespace after entity decode; &amp; is a literal
+        assert self._t("<p>a&nbsp;b &amp; c</p>") == "a b & c"
+
+    def test_skip_script_style(self):
+        assert self._t("<p>keep</p><script>var x=1;</script>"
+                       "<style>p{}</style>") == "keep"
