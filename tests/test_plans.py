@@ -103,3 +103,25 @@ def test_lsh_ann_bucket_join_broadcasts_query(spark):
     plan = _formatted(E._registry()["lsh_ann_topk"][0](spark, SF))
     assert "Broadcast" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_queries_share_persisted_intermediates(spark):
+    """minhash/LSH/jaccard all derive from ONE persisted shingle relation
+    and ONE persisted wide signature (operators/dedup.py _memo): after the
+    signature query builds them, the jaccard plan must read the in-memory
+    relation instead of re-deriving shingles from parquet."""
+    import ragflow_core16_spark.operators.dedup as D
+    D._MEMO.clear()
+    D.minhash_lsh_pairs(spark, SF).count()     # builds + persists
+    plan = _formatted(D.ngram_jaccard(spark, SF))
+    assert "InMemoryTableScan" in plan
+
+
+def test_template_sort_reads_checkpoint_not_python_stage(spark):
+    """The presentation orderBy runs over a lazy localCheckpoint — the
+    sort's child is an RDD scan, so the range-partitioner sampling pass
+    cannot re-execute the Arrow/Python extraction stage."""
+    plan = _formatted(E._registry()["txt_template"][0](spark, SF))
+    assert "rangepartitioning" in plan
+    assert "Scan ExistingRDD" in plan
+    assert "MapInPandas" not in plan       # lineage truncated at checkpoint
