@@ -358,10 +358,132 @@ FROM votes ORDER BY doc_id
 SIMHASH_SQL = _simhash_sql()
 
 
+# ------------------------------------------------------- dup clustering
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate pairs → duplicate
+    CLUSTERS (canonical = min doc_id of the component) with sizes.
+
+    Algorithm: min-label propagation to fixpoint — each node repeatedly
+    takes the minimum label among itself and its neighbors.  Converges in
+    O(component diameter) rounds; every round is one keyed shuffle over
+    the EDGE list (∝ collisions, never |docs|²), which is the standard
+    scalable formulation (the alternating large-star/small-star refinement
+    drops in unchanged if diameters grow).  The driver loop carries only a
+    changed-count scalar per round — no data ever collects.  Dup pairs are
+    a vanishing fraction of a 100 TB corpus, so the iterated relation is
+    tiny relative to the scan that produced it."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.union(pairs.select(F.col("doc_b").alias("doc_a"),
+                                      F.col("doc_a").alias("doc_b")))
+             .distinct().cache())
+    labels = (edges.select(F.col("doc_a").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node")).cache())
+    while True:
+        neigh = (edges.join(labels, edges.doc_b == labels.node)
+                 .groupBy(F.col("doc_a").alias("node"))
+                 .agg(F.min("label").alias("nmin")))
+        new = (labels.join(neigh, "node", "left")
+               .select("node", F.least("label", F.coalesce("nmin", "label"))
+                       .alias("label")).cache())
+        changed = (new.alias("n").join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return (labels.groupBy(F.col("label").alias("cluster_id"))
+            .agg(F.count(F.lit(1)).alias("size"),
+                 F.sort_array(F.collect_list("node")).alias("members"))
+            .select("cluster_id", "size",
+                    F.array_join(F.transform("members",
+                                             lambda x: x.cast("string")),
+                                 ",").alias("members"))
+            .orderBy("cluster_id"))
+
+
+DEDUP_CLUSTERS_SQL = (r"""
+WITH RECURSIVE """ + _SHINGLES_CTE + r""",
+  seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+  hashed AS (
+    SELECT s.doc_id, sd.seed,
+           ('0x' || substr(md5(s.shingle || '#' || sd.seed), 1, 15))::BIGINT AS h
+    FROM shingles s CROSS JOIN seeds sd),
+  sig AS (SELECT doc_id, seed, min(h) AS minhash
+          FROM hashed GROUP BY doc_id, seed),
+  bands AS (
+    SELECT doc_id, seed // 4 AS band,
+           md5(string_agg(seed || ':' || minhash, ',' ORDER BY seed || ':' || minhash)) AS band_hash
+    FROM sig GROUP BY doc_id, seed // 4),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+  edges AS (
+    SELECT doc_a, doc_b FROM cand
+    UNION SELECT doc_b, doc_a FROM cand),
+  reach AS (
+    SELECT doc_a AS node, doc_a AS r FROM edges
+    UNION
+    SELECT e.doc_a AS node, r.r
+    FROM reach r JOIN edges e ON e.doc_b = r.node),
+  labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT cluster_id, count(*) AS size,
+       string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+FROM labels GROUP BY cluster_id ORDER BY cluster_id
+""")
+
+
+# --------------------------------------------------- stratified sampling
+# per-language keep rates for a training-data mix rebalance (fractions of
+# 1000 so the hash bucketing is integer-exact in both engines)
+SAMPLE_RATES = {"en": 500, "zh": 800, "de": 300, "fr": 300, "es": 300}
+SAMPLE_DEFAULT = 250
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: keep a document when
+    ``md5(doc_id:lang) mod 1000`` falls under its language's rate — a
+    pure column predicate, embarrassingly parallel, reproducible across
+    engines and cluster sizes (no RNG state, no sort).  This is how a
+    100 TB training-mix rebalance actually ships: the sample decision
+    must be a function of the ROW, not of partition iteration order."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    bucket = F.pmod(_md5_bigint(F.concat_ws(":", "doc_id", "lang")),
+                    F.lit(1000))
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v))
+          for k, v in sorted(SAMPLE_RATES.items())],
+        F.lit(SAMPLE_DEFAULT))
+    return (d.withColumn("bucket", bucket)
+            .filter(F.col("bucket") < rate)
+            .select("doc_id", "lang", F.col("bucket").cast("long")
+                    .alias("bucket"))
+            .orderBy("doc_id"))
+
+
+def _stratified_sample_sql() -> str:
+    whens = " ".join(f"WHEN '{k}' THEN {v}"
+                     for k, v in sorted(SAMPLE_RATES.items()))
+    return rf"""
+WITH d AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id || ':' || lang), 1, 15))::BIGINT % 1000
+           AS bucket
+  FROM documents)
+SELECT doc_id, lang, bucket
+FROM d
+WHERE bucket < CASE lang {whens} ELSE {SAMPLE_DEFAULT} END
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash": (simhash, SIMHASH_SQL),
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "stratified_sample": (stratified_sample, _stratified_sample_sql()),
 }
