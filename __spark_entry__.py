@@ -89,10 +89,11 @@ def _registry():
                                                 office, pdf_extract,
                                                 relational, retrieval,
                                                 similarity, templates,
-                                                textstats)
+                                                textstats, training)
     reg: dict[str, tuple] = {}
     for mod in (textstats, dedup, similarity, retrieval, relational,
-                templates, pdf_extract, multimodal, office, embed):
+                templates, pdf_extract, multimodal, office, embed,
+                training):
         for name, (fn, sql) in mod.QUERIES.items():
             reg[name] = (fn, sql)
     reg["extract_pages_e2e"] = (_q_extract_pages, None)

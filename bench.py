@@ -29,10 +29,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # operator queries timed in the default bench (name → registry key)
 BENCH_QUERIES = [
     "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard", "simhash",
+    "dedup_clusters", "stratified_sample",
     "cosine_topk", "ivf_ann_topk", "fulltext_topn", "hybrid_fusion",
     "pricing_summary", "revenue_by_nation", "events_hourly", "sessionize",
     "doc_quality", "xlsx_template", "embed_docs", "insert_citations",
-    "pdf_template", "paper_pdf_template",
+    "pdf_template", "paper_pdf_template", "pdf_table_template",
+    "email_template",
 ]
 
 
