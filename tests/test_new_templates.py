@@ -113,3 +113,60 @@ def test_presentation_garbage_rule():
     assert _presentation_garbage("3/4")
     assert _presentation_garbage("ab")
     assert not _presentation_garbage("Slide title")
+
+
+class TestTrainingOps:
+    def test_sequence_pack_conserves_tokens(self, spark):
+        """Σ tok_in_seq per doc == the doc's token count; sequences fill to
+        SEQ_LEN except each language stream's last."""
+        from ragflow_core16_spark.operators.training import (SEQ_LEN,
+                                                             sequence_pack)
+        import pyspark.sql.functions as F
+        df = sequence_pack(spark, "/root/testdata/sf0.001").cache()
+        per_seq = (df.groupBy("lang", "seq_id")
+                   .agg(F.sum("tok_in_seq").alias("fill"))
+                   .collect())
+        last = {}
+        for r in per_seq:
+            last[r.lang] = max(last.get(r.lang, -1), r.seq_id)
+        for r in per_seq:
+            if r.seq_id < last[r.lang]:
+                assert r.fill == SEQ_LEN, (r.lang, r.seq_id, r.fill)
+            else:
+                assert 0 < r.fill <= SEQ_LEN
+        df.unpersist()
+
+    def test_dedup_clusters_cover_pairs(self, spark):
+        """Every LSH pair must land in one cluster; cluster id is the min
+        member."""
+        from ragflow_core16_spark.operators.dedup import (dedup_clusters,
+                                                          minhash_lsh_pairs)
+        pairs = [(r.doc_a, r.doc_b) for r in
+                 minhash_lsh_pairs(spark, "/root/testdata/sf0.001").collect()]
+        clusters = {}
+        for r in dedup_clusters(spark, "/root/testdata/sf0.001").collect():
+            members = [int(x) for x in r.members.split(",")]
+            assert r.cluster_id == min(members)
+            assert r.size == len(members)
+            for m in members:
+                clusters[m] = r.cluster_id
+        for a, b in pairs:
+            assert clusters[a] == clusters[b]
+
+    def test_stratified_sample_rates(self, spark):
+        """Observed per-language keep rates track the configured rates."""
+        from ragflow_core16_spark.operators.dedup import (SAMPLE_RATES,
+                                                          stratified_sample)
+        import pyspark.sql.functions as F
+        spark_df = stratified_sample(spark, "/root/testdata/sf0.01")
+        kept = {r.lang: r.cnt for r in
+                spark_df.groupBy("lang").agg(F.count("*").alias("cnt"))
+                .collect()}
+        totals = {r.lang: r.cnt for r in
+                  spark_df.sparkSession.read
+                  .parquet("/root/testdata/sf0.01/documents.parquet")
+                  .groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+        for lang, total in totals.items():
+            rate = SAMPLE_RATES.get(lang, 250) / 1000
+            got = kept.get(lang, 0) / total
+            assert abs(got - rate) < 0.25, (lang, got, rate)
