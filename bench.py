@@ -201,8 +201,16 @@ On a real multi-host cluster each 4N-executor group brings its own
 memory channels, so the 4→16 pair is the faithful N→4N analogue.
 """
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
-        f.write(md)
+    path = f"{REPO}/BENCH/BASELINE.md"
+    # preserve an existing executor-group section across rewrites
+    groups_md = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        idx = prev.find("## Executor-group scaling")
+        if idx >= 0:
+            groups_md = "\n" + prev[idx:]
+    with open(path, "w") as f:
+        f.write(md + groups_md)
     print(json.dumps({"efficiency": round(eff, 3), "hash_equal": hash_equal,
                       f"local{lo}": a, f"local{hi}": b}))
 
