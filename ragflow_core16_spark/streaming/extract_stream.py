@@ -49,6 +49,25 @@ def windowed_metrics_stream(extracted: DataFrame,
                  F.sum("n_chunks").alias("chunks_out")))
 
 
+def dedup_stream(extracted: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop content-duplicate documents across
+    micro-batches with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keys the state store on the content
+    hash and evicts entries once the event-time watermark passes them —
+    the streaming analogue of the batch ``dedup_exact`` hash-groupBy, with
+    state ∝ (dup window × ingest rate), not corpus size.  At 100 TB the
+    watermark IS the dedup horizon: crawl re-fetches of the same page
+    arrive within hours, so a bounded horizon catches them while an
+    unbounded exact pass stays a daily batch job (``operators/dedup.py``)."""
+    keyed = extracted.withColumn(
+        "content_md5",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.coalesce(
+            F.col("extracted_text"), F.lit("")))), r"\s+", " ")))
+    return (keyed.withWatermark("warc_ts", watermark)
+            .dropDuplicatesWithinWatermark(["content_md5"]))
+
+
 def run_extract_stream(spark: SparkSession, input_dir: str, out_dir: str,
                        checkpoint_dir: str, once: bool = True):
     """Start the streaming extraction job (availableNow → drain-and-stop,

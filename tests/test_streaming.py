@@ -106,3 +106,43 @@ class TestStatefulSessions:
         a = rows["a.example.com"]
         assert a.n_pages == 3 and a.total_bytes == 3 * len(
             b"<html><body>x</body></html>")
+
+
+class TestDedupStream:
+    def test_cross_batch_duplicates_dropped(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark keyed on content hash: a second
+        micro-batch re-delivering the same page content within the
+        watermark horizon emits nothing new."""
+        import pandas as pd
+        from ragflow_core16_spark.datagen.pages import PAGES_SCHEMA
+        from ragflow_core16_spark.streaming.extract_stream import (
+            dedup_stream, extract_stream)
+
+        inp = str(tmp_path / "in")
+        ckpt = str(tmp_path / "ck")
+        outp = str(tmp_path / "out")
+        body = b"<html><head><title>T</title></head><body><div id='m'>" \
+               b"<p>Alpha beta gamma delta epsilon zeta eta theta, iota " \
+               b"kappa lambda mu nu xi omicron pi rho sigma.</p>" \
+               b"<p>Second paragraph with enough words to score, again " \
+               b"and again and again and again here.</p></div></body></html>"
+        ts = pd.Timestamp("2024-01-01 00:00:00").to_pydatetime()
+
+        def drop(urls, name):
+            rows = [(u, ts, body, "x", "en") for u in urls]
+            spark.createDataFrame(rows, PAGES_SCHEMA) \
+                .write.mode("overwrite").parquet(f"{inp}/{name}")
+            stream = (spark.readStream.schema(PAGES_SCHEMA)
+                      .option("maxFilesPerTrigger", 100)
+                      .parquet(f"{inp}/{name}"))
+            ded = dedup_stream(extract_stream(stream)).drop("chunks")
+            q = (ded.writeStream.format("parquet")
+                 .option("path", outp).option("checkpointLocation", ckpt)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(180)
+
+        drop(["https://a.example.com/1"], "d1")
+        # same CONTENT at a different url, second micro-batch → deduped
+        drop(["https://b.example.com/2"], "d2")
+        got = spark.read.parquet(outp)
+        assert got.count() == 1
