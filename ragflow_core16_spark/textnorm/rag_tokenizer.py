@@ -94,11 +94,9 @@ _BUILTIN_DICT = [
     ("关键词", 10000, "n"), ("前言", 6000, "n"),
 ]
 
-# minimal traditional→simplified map (HanziConv replacement) for common chars
-_T2S = str.maketrans(
-    "萬與醜專業叢東絲丟兩嚴喪個爿豐臨為麗舉麼義烏樂喬習鄉書買亂爭於虧雲亙亞產畝親褻嚲億僅從侖倉儀們價眾優會傴傘偉傳傷倀倫傖偽佇體餘傭僉俠侶僥偵側僑儈儕儂俁儔儼倆儷儉債傾傯僂僨償",
-    "万与丑专业丛东丝丢两严丧个丬丰临为丽举么义乌乐乔习乡书买乱争于亏云亘亚产亩亲亵亸亿仅从仑仓仪们价众优会伛伞伟传伤伥伦伧伪伫体余佣佥侠侣侥侦侧侨侩侪侬俣俦俨俩俪俭债倾偬偻偾偿",
-)
+# traditional→simplified fold (HanziConv replacement): the ~1700-entry
+# curated table in textnorm/t2s.py
+from .t2s import T2S_TABLE as _T2S
 
 SPLIT_CHAR = r"([ ,\.<>/?;:'\[\]\\`!@#$%^&*\(\)\{\}\|_+=《》，。？、；‘’：“”【】~！￥%……（）——-]+|[a-zA-Z0-9,\.-]+)"
 _SPLIT_RE = re.compile(SPLIT_CHAR)

@@ -115,3 +115,11 @@ class TestBuiltinLexicon:
         from ragflow_core16_spark.textnorm.rag_tokenizer import tokenize
         assert tokenize("数据平台与存储服务").split() == [
             "数据平台", "与", "存储服务"]
+
+    def test_traditional_folds_to_simplified(self):
+        from ragflow_core16_spark.textnorm.rag_tokenizer import tokenize
+        # zh-Hant input segments identically to its zh-Hans equivalent
+        assert tokenize("機器學習模型") == tokenize("机器学习模型")
+        assert "机器学习" in tokenize("深度機器學習引擎").split()
+        from ragflow_core16_spark.textnorm.t2s import T2S_PAIRS
+        assert len(T2S_PAIRS) > 1500
