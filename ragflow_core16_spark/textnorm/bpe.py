@@ -1,0 +1,106 @@
+"""tiktoken-compatible byte-level BPE — the real algorithm, natively.
+
+The reference counts tokens with tiktoken's ``cl100k_base``
+(``rag/utils/__init__.py:77-90``).  The cl100k VOCABULARY is a ~1.6 MB
+runtime-fetched asset (the same class of stripped artifact as
+``huqie.txt``), so it cannot ship here — but the ALGORITHM can: this
+module implements tiktoken's exact encoding scheme (regex pre-tokenizer →
+per-piece byte-level merge loop over a rank table), so deployment parity
+becomes a data-file drop-in:
+
+    export RAG_TIKTOKEN_VOCAB=/path/to/cl100k_base.tiktoken
+
+(the standard dump format: ``base64(token_bytes) rank`` per line).  When
+the env var is set, ``textnorm/tokens.py`` routes
+``num_tokens_from_string`` through this encoder and chunk-boundary counts
+match tiktoken byte-for-byte; without it the documented approximation
+stays in force.
+
+The merge loop mirrors tiktoken's ``byte_pair_merge``: repeatedly merge
+the adjacent pair with the lowest rank until no merge applies.  Pinned by
+tests on a toy vocabulary (``tests/test_textnorm.py::TestBpe``).
+"""
+
+from __future__ import annotations
+
+import base64
+import re
+
+# cl100k_base pre-tokenizer pattern (published in the tiktoken source),
+# translated for the stdlib `re` module ([^\W\d_] ~ \p{L}, \d ~ \p{N}).
+_PRETOK = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)"
+    r"|[^\r\n\W\d_]+"
+    r"|\d{1,3}"
+    r"| ?[^\s\w]+[\r\n]*"
+    r"|\s*[\r\n]+"
+    r"|\s+(?!\S)"
+    r"|\s+",
+    re.UNICODE,
+)
+
+
+def load_vocab(path: str) -> dict[bytes, int]:
+    """Parse the standard ``.tiktoken`` dump: ``base64(bytes) rank``."""
+    ranks: dict[bytes, int] = {}
+    with open(path, "rb") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            tok_b64, rank = line.split()
+            ranks[base64.b64decode(tok_b64)] = int(rank)
+    return ranks
+
+
+class BpeEncoder:
+    def __init__(self, ranks: dict[bytes, int]):
+        self.ranks = ranks
+
+    def _merge_count(self, piece: bytes) -> int:
+        """Number of tokens the byte piece encodes to (byte_pair_merge)."""
+        ranks = self.ranks
+        if piece in ranks:
+            return 1
+        parts = [piece[i:i + 1] for i in range(len(piece))]
+        while len(parts) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(parts) - 1):
+                r = ranks.get(parts[i] + parts[i + 1])
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            parts[best_i:best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+        return len(parts)
+
+    def count(self, text: str) -> int:
+        return sum(self._merge_count(m.group(0).encode("utf-8"))
+                   for m in _PRETOK.finditer(text))
+
+    def encode_piece(self, piece: bytes) -> list[bytes]:
+        """Token byte-sequences for one pre-tokenized piece (for tests)."""
+        ranks = self.ranks
+        if piece in ranks:
+            return [piece]
+        parts = [piece[i:i + 1] for i in range(len(piece))]
+        while len(parts) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(parts) - 1):
+                r = ranks.get(parts[i] + parts[i + 1])
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            parts[best_i:best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+        return parts
+
+
+def encoder_from_env() -> BpeEncoder | None:
+    import os
+    path = os.environ.get("RAG_TIKTOKEN_VOCAB")
+    if not path:
+        return None
+    return BpeEncoder(load_vocab(path))

@@ -73,7 +73,16 @@ def _count_native(s: str) -> int:
     return sum(_piece_tokens(p) for p in pieces)
 
 
-_counter = _count_native
+def _default_counter():
+    """Real BPE when a vocab file is provided (RAG_TIKTOKEN_VOCAB, the
+    standard .tiktoken dump — see textnorm/bpe.py), else the documented
+    native approximation."""
+    from .bpe import encoder_from_env
+    enc = encoder_from_env()
+    return enc.count if enc is not None else _count_native
+
+
+_counter = _default_counter()
 
 
 def set_counter(fn) -> None:

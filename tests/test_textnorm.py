@@ -85,3 +85,69 @@ class TestXxh64:
 
     def test_utf8_input(self):
         assert xxh64_hexdigest("中文") == xxh64_hexdigest("中文".encode("utf-8"))
+
+
+class TestBpe:
+    """tiktoken-compatible BPE engine over a toy vocabulary: the merge
+    order must follow rank (lowest first), exactly as byte_pair_merge."""
+
+    def _enc(self):
+        from ragflow_core16_spark.textnorm.bpe import BpeEncoder
+        ranks = {}
+        # bytes for a-z as rank 0..25, then merges with increasing rank
+        for i, c in enumerate(b"abcdefghijklmnopqrstuvwxyz"):
+            ranks[bytes([c])] = i
+        ranks[b"ab"] = 100
+        ranks[b"cd"] = 101
+        ranks[b"abcd"] = 102
+        ranks[b"bc"] = 103
+        ranks[b" a"] = 104
+        return BpeEncoder(ranks)
+
+    def test_lowest_rank_merges_first(self):
+        enc = self._enc()
+        # 'abcd': pairs ab(100) cd(101) bc(103) → merge ab first, then cd,
+        # then ab+cd=abcd(102) → single token
+        assert enc.encode_piece(b"abcd") == [b"abcd"]
+        # 'abc': ab merges (100), then ab+c has no rank → [ab, c]
+        assert enc.encode_piece(b"abc") == [b"ab", b"c"]
+        # 'bcd': bc(103) vs cd(101) → cd merges first → [b, cd]
+        assert enc.encode_piece(b"bcd") == [b"b", b"cd"]
+
+    def test_count_splits_on_pretokenizer(self):
+        enc = self._enc()
+        # 'ab ab' → pieces 'ab', ' ab' ; ' ab' has no ' a'+'b'? ' a'(104)
+        # merges then ' ab' unknown → [' a','b'] = 2 tokens
+        assert enc.count("ab ab") == 1 + 2
+
+    def test_unknown_bytes_fall_to_singletons(self):
+        enc = self._enc()
+        assert enc.encode_piece(b"xyz") == [b"x", b"y", b"z"]
+
+    def test_vocab_file_roundtrip(self, tmp_path):
+        import base64
+        from ragflow_core16_spark.textnorm.bpe import BpeEncoder, load_vocab
+        p = tmp_path / "toy.tiktoken"
+        entries = {b"a": 0, b"b": 1, b"ab": 2}
+        p.write_bytes(b"\n".join(
+            base64.b64encode(k) + b" " + str(v).encode()
+            for k, v in entries.items()))
+        enc = BpeEncoder(load_vocab(str(p)))
+        assert enc.encode_piece(b"ab") == [b"ab"]
+        assert enc.count("ab") == 1
+
+    def test_env_routing(self, tmp_path, monkeypatch):
+        import base64
+        import importlib
+        from ragflow_core16_spark.textnorm import tokens
+        p = tmp_path / "toy.tiktoken"
+        p.write_bytes(base64.b64encode(b"hi") + b" 0\n" +
+                      base64.b64encode(b"h") + b" 1\n" +
+                      base64.b64encode(b"i") + b" 2\n")
+        monkeypatch.setenv("RAG_TIKTOKEN_VOCAB", str(p))
+        try:
+            counter = tokens._default_counter()
+            assert counter("hi") == 1          # real BPE path
+        finally:
+            monkeypatch.delenv("RAG_TIKTOKEN_VOCAB")
+        assert tokens._default_counter() is tokens._count_native
