@@ -174,7 +174,76 @@ FROM documents ORDER BY doc_id
 """
 
 
+
+# ----------------------------------------------------------- url_canonical
+def url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup — the normalization a CC-scale
+    pipeline applies before grouping by url: lowercase scheme+host, strip
+    default ports, drop tracking params (utm_*/fbclid/gclid) while keeping
+    the rest in order, drop fragments, trim trailing slashes.  All pure
+    column expressions (regexp chain, no UDF).  Input: deterministic messy
+    URLs derived from doc_id (odd docs carry tracking params + fragment +
+    explicit :443, even docs are plain http with a trailing slash)."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    url = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(F.lit("HTTPS://Host"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".Example.COM:443/Path/"), F.col("doc_id").cast("string"),
+                 F.lit("?utm_source=x&id="), F.col("doc_id").cast("string"),
+                 F.lit("&utm_campaign=y&ref=keep#frag"))
+    ).otherwise(
+        F.concat(F.lit("http://host"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".example.com:80/path/"), F.col("doc_id").cast("string"),
+                 F.lit("/")))
+    c = url
+    c = F.regexp_replace(c, r"#.*$", "")                 # fragment
+    # lowercase scheme://host[:port] (up to the first path slash)
+    c = F.concat(F.lower(F.regexp_extract(c, r"^([^/]*//[^/]*)", 1)),
+                 F.regexp_extract(c, r"^[^/]*//[^/]*(.*)$", 1))
+    c = F.regexp_replace(c, r"^(https)://([^/:]+):443(/|$)", r"$1://$2$3")
+    c = F.regexp_replace(c, r"^(http)://([^/:]+):80(/|$)", r"$1://$2$3")
+    c = F.regexp_replace(c, r"(\?|&)(utm_[^=&]*|fbclid|gclid)=[^&]*", r"$1")
+    c = F.regexp_replace(c, r"\?&+", "?")               # ?& → ?
+    c = F.regexp_replace(c, r"&&+", "&")
+    c = F.regexp_replace(c, r"[?&]$", "")                # dangling ? or &
+    c = F.regexp_replace(c, r"(.)/$", r"$1")             # trailing slash
+    return (d.select("doc_id", url.alias("url"), c.alias("canonical_url"))
+            .orderBy("doc_id"))
+
+
+URL_CANONICAL_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1 THEN
+           'HTTPS://Host' || (doc_id % 50) || '.Example.COM:443/Path/' ||
+           doc_id || '?utm_source=x&id=' || doc_id ||
+           '&utm_campaign=y&ref=keep#frag'
+         ELSE
+           'http://host' || (doc_id % 50) || '.example.com:80/path/' ||
+           doc_id || '/'
+         END AS url
+  FROM documents),
+s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS c FROM d),
+s2 AS (SELECT doc_id, url,
+              lower(regexp_extract(c, '^([^/]*//[^/]*)', 1)) ||
+              regexp_extract(c, '^[^/]*//[^/]*(.*)$', 1) AS c FROM s1),
+s3 AS (SELECT doc_id, url,
+              regexp_replace(regexp_replace(c,
+                '^(https)://([^/:]+):443(/|$)', '\1://\2\3'),
+                '^(http)://([^/:]+):80(/|$)', '\1://\2\3') AS c FROM s2),
+s4 AS (SELECT doc_id, url,
+              regexp_replace(c, '(\?|&)(utm_[^=&]*|fbclid|gclid)=[^&]*',
+                             '\1', 'g') AS c FROM s3),
+s5 AS (SELECT doc_id, url,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+                '\?&+', '?'), '&&+', '&', 'g'), '[?&]$', ''),
+                '(.)/$', '\1') AS c FROM s4)
+SELECT doc_id, url, c AS canonical_url FROM s5 ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "url_canonical": (url_canonical, URL_CANONICAL_SQL),
     "doc_stats": (doc_stats, DOC_STATS_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
