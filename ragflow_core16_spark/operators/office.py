@@ -625,7 +625,45 @@ ORDER BY doc_id, chunk_seq
 """
 
 
+# ----------------------------------------------------------------- legacy .doc
+def doc_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → legacy Word 97 binaries via the native CFB writer →
+    native piece-table extraction (parsers/doc.py — replaces the
+    reference's Tika subprocess route) → line sections → naive_merge.
+    The 12-word '.'-terminated lines make the output byte-identical to the
+    txt route, so the oracle is TXT_TEMPLATE_SQL reused verbatim."""
+    from ..chunkers.naive import naive_merge
+    from ..parsers.doc import build_doc, doc_lines
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                words = (text or "").split()
+                if not words:
+                    continue
+                body = "\n".join(" ".join(words[i:i + 12]) + "."
+                                  for i in range(0, len(words), 12))
+                try:
+                    lines = doc_lines(build_doc(body))
+                    cks = [c for c in naive_merge(
+                        [(ln, "") for ln in lines], 128, "\n!?。；！？") if c]
+                except Exception:
+                    cks = []
+                out.extend((doc_id, i, c) for i, c in enumerate(cks))
+            yield pd.DataFrame(out, columns=["doc_id", "chunk_seq",
+                                             "chunk_text"])
+
+    return (_docs(spark, sf_dir).mapInPandas(run, CHUNKS_SCHEMA)
+            .transform(_ordered("doc_id", "chunk_seq")))
+
+
+
+from .templates import TXT_TEMPLATE_SQL as _TXT_TEMPLATE_SQL
+
 QUERIES = {
+    "doc_template": (doc_template, _TXT_TEMPLATE_SQL),
     "docx_template": (docx_template, DOCX_TEMPLATE_SQL),
     "xlsx_template": (xlsx_template, XLSX_TEMPLATE_SQL),
     "qa_xlsx_template": (qa_xlsx_template, QA_XLSX_SQL),

@@ -216,3 +216,71 @@ class TestSectionTemplates:
 
     def test_naive(self):
         assert chunk_naive(["hello", "world"]) == ["helloworld"]
+
+
+class TestLegacyDoc:
+    """Native CFB + Word 97 piece-table extraction (parsers/doc.py)."""
+
+    def test_round_trip_ascii(self):
+        from ragflow_core16_spark.parsers.doc import (build_doc, doc_lines,
+                                                      extract_doc_text)
+        t = "hello legacy word\nsecond line here\nthird"
+        assert extract_doc_text(build_doc(t)) == t + "\n"
+        assert doc_lines(build_doc(t)) == t.split("\n")
+
+    def test_round_trip_cjk(self):
+        from ragflow_core16_spark.parsers.doc import build_doc, extract_doc_text
+        t = "中文内容测试\nmixed 行 line"
+        assert extract_doc_text(build_doc(t)) == t + "\n"
+
+    def test_multi_sector_text(self):
+        from ragflow_core16_spark.parsers.doc import build_doc, extract_doc_text
+        t = "\n".join(f"line number {i} with several words" for i in range(400))
+        assert extract_doc_text(build_doc(t)) == t + "\n"
+
+    def test_cfb_streams_listed(self):
+        from ragflow_core16_spark.parsers.doc import build_doc, read_cfb
+        streams = read_cfb(build_doc("x"))
+        assert set(streams) == {"WordDocument", "1Table"}
+
+    def test_compressed_piece_decodes_cp1252(self):
+        # rewrite the single piece as fCompressed with cp1252 bytes
+        import struct
+        from ragflow_core16_spark.parsers.doc import build_doc, extract_doc_text
+        blob = bytearray(build_doc("abc"))
+        # locate the PCD inside the file: plc = CP(0), CP(n), PCD(8)
+        clx_sig = b"\x02" + struct.pack("<I", 8 + 8)
+        i = blob.find(clx_sig)
+        assert i > 0
+        plc_off = i + 5
+        n_chars = struct.unpack_from("<I", blob, plc_off + 4)[0]
+        # point the compressed fc at byte offset 1024 (fc = 2*1024 | bit30)
+        struct.pack_into("<HIH", blob, plc_off + 8, 0,
+                         (1024 << 1) | 0x40000000, 0)
+        # overwrite the text region with cp1252 bytes
+        wd_region = blob.find(struct.pack("<H", 0xA5EC))
+        body = ("caf\xe9" + "x" * (n_chars - 4)).encode("cp1252")
+        blob[wd_region + 1024:wd_region + 1024 + n_chars] = body
+        out = extract_doc_text(bytes(blob))
+        assert out.startswith("caf\xe9")
+
+    def test_prc_blocks_skipped(self):
+        # prepend a Prc (0x01 + cb + grpprl) before the Pcdt in the table
+        import struct
+        from ragflow_core16_spark.parsers.doc import (build_doc, read_cfb,
+                                                      extract_doc_text)
+        blob = bytearray(build_doc("prc skip test line"))
+        streams = read_cfb(bytes(blob))
+        clx = streams["1Table"]
+        end = 5 + struct.unpack_from("<I", clx, 1)[0]
+        prc = b"\x01" + struct.pack("<H", 4) + b"\x00\x00\x00\x00"
+        new_clx = prc + clx[:end]
+        # table stream bytes appear verbatim in the file (flat chain)
+        i = blob.find(clx[:end])
+        # the table copy is the LAST occurrence (wd text precedes it)
+        i = blob.rfind(clx[:end])
+        blob[i:i + len(new_clx)] = new_clx
+        # grow lcbClx in the FIB
+        wd_off = blob.find(struct.pack("<H", 0xA5EC))
+        struct.pack_into("<I", blob, wd_off + 0x01A6, len(new_clx))
+        assert extract_doc_text(bytes(blob)).startswith("prc skip test line")
