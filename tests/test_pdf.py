@@ -437,3 +437,64 @@ class TestExtractTableFigure:
         rem, res = extract_table_figure(boxes, [12.0])
         tbl = [r for r in res if r["type"] == "table"][0]
         assert "shared cap" in str(tbl["content"])
+
+
+class TestCrop:
+    """Chunk snippet crop geometry (pdf_parser.py:1129-1208) over numpy
+    page images; the rasterizer is the injectable stage."""
+
+    @staticmethod
+    def _pages(n=2, h=300, w=200):
+        import numpy as np
+        pages = []
+        for p in range(n):
+            a = np.zeros((h, w, 3), dtype=np.uint8)
+            a[:, :, 0] = 10 + p          # page marker in the red channel
+            pages.append(a)
+        return pages
+
+    def test_no_tags_returns_none(self):
+        from ragflow_core16_spark.pdf.crop import crop
+        assert crop("plain text", self._pages()) is None
+        assert crop("plain", self._pages(), need_position=True) == (None, None)
+
+    def test_single_region_with_context_strips(self):
+        import numpy as np
+        from ragflow_core16_spark.pdf.crop import crop, parse_position_tags
+        text = "chunk@@1\t10.0\t60.0\t50.0\t70.0##"
+        assert parse_position_tags(text) == [([0], 10.0, 60.0, 50.0, 70.0)]
+        img, pos = crop(text, self._pages(), zoom=1, need_position=True)
+        # three strips: context-above (dimmed), region, context-below
+        assert pos == [(0, 10.0, 60.0, 50.0, 70.0)]
+        # total height = 44 (ctx above: 50-6-(50-120→0)) + 20 + 44-ish + gaps
+        assert img.shape[1] == 50                 # max_width
+        # the middle strip keeps the page's red marker undimmed
+        mid = img[50, 5]
+        assert mid[0] == 10
+        # first rows are the dimmed context strip: 10*127//255 = 4
+        assert img[0, 5][0] == 4
+
+    def test_multi_page_span(self):
+        from ragflow_core16_spark.pdf.crop import crop
+        # region spans pages 1-2: bottom accumulates page-1 height
+        text = "x@@1-2\t0.0\t100.0\t280.0\t40.0##"
+        img, pos = crop(text, self._pages(h=300), zoom=1, need_position=True)
+        assert len(pos) == 2
+        assert pos[0][0] == 0 and pos[1][0] == 1
+        assert img is not None and img.shape[1] == 100
+
+    def test_out_of_page_clips_black(self):
+        from ragflow_core16_spark.pdf.crop import _region
+        import numpy as np
+        page = np.full((50, 50, 3), 200, dtype=np.uint8)
+        r = _region(page, 40, 40, 70, 60)       # 30x20 request, partial
+        assert r.shape == (20, 30, 3)
+        assert r[0, 0][0] == 200                # in-page corner
+        assert r[-1, -1][0] == 0                # out-of-page black
+
+    def test_png_encoding_round_trip(self):
+        from ragflow_core16_spark.media.codecs import decode_png
+        from ragflow_core16_spark.pdf.crop import crop_png
+        png = crop_png("c@@1\t0.0\t30.0\t10.0\t20.0##", self._pages(), zoom=1)
+        img = decode_png(png)
+        assert img["channels"] == 3 and img["w"] == 30
