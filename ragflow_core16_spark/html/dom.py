@@ -67,11 +67,14 @@ class Node:
             self.parent.remove_child(self)
 
     def iter(self):
-        """Depth-first over element nodes (self included)."""
-        yield self
-        for c in self.children:
-            if isinstance(c, Node):
-                yield from c.iter()
+        """Depth-first over element nodes (self included).  Iterative —
+        the generator-per-level form dominated the extraction profile."""
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            yield n
+            stack.extend(c for c in reversed(n.children)
+                         if isinstance(c, Node))
 
     def find_all(self, *tags):
         tags = set(tags)

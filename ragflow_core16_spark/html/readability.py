@@ -62,8 +62,11 @@ DIV_TO_P_RE = re.compile(r"<(a|blockquote|dl|div|img|ol|p|pre|table|ul)",
 MIN_TEXT_LEN = 25
 
 
+_WS_RE = re.compile(r"\s+")
+
+
 def _norm_text(n: Node) -> str:
-    return re.sub(r"\s+", " ", n.text_content()).strip()
+    return _WS_RE.sub(" ", n.text_content()).strip()
 
 
 def _leading_text(n: Node) -> str:
