@@ -358,6 +358,57 @@ FROM votes ORDER BY doc_id
 SIMHASH_SQL = _simhash_sql()
 
 
+# ------------------------------------------------------ simhash pairs
+HAMMING_MAX = 3
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ 3, found with the
+    banded pigeonhole trick: split the B-bit fingerprint into 4 bands —
+    any pair within Hamming 3 agrees exactly on ≥1 band, so candidates
+    come from a self-join keyed on (band_idx, band_bits) and only they
+    pay the bit_count verify.  Shuffle ∝ band collisions, never |docs|²
+    (the classic scalable simhash search layout)."""
+    fp = simhash(spark, sf_dir)     # (doc_id, simhash)
+    band_bits = N_SIMHASH_BITS // 4
+    mask = (1 << band_bits) - 1
+    bands = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("simhash", b * band_bits)
+                     .bitwiseAND(F.lit(mask)).alias("bits"))
+            for b in range(4)])).alias("bb")
+    ).select("doc_id", "simhash", "bb.band", "bb.bits")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                      (F.col("a.bits") == F.col("b.bits")) &
+                      (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= HAMMING_MAX)
+            .distinct()
+            .orderBy("doc_a", "doc_b"))
+
+
+SIMHASH_PAIRS_SQL = (r"""
+WITH fp AS (""" + _simhash_sql().replace("ORDER BY doc_id", "") + r"""),
+bands AS (
+  SELECT doc_id, simhash, b AS band,
+         (simhash >> (b * """ + str(N_SIMHASH_BITS // 4) + r""")) & """
+                     + str((1 << (N_SIMHASH_BITS // 4)) - 1) + r""" AS bits
+  FROM fp, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) u)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= """ + str(HAMMING_MAX) + r"""
+ORDER BY doc_a, doc_b
+""")
+
+
 # ------------------------------------------------------- dup clustering
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the LSH candidate pairs → duplicate
@@ -484,6 +535,7 @@ QUERIES = {
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "simhash": (simhash, SIMHASH_SQL),
+    "simhash_pairs": (simhash_pairs, SIMHASH_PAIRS_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "stratified_sample": (stratified_sample, _stratified_sample_sql()),
 }
