@@ -185,10 +185,10 @@ class Document:
         for n in root.find_all("div"):
             # equivalent to searching tostring(children): text/tails cannot
             # contain a literal '<' post-parse, so the descendant tag
-            # openings are exactly what the regex can match
-            child_tags = "".join(
-                f"<{c.tag}" for c in n.iter() if c is not n)
-            if not DIV_TO_P_RE.search(child_tags):
+            # openings are exactly what the regex can match; any() stops at
+            # the first block descendant
+            if not any(DIV_TO_P_RE.match(f"<{c.tag}")
+                       for c in n.iter() if c is not n):
                 n.tag = "p"
         # pass 2 (0.8.1): wrap stray div text/tails into <p>, drop <br>s
         for n in root.find_all("div"):
@@ -240,7 +240,8 @@ class Document:
         article = Node("div", {})
         threshold = max(10.0, best_score * 0.2)
         parent = best.parent
-        siblings = parent.children if parent is not None else [best]
+        siblings = list(parent.children) if parent is not None else [best]
+        kept = []
         for sib in siblings:
             if not isinstance(sib, Node):
                 continue
@@ -261,9 +262,15 @@ class Document:
                         and re.search(r"\.( |$)", node_content):
                     keep = True
             if keep:
-                article.append(_clone(sib))
-        if not article.children:
-            article.append(_clone(best))
+                kept.append(sib)
+        if not kept:
+            kept = [best]
+        # 0.8.1 appends the ORIGINAL scored elements (lxml append MOVES the
+        # node) — identity must survive so _sanitize can read candidate
+        # scores; the tree is a per-call parse, so moving is safe
+        for sib in kept:
+            sib.drop()
+            article.append(sib)
         return article
 
     def _sanitize(self, article: Node, candidates: dict):
@@ -276,8 +283,15 @@ class Document:
                    if n is not article and n.tag in (
                        "table", "ul", "div", "aside", "header", "footer",
                        "section")]
+        def attached(n):
+            while n is not None:
+                if n is article:
+                    return True
+                n = n.parent
+            return False
+
         for n in reversed(targets):
-            if n.parent is None:
+            if not attached(n):
                 continue        # already dropped with an ancestor
             weight = _class_weight(n)
             if weight + candidates.get(n, 0.0) < 0:
@@ -312,11 +326,3 @@ class Document:
             if remove:
                 n.drop()
 
-
-def _clone(n):
-    if isinstance(n, str):
-        return n
-    c = Node(n.tag, dict(n.attrs))
-    for ch in n.children:
-        c.append(_clone(ch))
-    return c

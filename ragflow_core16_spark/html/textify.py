@@ -93,9 +93,11 @@ def _join_inline(chunks: list[tuple[str, str]]) -> str:
         if not stripped:
             continue
         # 0.6.2 guess_punct_space: trailing whitespace on the RAW previous
-        # fragment always wins; only a tight join may suppress the space
+        # fragment always wins; only a tight join may suppress the space.
+        # The punct test runs on the STRIPPED fragment (0.6.2 strips the
+        # text_content before _has_punct_after sees it).
         if not _TRAILING_WS.search(prev_raw) and (
-                _PUNCT_AFTER.match(norm) or
+                _PUNCT_AFTER.match(stripped) or
                 _OPEN_BRACKET_BEFORE.search(prev_raw)):
             out += stripped
         else:

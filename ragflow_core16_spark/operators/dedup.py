@@ -77,12 +77,20 @@ _MEMO: dict = {}
 
 
 def _memo(name: str, spark, sf_dir: str, build):
-    key = (name, sf_dir, id(spark))
-    df = _MEMO.get(key)
-    if df is None:
-        from pyspark import StorageLevel
-        df = build().persist(StorageLevel.MEMORY_AND_DISK)
-        _MEMO[key] = df
+    """Per-(session, sf_dir) memo.  The cached value carries the session
+    OBJECT: a different session (even one reusing the same CPython id after
+    GC) rebuilds instead of serving a DataFrame bound to a dead context,
+    and entries of replaced sessions are evicted as they are encountered.
+    Regenerating fixture parquet under an unchanged sf_dir within one
+    session is NOT detected — that is the temp-table semantics this memo
+    models."""
+    key = (name, sf_dir)
+    hit = _MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    from pyspark import StorageLevel
+    df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    _MEMO[key] = (spark, df)
     return df
 
 

@@ -188,8 +188,8 @@ def qa_xlsx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(_ordered("doc_id", "pair_num")))
 
 
-_RM_PREFIX_SQL = (r"^(问题|答案|回答|user|assistant|Q|A|Question|Answer|问|答)"
-                  r"[\t:： ]+")
+from .sql_shared import RM_PREFIX_SQL as _RM_PREFIX_SQL
+from .sql_shared import cost_sql as _cost
 
 QA_XLSX_SQL = rf"""
 WITH toklists AS (
@@ -444,7 +444,7 @@ def qa_docx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sections (Heading1 'Document N' + 14-word body lines + 'Part p' every 4th
 # body line) and replays the greedy close-late packer; the composed table
 # line is one trailing chunk.  Token arithmetic as in templates.py.
-DOCX_TEMPLATE_SQL = r"""
+DOCX_TEMPLATE_SQL = rf"""
 WITH RECURSIVE toklists AS (
   SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
   FROM documents WHERE length(trim(text)) > 0),
@@ -454,11 +454,7 @@ words AS (
 blines AS (
   SELECT doc_id, CAST((wi-1) // 14 AS BIGINT) AS bl,
          string_agg(w, ' ' ORDER BY wi) || '.' AS txt,
-         sum(CASE WHEN (CASE WHEN (wi-1) % 14 = 0 THEN length(w)
-                             ELSE length(w)+1 END) <= 5 THEN 1
-                  ELSE CAST(ceil((CASE WHEN (wi-1) % 14 = 0 THEN length(w)
-                                       ELSE length(w)+1 END)/4.4) AS BIGINT)
-             END) + 1 AS tok
+         sum({_cost('CASE WHEN (wi-1) % 14 = 0 THEN length(w) ELSE length(w)+1 END')}) + 1 AS tok
   FROM words GROUP BY doc_id, (wi-1) // 14),
 secs AS (
   SELECT doc_id, 0 AS seq, 'Document ' || doc_id AS txt, 3 AS tok

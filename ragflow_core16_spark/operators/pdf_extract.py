@@ -376,9 +376,7 @@ def paper_pdf_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by a newline ('.\n' is one ≤5-char punctuation piece), so page/chunk
 # token counts are exact sums of per-line counts.
 
-def _pdf_cost(expr: str) -> str:
-    return (f"CASE WHEN {expr} <= 5 THEN 1 "
-            f"ELSE CAST(ceil(({expr})/4.4) AS BIGINT) END")
+from .sql_shared import cost_sql as _pdf_cost
 
 
 # 10-word '.'-terminated lines; 40 lines per page; naive vertical merge
@@ -464,8 +462,7 @@ GROUP BY doc_id, ln // 40
 ORDER BY doc_id, page_num
 """
 
-_QA_RM_PREFIX = (r"^(问题|答案|回答|user|assistant|Q|A|Question|Answer|问|答)"
-                 r"[\t:： ]+")
+from .sql_shared import RM_PREFIX_SQL as _QA_RM_PREFIX
 
 # FAQ PDFs: question k covers words 12(k-1)+1..+4, the answer the next 8
 # words with a trailing '.'; empty tails keep the bare '.' line.

@@ -39,8 +39,8 @@ CHUNKS_SCHEMA = StructType([
 ])
 
 
-_RM_PREFIX_SQL = (r"^(问题|答案|回答|user|assistant|Q|A|Question|Answer|问|答)"
-                  r"[\t:： ]+")
+from .sql_shared import RM_PREFIX_SQL as _RM_PREFIX_SQL
+from .sql_shared import cost_sql as _cost_shared
 
 
 def _docs(spark, sf_dir):
@@ -426,10 +426,7 @@ words AS (
   SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS wi
   FROM toklists)"""
 
-def _cost(expr: str) -> str:
-    """Token cost of a piece whose char length is `expr`."""
-    return (f"CASE WHEN {expr} <= 5 THEN 1 "
-            f"ELSE CAST(ceil(({expr})/4.4) AS BIGINT) END")
+_cost = _cost_shared
 
 
 TXT_TEMPLATE_SQL = rf"""

@@ -28,11 +28,14 @@ import re
 
 # cl100k_base pre-tokenizer pattern (published in the tiktoken source),
 # translated for the stdlib `re` module ([^\W\d_] ~ \p{L}, \d ~ \p{N}).
+# cl100k: '(?i:[sdmt]|ll|ve|re) | [^\r\n\p{L}\p{N}]?+\p{L}+ | \p{N}{1,3}
+#         | ?[^\s\p{L}\p{N}]++[\r\n]* | \s*[\r\n]+ | \s+(?!\S) | \s+
+# stdlib translation: \p{L} → [^\W\d_]; "non-letter-non-digit" → [^\w]|_
 _PRETOK = re.compile(
-    r"'(?:[sdmt]|ll|ve|re)"
-    r"|[^\r\n\W\d_]+"
+    r"'(?i:[sdmt]|ll|ve|re)"
+    r"|(?:[^\w\r\n]|_)?[^\W\d_]+"
     r"|\d{1,3}"
-    r"| ?[^\s\w]+[\r\n]*"
+    r"| ?(?:[^\s\w]|_)+[\r\n]*"
     r"|\s*[\r\n]+"
     r"|\s+(?!\S)"
     r"|\s+",
@@ -57,26 +60,8 @@ class BpeEncoder:
     def __init__(self, ranks: dict[bytes, int]):
         self.ranks = ranks
 
-    def _merge_count(self, piece: bytes) -> int:
-        """Number of tokens the byte piece encodes to (byte_pair_merge)."""
-        ranks = self.ranks
-        if piece in ranks:
-            return 1
-        parts = [piece[i:i + 1] for i in range(len(piece))]
-        while len(parts) > 1:
-            best_rank = None
-            best_i = -1
-            for i in range(len(parts) - 1):
-                r = ranks.get(parts[i] + parts[i + 1])
-                if r is not None and (best_rank is None or r < best_rank):
-                    best_rank, best_i = r, i
-            if best_rank is None:
-                break
-            parts[best_i:best_i + 2] = [parts[best_i] + parts[best_i + 1]]
-        return len(parts)
-
     def count(self, text: str) -> int:
-        return sum(self._merge_count(m.group(0).encode("utf-8"))
+        return sum(len(self.encode_piece(m.group(0).encode("utf-8")))
                    for m in _PRETOK.finditer(text))
 
     def encode_piece(self, piece: bytes) -> list[bytes]:

@@ -82,7 +82,9 @@ def _default_counter():
     return enc.count if enc is not None else _count_native
 
 
-_counter = _default_counter()
+# resolved lazily on first use so RAG_TIKTOKEN_VOCAB set after import (the
+# normal driver order) still routes to the real BPE
+_counter = None
 
 
 def set_counter(fn) -> None:
@@ -93,6 +95,9 @@ def set_counter(fn) -> None:
 
 def num_tokens_from_string(s: str) -> int:
     """Mirror of rag/utils/__init__.py:83-88 (returns 0 on error)."""
+    global _counter
+    if _counter is None:
+        _counter = _default_counter()
     try:
         return _counter(s)
     except Exception:

@@ -352,3 +352,19 @@ class TestHtmlText062Whitespace:
     def test_skip_script_style(self):
         assert self._t("<p>keep</p><script>var x=1;</script>"
                        "<style>p{}</style>") == "keep"
+
+
+class TestSanitizeUsesRealScores:
+    def test_negatively_classed_candidate_survives(self):
+        # regression (r2 review): _sanitize must see the candidate's real
+        # content score (0.8.1 computes weight + content_score); a
+        # class="media" main div with heavily scored paragraphs stays
+        from ragflow_core16_spark.html.readability import Document
+        para = ("Alpha beta gamma delta epsilon zeta eta theta, iota kappa "
+                "lambda mu nu xi omicron pi rho sigma tau upsilon, phi chi "
+                "psi omega again and again and again and onward we go now.")
+        html = ('<html><body><div class="media">' +
+                "".join(f"<p>{para}</p>" for _ in range(8)) +
+                "</div></body></html>")
+        out = Document(html).summary()
+        assert "Alpha beta gamma" in out

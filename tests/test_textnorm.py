@@ -151,3 +151,16 @@ class TestBpe:
         finally:
             monkeypatch.delenv("RAG_TIKTOKEN_VOCAB")
         assert tokens._default_counter() is tokens._count_native
+
+    def test_pretokenizer_cl100k_shapes(self):
+        # regression (r2 review): the word branch carries one optional
+        # leading non-letter (so ' world' is ONE piece), digits take no
+        # leading space, '_' joins the punct/word branches
+        from ragflow_core16_spark.textnorm.bpe import _PRETOK
+        def toks(s):
+            return [m.group(0) for m in _PRETOK.finditer(s)]
+        assert toks("hello world") == ["hello", " world"]
+        assert toks("foo_bar") == ["foo", "_bar"]
+        assert toks("I'LL go") == ["I", "'LL", " go"]
+        assert toks("x 123") == ["x", " ", "123"]
+        assert toks("a\n\nb") == ["a", "\n\n", "b"]
