@@ -4,9 +4,10 @@ A 100 TB training-data pipeline carries media payloads next to text; the
 Spark-side plumbing is what matters at scale — schema, partitioning, Arrow
 batch shape, UDF signatures.  PNG and WAV are decoded FOR REAL
 (``media/codecs.py`` — zlib+struct and the stdlib ``wave`` module need no
-external codec libraries); JPEG and MP4 remain the documented
-``NotImplementedError`` integration slot where PIL / ffmpeg decoders plug
-in per-executor.  "Video" payloads use the deterministic SYNTH container
+external codec libraries) and baseline JPEG is implemented from the
+published spec math (``media/jpeg.py``: DCT + Annex K Huffman); only MP4
+remains the documented ``NotImplementedError`` slot where an ffmpeg
+decoder plugs in per-executor.  "Video" payloads use the deterministic SYNTH container
 (fixed-size frame blocks) — a stand-in container with real explode-shaped
 frame-sampling plumbing.
 
@@ -82,14 +83,20 @@ def decode_media(payload: bytes) -> dict:
         au = decode_wav(payload)
         return {"kind": "audio", "w": au["rate"], "h": au["n_samples"],
                 "c": au["channels"], "body": au["samples"]}
+    if payload[:2] == b"\xff\xd8":
+        from ..media.jpeg import decode_jpeg
+        img = decode_jpeg(payload)
+        return {"kind": "image", "w": img["w"], "h": img["h"], "c": 1,
+                "body": img["pixels"]}
     if payload[: len(_MAGIC)] == _MAGIC:
         parts = payload.split(b":", 3)
         w, h, c = (int(x) for x in parts[2].decode().split("x"))
         return {"kind": parts[1].decode(), "w": w, "h": h, "c": c,
                 "body": parts[3]}
     raise NotImplementedError(
-        "JPEG/MP4 decode requires codec libraries not present in this "
-        "container; plug a per-executor decoder here")
+        "MP4/video decode requires codec libraries not present in this "
+        "container; plug a per-executor decoder here (PNG, WAV and "
+        "baseline JPEG are native — media/codecs.py, media/jpeg.py)")
 
 
 def media_df(spark: SparkSession, n: int = 60) -> DataFrame:

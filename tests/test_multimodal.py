@@ -86,8 +86,10 @@ class TestDecode:
     def test_deterministic(self):
         assert synth_payload(7, "video") == synth_payload(7, "video")
 
-    def test_jpeg_mp4_still_stubbed(self):
-        with pytest.raises(NotImplementedError):
+    def test_truncated_jpeg_raises(self):
+        # JPEG now decodes natively (media/jpeg.py); malformed input fails
+        # loudly instead of hitting a stub
+        with pytest.raises((ValueError, NotImplementedError)):
             decode_media(b"\xff\xd8\xff\xe0 jpeg bytes")
 
 
@@ -117,3 +119,44 @@ class TestSparkPlumbing:
         assert frames, "video rows must produce frames"
         assert all(len(r["frame"]) == FRAME_BYTES for r in frames)
         assert all(r["frame_no"] % 2 == 0 for r in frames)
+
+
+class TestJpegCodec:
+    def test_flat_block_exact(self):
+        from ragflow_core16_spark.media.jpeg import decode_jpeg, encode_jpeg
+        flat = bytes([200]) * (16 * 8)
+        out = decode_jpeg(encode_jpeg(flat, 16, 8, quality=90))
+        assert (out["w"], out["h"]) == (16, 8)
+        assert out["pixels"] == flat
+
+    def test_gradient_high_fidelity(self):
+        import numpy as np
+        from ragflow_core16_spark.media.jpeg import decode_jpeg, encode_jpeg
+        w, h = 40, 24
+        grad = bytes(((x * 3 + y * 2) % 256) for y in range(h)
+                     for x in range(w))
+        out = decode_jpeg(encode_jpeg(grad, w, h, quality=90))
+        a = np.frombuffer(grad, dtype=np.uint8).astype(int)
+        b = np.frombuffer(out["pixels"], dtype=np.uint8).astype(int)
+        assert np.abs(a - b).mean() < 1.0
+
+    def test_non_multiple_of_8_dims(self):
+        from ragflow_core16_spark.media.jpeg import decode_jpeg, encode_jpeg
+        w, h = 13, 9
+        pix = bytes((x * 7 + y * 11) % 256 for y in range(h)
+                    for x in range(w))
+        out = decode_jpeg(encode_jpeg(pix, w, h))
+        assert (out["w"], out["h"]) == (w, h)
+        assert len(out["pixels"]) == w * h
+
+    def test_decode_media_routes_jpeg(self):
+        from ragflow_core16_spark.media.jpeg import encode_jpeg
+        from ragflow_core16_spark.operators.multimodal import decode_media
+        m = decode_media(encode_jpeg(bytes([7]) * 64, 8, 8))
+        assert m["kind"] == "image" and (m["w"], m["h"]) == (8, 8)
+
+    def test_mp4_still_stubbed(self):
+        import pytest
+        from ragflow_core16_spark.operators.multimodal import decode_media
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x00\x00\x00\x20ftypisom mp4 header")
