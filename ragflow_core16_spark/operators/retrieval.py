@@ -636,7 +636,153 @@ def sql_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_RETRIEVAL_TEXT)
 
 
+# ---------------------------------------------------------- posting lists
+def build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the offline analogue of the reference's ES
+    index (conf/mapping.json): term → df, total tf, and the doc posting
+    list with per-doc tf, capped at the 32 highest-tf docs per term (real
+    posting builds cap or tier their lists; the cap keeps the row bounded).
+    One explode + one (term, doc) agg + one term agg — two shuffles, both
+    keyed, map-side combined.  At 10^12 docs this is the classic index
+    build job; skewed stop-words are exactly what AQE skew-split handles."""
+    t = _tokens(spark, sf_dir)
+    per_doc = (t.groupBy("tok", "doc_id")
+               .agg(F.count(F.lit(1)).alias("tf")))
+    from pyspark.sql import Window
+    rk = F.row_number().over(
+        Window.partitionBy("tok").orderBy(F.desc("tf"), "doc_id"))
+    top = per_doc.withColumn("rk", rk).filter(F.col("rk") <= 32)
+    return (per_doc.groupBy("tok")
+            .agg(F.countDistinct("doc_id").alias("df"),
+                 F.sum("tf").alias("total_tf"))
+            .join(top.groupBy("tok").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("rk", "doc_id", "tf"))),
+                        lambda s: F.concat_ws(":", s.doc_id.cast("string"),
+                                              s.tf.cast("string"))),
+                    ",").alias("postings")), "tok")
+            .select(F.col("tok").alias("term"), "df",
+                    F.col("total_tf").cast("long").alias("total_tf"),
+                    "postings")
+            .orderBy("term"))
+
+
+BUILD_POSTINGS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+per_doc AS (
+  SELECT tok, doc_id, count(*) AS tf FROM toks GROUP BY tok, doc_id),
+ranked AS (
+  SELECT tok, doc_id, tf,
+         row_number() OVER (PARTITION BY tok ORDER BY tf DESC, doc_id) AS rk
+  FROM per_doc),
+top AS (
+  SELECT tok, string_agg(doc_id || ':' || tf, ',' ORDER BY rk) AS postings
+  FROM ranked WHERE rk <= 32 GROUP BY tok),
+stats AS (
+  SELECT tok, count(DISTINCT doc_id) AS df,
+         CAST(sum(tf) AS BIGINT) AS total_tf
+  FROM per_doc GROUP BY tok)
+SELECT s.tok AS term, s.df, s.total_tf, t.postings
+FROM stats s JOIN top t ON t.tok = s.tok
+ORDER BY term
+"""
+
+
+# ------------------------------------------------------------- RRF fusion
+RRF_K = 60
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the full-text and dense rankings:
+    score = Σ 1/(k + rank), k=60 — the standard rank-level fusion
+    alternative to the reference's score-level 0.05/0.95 blend.  Both
+    source rankings reuse the existing operators; the fusion itself is one
+    union + one groupBy."""
+    from pyspark.sql import Window
+    ft = fulltext_topn(spark, sf_dir).select(
+        "doc_id", F.row_number().over(
+            Window.orderBy(F.desc("score"), "doc_id")).alias("rank"))
+    dn = cosine_doc_rank(spark, sf_dir)
+    both = ft.select("doc_id", "rank").union(dn.select("doc_id", "rank"))
+    return (both.groupBy("doc_id")
+            .agg(F.round(F.sum(1.0 / (F.lit(RRF_K) + F.col("rank"))), 6)
+                 .alias("rrf_score"),
+                 F.count(F.lit(1)).alias("n_lists"))
+            .orderBy(F.desc("rrf_score"), "doc_id")
+            .limit(TOP_N))
+
+
+def cosine_doc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense ranking side for fusion: cosine of each doc's embedding
+    (doc_id = vec_id) against the deterministic query vector (vec_id 0),
+    ranked.  Broadcast query row; TakeOrdered top path."""
+    from pyspark.sql import Window
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"))
+    dot = F.aggregate(F.zip_with("embedding", "qv", lambda x, y: x * y),
+                      F.lit(0.0), lambda a, v: a + v)
+    nrm = (F.sqrt(F.aggregate("embedding", F.lit(0.0),
+                              lambda a, v: a + v * v)) *
+           F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, v: a + v * v)))
+    scored = (e.crossJoin(F.broadcast(q))
+              .select(F.col("vec_id").alias("doc_id"),
+                      (dot / nrm).alias("cos")))
+    return scored.select(
+        "doc_id", F.row_number().over(
+            Window.orderBy(F.desc("cos"), "doc_id")).alias("rank"))         .filter(F.col("rank") <= TOP_N)
+
+
+def _rrf_fusion_sql() -> str:
+    terms = ", ".join(f"('{t}')" for t in QUERY_TERMS)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+qt(term) AS (VALUES {terms}),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM toks JOIN qt ON tok = term GROUP BY term),
+idf AS (
+  SELECT term, ln(1.0 + (n.n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM dfs, n),
+tfs AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks JOIN qt ON tok = term GROUP BY doc_id, term),
+scores AS (
+  SELECT t.doc_id, sum(i.idf * least(t.tf, 1)) AS score
+  FROM tfs t JOIN idf i ON i.term = t.term GROUP BY t.doc_id),
+ftrank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scores QUALIFY rank <= {TOP_N}),
+dense AS (
+  SELECT e.vec_id AS doc_id,
+         list_dot_product(e.embedding, q.embedding) /
+         (sqrt(list_dot_product(e.embedding, e.embedding)) *
+          sqrt(list_dot_product(q.embedding, q.embedding))) AS cos
+  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
+dnrank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+  FROM dense QUALIFY rank <= {TOP_N}),
+unioned AS (
+  SELECT doc_id, rank FROM ftrank UNION ALL SELECT doc_id, rank FROM dnrank)
+SELECT doc_id, round(sum(1.0 / ({RRF_K} + rank)), 6) AS rrf_score,
+       count(*) AS n_lists
+FROM unioned GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT {TOP_N}
+"""
+
+
 QUERIES = {
+    "build_postings": (build_postings, BUILD_POSTINGS_SQL),
+    "rrf_fusion": (rrf_fusion, _rrf_fusion_sql()),
     "term_idf_weights": (term_idf_weights, TERM_IDF_SQL),
     "sql_retrieval": (sql_retrieval, SQL_RETRIEVAL_TEXT),
     "fulltext_topn": (fulltext_topn, FULLTEXT_TOPN_SQL),

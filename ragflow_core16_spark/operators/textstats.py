@@ -242,7 +242,58 @@ SELECT doc_id, url, c AS canonical_url FROM s5 ORDER BY doc_id
 """
 
 
+
+# ---------------------------------------------------- unigram_logprob
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score — the kenlm-style filter a pretraining
+    pipeline runs: mean per-token unigram log-probability under the
+    corpus's own add-one-smoothed unigram model.  Two keyed aggs (term
+    frequencies, then per-doc mean over a broadcast-joined frequency
+    table); gibberish and boilerplate-heavy docs score low.  At 100 TB
+    the frequency table is a first-pass job output (a few million rows)
+    broadcast to the scoring pass — exactly this plan."""
+    t = _tokens_df(spark, sf_dir)
+    freqs = t.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = freqs.agg(F.sum("cnt").alias("total"),
+                       F.count(F.lit(1)).alias("vocab"))
+    scored = (t.join(F.broadcast(freqs), "tok")
+              .crossJoin(F.broadcast(totals))
+              .select("doc_id",
+                      F.log((F.col("cnt") + 1.0) /
+                            (F.col("total") + F.col("vocab"))).alias("lp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.avg("lp"), 6).alias("mean_logprob"),
+                 F.count(F.lit(1)).alias("n_tokens"))
+            .orderBy("doc_id"))
+
+
+def _tokens_df(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+                   " ")
+    return d.select("doc_id", F.explode(toks).alias("tok"))
+
+
+UNIGRAM_LOGPROB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+freqs AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+totals AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total,
+                  CAST(count(*) AS DOUBLE) AS vocab FROM freqs)
+SELECT t.doc_id,
+       round(avg(ln((f.cnt + 1.0) / (tt.total + tt.vocab))), 6)
+         AS mean_logprob,
+       count(*) AS n_tokens
+FROM toks t JOIN freqs f ON f.tok = t.tok, totals tt
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
+    "unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
     "url_canonical": (url_canonical, URL_CANONICAL_SQL),
     "doc_stats": (doc_stats, DOC_STATS_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),
