@@ -285,7 +285,119 @@ ORDER BY id_a, id_b
 """
 
 
+# --------------------------------------------------------------- PQ ANN
+PQ_M = 4            # subspaces (64-d → 4 × 16-d)
+PQ_K = 8            # codebook size per subspace (centroids = vec_id 1..8)
+
+
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC): vectors are
+    coded per 16-d subspace against a deterministic codebook (the
+    subvectors of vec_id 1..K — same convention as the IVF coarse
+    quantizer), the query keeps full precision, and the approximate
+    distance is the sum of per-subspace squared L2 between the query
+    subvector and each vector's assigned centroid.
+
+    Relational layout: the codebook is M·K = 32 broadcast rows; code
+    assignment is a broadcast cross join + per-(vec, subspace) argmin
+    window; ADC is a second broadcast join on (m, code) + a per-vec sum.
+    At 100 TB the codes are a write-time byte column (M bytes per vector —
+    a 256× compression of the scan) and ONLY the 32-row ADC table moves at
+    query time — this is the memory-bound ANN layout the big vector stores
+    use."""
+    from pyspark.sql import Window
+    e = _emb(spark, sf_dir)
+    sub = 64 // PQ_M
+
+    def subvec(col, m):
+        return F.slice(col, m * sub + 1, sub)
+
+    # codebook rows: (m, cid, cbv)
+    cb = None
+    cent = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_K))
+    for m in range(PQ_M):
+        part = cent.select(F.lit(m).alias("m"),
+                           F.col("vec_id").alias("cid"),
+                           subvec(F.col("embedding"), m).alias("cbv"))
+        cb = part if cb is None else cb.unionByName(part)
+
+    def l2(a, b):
+        # dot-expansion form (a·a − 2a·b + b·b): the same floating-point
+        # evaluation order as the DuckDB oracle, so argmin ties cannot
+        # diverge in the last ulp
+        return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+
+    # per-(vector, subspace) code assignment
+    vm = None
+    for m in range(PQ_M):
+        part = e.select("vec_id", "label", F.lit(m).alias("m"),
+                        subvec(F.col("embedding"), m).alias("sv"))
+        vm = part if vm is None else vm.unionByName(part)
+    w = Window.partitionBy("vec_id", "m").orderBy("d", "cid")
+    codes = (vm.join(F.broadcast(cb), "m")
+             .withColumn("d", l2(F.col("sv"), F.col("cbv")))
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1)
+             .select("vec_id", "label", "m", F.col("cid").alias("code")))
+
+    # ADC table: query subvector vs every codebook entry
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID)
+    adc = None
+    for m in range(PQ_M):
+        part = (cb.filter(F.col("m") == m)
+                .crossJoin(F.broadcast(
+                    q.select(subvec(F.col("embedding"), m).alias("qsv"))))
+                .select("m", "cid", l2(F.col("qsv"), F.col("cbv"))
+                        .alias("qd")))
+        adc = part if adc is None else adc.unionByName(part)
+
+    return (codes.join(F.broadcast(adc),
+                       (codes["m"] == adc["m"]) &
+                       (codes["code"] == adc["cid"]))
+            .filter(F.col("vec_id") != QUERY_VEC_ID)
+            .groupBy("vec_id", "label")
+            .agg(F.round(F.sum("qd"), 4).alias("approx_l2"))
+            .orderBy("approx_l2", "vec_id").limit(TOP_K))
+
+
+PQ_ANN_SQL = f"""
+WITH subs AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+cb AS (
+  SELECT s.m, e.vec_id AS cid,
+         list_slice(e.embedding, s.m*16 + 1, s.m*16 + 16) AS cbv
+  FROM embeddings e, subs s WHERE e.vec_id BETWEEN 1 AND {PQ_K}),
+vm AS (
+  SELECT e.vec_id, e.label, s.m,
+         list_slice(e.embedding, s.m*16 + 1, s.m*16 + 16) AS sv
+  FROM embeddings e, subs s),
+dists AS (
+  SELECT v.vec_id, v.label, v.m, c.cid,
+         list_dot_product(v.sv, v.sv) - 2*list_dot_product(v.sv, c.cbv)
+           + list_dot_product(c.cbv, c.cbv) AS d
+  FROM vm v JOIN cb c ON c.m = v.m),
+codes AS (
+  SELECT vec_id, label, m, cid AS code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d, cid) AS rn
+    FROM dists) WHERE rn = 1),
+q AS (
+  SELECT s.m, list_slice(e.embedding, s.m*16 + 1, s.m*16 + 16) AS qsv
+  FROM embeddings e, subs s WHERE e.vec_id = {QUERY_VEC_ID}),
+adc AS (
+  SELECT c.m, c.cid,
+         list_dot_product(q.qsv, q.qsv) - 2*list_dot_product(q.qsv, c.cbv)
+           + list_dot_product(c.cbv, c.cbv) AS qd
+  FROM cb c JOIN q ON q.m = c.m)
+SELECT k.vec_id, k.label, round(sum(a.qd), 4) AS approx_l2
+FROM codes k JOIN adc a ON a.m = k.m AND a.cid = k.code
+WHERE k.vec_id != {QUERY_VEC_ID}
+GROUP BY k.vec_id, k.label
+ORDER BY approx_l2, k.vec_id LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
+    "pq_ann_topk": (pq_ann_topk, PQ_ANN_SQL),
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "near_dup_exact": (near_dup_exact, NEAR_DUP_EXACT_SQL),
     "lsh_ann_topk": (lsh_ann_topk, _lsh_ann_sql()),
