@@ -39,67 +39,19 @@ def entry(spark: SparkSession) -> DataFrame:
                       "n_sections", "n_chunks", "n_tokens", "bytes_in")
 
 
-# ---------------------------------------------------------------------------
-# pipeline (non-SQL) queries — rows-only checks
-# ---------------------------------------------------------------------------
-
-def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _tune(spark)
-    from ragflow_core16_spark.datagen.pages import pages_from_documents
-    from ragflow_core16_spark.operators.extract import extract_pages
-    pages = pages_from_documents(spark, sf_dir)
-    return (extract_pages(pages)
-            .select("url", "lang", "status", "title", "n_sections",
-                    "n_chunks", "n_tokens", "bytes_in")
-            .orderBy("url"))
-
-
-def _q_extract_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _tune(spark)
-    from ragflow_core16_spark.datagen.pages import pages_from_documents
-    from ragflow_core16_spark.operators.extract import extract_pages, chunks_table
-    pages = pages_from_documents(spark, sf_dir)
-    return (chunks_table(extract_pages(pages))
-            .select("url", "chunk_id", "chunk_seq", "token_cnt")
-            .orderBy("url", "chunk_seq"))
-
-
-def _q_extract_book_template(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _tune(spark)
-    from ragflow_core16_spark.datagen.pages import pages_from_documents
-    from ragflow_core16_spark.operators.extract import extract_pages
-    pages = pages_from_documents(spark, sf_dir)
-    return (extract_pages(pages, template="book")
-            .select("url", "status", "n_chunks", "n_tokens")
-            .orderBy("url"))
-
-
-def _q_extract_one_template(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _tune(spark)
-    from ragflow_core16_spark.datagen.pages import pages_from_documents
-    from ragflow_core16_spark.operators.extract import extract_pages
-    pages = pages_from_documents(spark, sf_dir)
-    return (extract_pages(pages, template="one")
-            .select("url", "status", "n_chunks", "n_tokens")
-            .orderBy("url"))
-
-
 def _registry():
-    from ragflow_core16_spark.operators import (dedup, embed, multimodal,
-                                                office, pdf_extract,
-                                                relational, retrieval,
-                                                similarity, templates,
-                                                textstats, training)
+    from ragflow_core16_spark.operators import (dedup, embed, extract_e2e,
+                                                multimodal, office,
+                                                pdf_extract, relational,
+                                                retrieval, similarity,
+                                                templates, textstats,
+                                                training)
     reg: dict[str, tuple] = {}
     for mod in (textstats, dedup, similarity, retrieval, relational,
                 templates, pdf_extract, multimodal, office, embed,
-                training):
+                training, extract_e2e):
         for name, (fn, sql) in mod.QUERIES.items():
             reg[name] = (fn, sql)
-    reg["extract_pages_e2e"] = (_q_extract_pages, None)
-    reg["extract_chunks_e2e"] = (_q_extract_chunks, None)
-    reg["extract_book_template"] = (_q_extract_book_template, None)
-    reg["extract_one_template"] = (_q_extract_one_template, None)
     return reg
 
 

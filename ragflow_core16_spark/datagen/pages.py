@@ -162,50 +162,97 @@ def pages_df(spark: SparkSession, n_rows: int, seed: int = 42,
     return base.mapInPandas(gen, PAGES_SCHEMA)
 
 
+_SECTIONS = ("news", "blog", "docs", "wiki")
+
+
+def _md5i(key: str) -> int:
+    """60-bit integer from md5 — SQL-bridgeable: the DuckDB twin is
+    ``('0x' || substr(md5(key), 1, 15))::BIGINT``.  Every choice that
+    reaches the extraction OUTPUT (url, title, paragraph wrap, malformed
+    kind) is keyed through this so the e2e queries admit DuckDB oracles;
+    boilerplate that readability strips (nav/ads/footer) may stay rng."""
+    import hashlib
+    return int(hashlib.md5(key.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def doc_page_fields(doc_id: int, text: str, seed: int = 42):
+    """The SQL-derivable page fields for one document: (url, ts, title,
+    paragraph list).  Pure function of (seed, doc_id, text) built only from
+    md5 arithmetic + slicing — the oracle SQL re-derives exactly this."""
+    host = _md5i(f"{seed}:url:{doc_id}") % _N_HOSTS
+    tld = _TLDS[_md5i(f"{seed}:tld:{doc_id}") % len(_TLDS)]
+    sec = _SECTIONS[_md5i(f"{seed}:sec:{doc_id}") % len(_SECTIONS)]
+    url = f"https://host{host:04d}.example.{tld}/{sec}/{doc_id}"
+    ts = pd.Timestamp("2024-01-01") + pd.Timedelta(
+        microseconds=_md5i(f"{seed}:ts:{doc_id}") % (730 * 86400 * 1_000_000))
+    ntw = 2 + _md5i(f"{seed}:ntw:{doc_id}") % 4
+    tws = [_EN_WORDS[_md5i(f"{seed}:tw:{doc_id}:{j}") % len(_EN_WORDS)]
+           for j in range(ntw)]
+    title = f"Document {doc_id} " + " ".join(
+        w[:1].upper() + w[1:] for w in tws)
+    paras = _wrap_text_paragraphs(text, doc_id, seed)
+    return url, ts, title, paras
+
+
 def pages_from_documents(spark: SparkSession, sf_dir: str,
                          seed: int = 42) -> DataFrame:
     """Build pages keyed 1:1 to the driver's documents.parquet doc_ids, with
     the document text as article body (FIXTURES.md §4: documents doubles as a
-    body source).  Deterministic per (seed, doc_id)."""
+    body source).  Deterministic per (seed, doc_id) with every
+    output-reaching choice md5-derived (see ``doc_page_fields``) so the
+    extraction e2e queries are DuckDB-oracle-checkable; ~10% of pages get a
+    malformed-HTML mutation (unclosed tags / unquoted attrs) that the
+    extractor must survive without changing the extracted text."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     def gen(batches):
         for pdf in batches:
             out = []
             for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
-                url, ts, html, _, _ = generate_page(int(doc_id), seed)
-                rng = random.Random(seed ^ (int(doc_id) * 7919))
-                paras = _wrap_text_paragraphs(text, rng)
-                html_s = html.decode("utf-8", errors="ignore")
+                doc_id = int(doc_id)
+                url, ts, title, paras = doc_page_fields(doc_id, text or "", seed)
+                rng = random.Random(seed ^ (doc_id * 7919))  # boilerplate only
+                nav = "".join(f'<a href="/{w}">{w}</a> ' for w in
+                              rng.sample(_EN_WORDS, rng.randint(8, 20)))
+                ads = "".join(
+                    f'<div class="ad">Sale! <a href="/buy{i}">buy now</a></div>'
+                    for i in range(rng.randint(1, 3)))
+                footer = ('<div class="footer">Copyright 2024 '
+                          '<a href="/privacy">Privacy</a> '
+                          '<a href="/terms">Terms</a></div>')
                 body = "".join(f"<p>{p}</p>" for p in paras)
-                marker = '<div class="content">'
-                start = html_s.find(marker)
-                if start < 0:  # malformed-variant page: marker was mangled
-                    start = html_s.find("<div class=content>")
-                    marker = "<div class=content>"
-                if start >= 0:
-                    end = html_s.find("</div>", start)
-                    end = (end + 6) if end >= 0 else len(html_s)
-                    html_s = (html_s[:start] + '<div class="content">'
-                              + body + "</div>" + html_s[end:])
-                else:
-                    html_s += f'<div class="content">{body}</div>'
+                mal = _md5i(f"{seed}:mal:{doc_id}") % 100
+                content_open = '<div class="content">'
+                tail = f"{footer}</body></html>"
+                if mal < 10 and mal % 3 == 1:
+                    tail = f"{footer}</div></p>"          # truncated close
+                elif mal < 10 and mal % 3 == 2:
+                    content_open = "<div class=content><p>"  # unquoted + stray
+                html_s = (f"<html><head><title>{title}</title></head><body>"
+                          f'<div class="nav">{nav}</div>{ads}'
+                          f"{content_open}{body}</div>{tail}")
                 out.append((url, ts, html_s.encode("utf-8"), text, lang))
             yield pd.DataFrame(out, columns=["url", "warc_ts", "html", "text", "lang"])
 
     return docs.select("doc_id", "text", "lang").mapInPandas(gen, PAGES_SCHEMA)
 
 
-def _wrap_text_paragraphs(text: str, rng: random.Random) -> list[str]:
+def _wrap_text_paragraphs(text: str, doc_id: int, seed: int = 42) -> list[str]:
+    """Paragraph wrap with md5-derived widths: paragraph ``p`` takes
+    ``25 + md5i(f"{seed}:k:{doc_id}:{p}") % 36`` words (a pure function of
+    (doc_id, p), so the oracle derives offsets with a window cumsum, no
+    recursion); commas at in-paragraph positions 5, 14, 23, …; trailing
+    period."""
     words = text.split()
     if not words:
         return ["empty document body."]
-    paras, i = [], 0
+    paras, i, p = [], 0, 0
     while i < len(words):
-        k = rng.randint(25, 60)
+        k = 25 + _md5i(f"{seed}:k:{doc_id}:{p}") % 36
         chunk = words[i:i + k]
         for j in range(5, len(chunk), 9):
             chunk[j] += ","
         paras.append(" ".join(chunk) + ".")
         i += k
+        p += 1
     return paras
