@@ -91,6 +91,156 @@ ORDER BY lang, seq_id, doc_id
 """
 
 
+# ------------------------------------------------------- repetition_quality
+# Gopher-style repetition filters (Rae et al. 2021 §A1.1, public paper):
+# fraction of unique words, most-common-word fraction, and the character
+# fraction covered by the most common 2-gram.  All JVM columnar: one explode
+# + groupBy per n-gram order (map-side partial agg), a row_number window for
+# the deterministic arg-max, no Python.  At 100 TB each aggregation is a
+# single hash shuffle keyed (doc_id, gram) — bounded by corpus token count,
+# and the per-doc cardinality is tiny so AQE coalesces the reduce side.
+
+
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (_docs(spark, sf_dir)
+         .filter(F.length(F.trim("text")) > 0)
+         .select("doc_id", F.split("text", " ").alias("w"),
+                 F.length("text").alias("nchars")))
+    uni = (d.select("doc_id", "nchars", F.size("w").alias("n_words"),
+                    F.explode("w").alias("word"))
+           .groupBy("doc_id", "nchars", "n_words", "word")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    w_top = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.desc("word"))
+    per_doc = (uni.groupBy("doc_id", "nchars", "n_words")
+               .agg(F.count(F.lit(1)).alias("n_uniq")))
+    topw = (uni.withColumn("rn", F.row_number().over(w_top))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("cnt").alias("top_cnt")))
+    bi = (d.filter(F.size("w") >= 2)
+          .select("doc_id", "nchars", F.explode(F.expr(
+              "transform(sequence(1, size(w) - 1),"
+              " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+          )).alias("gram"))
+          .groupBy("doc_id", "nchars", "gram")
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    w_big = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.desc("gram"))
+    topb = (bi.withColumn("rn", F.row_number().over(w_big))
+            .filter(F.col("rn") == 1)
+            .select("doc_id",
+                    F.round(F.col("cnt") * F.length("gram") /
+                            F.col("nchars"), 4).alias("top_bigram_char_frac")))
+    uniq_ratio = F.round(F.col("n_uniq") / F.col("n_words"), 4)
+    top_word_frac = F.round(F.col("top_cnt") / F.col("n_words"), 4)
+    big = F.coalesce(F.col("top_bigram_char_frac"), F.lit(0.0))
+    return (per_doc.join(topw, "doc_id").join(topb, "doc_id", "left")
+            .select("doc_id", "n_words",
+                    uniq_ratio.alias("uniq_word_ratio"),
+                    top_word_frac.alias("top_word_frac"),
+                    big.alias("top_bigram_char_frac"),
+                    ((uniq_ratio >= 0.2) & (top_word_frac <= 0.2) &
+                     (big <= 0.2)).alias("gopher_pass"))
+            .orderBy("doc_id"))
+
+
+REPETITION_QUALITY_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w, length(text) AS nchars
+  FROM documents WHERE length(trim(text)) > 0),
+uni AS (
+  SELECT doc_id, any_value(nchars) AS nchars, any_value(len(w)) AS n_words,
+         word, count(*) AS cnt
+  FROM (SELECT doc_id, nchars, w, unnest(w) AS word FROM d)
+  GROUP BY doc_id, word),
+per_doc AS (
+  SELECT doc_id, any_value(n_words) AS n_words, count(*) AS n_uniq
+  FROM uni GROUP BY doc_id),
+topw AS (
+  SELECT doc_id, cnt AS top_cnt FROM (
+    SELECT doc_id, cnt, row_number() OVER (
+      PARTITION BY doc_id ORDER BY cnt DESC, word DESC) AS rn FROM uni)
+  WHERE rn = 1),
+bi AS (
+  SELECT doc_id, any_value(nchars) AS nchars, gram, count(*) AS cnt
+  FROM (SELECT doc_id, nchars,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i + 1])) AS gram
+        FROM d WHERE len(w) >= 2)
+  GROUP BY doc_id, gram),
+topb AS (
+  SELECT doc_id, round(cnt * length(gram) * 1.0 / nchars, 4)
+           AS top_bigram_char_frac
+  FROM (SELECT doc_id, nchars, gram, cnt, row_number() OVER (
+          PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn FROM bi)
+  WHERE rn = 1)
+SELECT p.doc_id, CAST(p.n_words AS INTEGER) AS n_words,
+       round(p.n_uniq * 1.0 / p.n_words, 4) AS uniq_word_ratio,
+       round(t.top_cnt * 1.0 / p.n_words, 4) AS top_word_frac,
+       coalesce(b.top_bigram_char_frac, 0.0) AS top_bigram_char_frac,
+       (round(p.n_uniq * 1.0 / p.n_words, 4) >= 0.2
+        AND round(t.top_cnt * 1.0 / p.n_words, 4) <= 0.2
+        AND coalesce(b.top_bigram_char_frac, 0.0) <= 0.2) AS gopher_pass
+FROM per_doc p
+JOIN topw t USING (doc_id)
+LEFT JOIN topb b USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
+# ------------------------------------------------------------ decontaminate
+# Benchmark n-gram decontamination (the published GPT-3 appendix-C / Llama
+# recipe: drop or flag training documents sharing long n-grams with an
+# evaluation set).  The "benchmark" split here is doc_id % 97 == 0; n = 3 on
+# this synthetic corpus (real pipelines use 8-13 — the random-word corpus
+# has no 8-gram collisions, and the plumbing is n-independent).
+# Scale design: both sides explode to (gram) keys and join on gram — the
+# shuffle is bounded by corpus gram count, never |docs|²; at 100 TB the
+# benchmark side is tiny and AQE turns the join into a broadcast, making
+# the whole operator one map-side pass over the training grams.
+_DECON_N = 3
+_BENCH_MOD = 97
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _DECON_N
+    d = (_docs(spark, sf_dir)
+         .filter(F.length(F.trim("text")) > 0)
+         .select("doc_id", F.split("text", " ").alias("w")))
+    grams = (d.filter(F.size("w") >= n)
+             .select("doc_id", F.explode(F.expr(
+                 f"transform(sequence(1, size(w) - {n - 1}),"
+                 f" i -> array_join(slice(w, i, {n}), ' '))")).alias("gram")))
+    bench = (grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+             .select("gram").distinct())
+    train = (grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+             .select("doc_id", "gram").distinct())
+    return (train.join(bench, "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+            .orderBy("doc_id"))
+
+
+DECONTAMINATE_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE length(trim(text)) > 0),
+g AS (
+  SELECT doc_id, array_to_string(list_slice(l, i, i + {_DECON_N - 1}), ' ')
+           AS gram
+  FROM w,
+       LATERAL (SELECT unnest(generate_series(1, len(l) - {_DECON_N - 1}))
+                AS i) u
+  WHERE len(l) >= {_DECON_N}),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_BENCH_MOD} = 0),
+train AS (SELECT DISTINCT doc_id, gram FROM g
+          WHERE doc_id % {_BENCH_MOD} != 0)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM train t JOIN bench b USING (gram)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "sequence_pack": (sequence_pack, SEQUENCE_PACK_SQL),
+    "repetition_quality": (repetition_quality, REPETITION_QUALITY_SQL),
+    "decontaminate": (decontaminate, DECONTAMINATE_SQL),
 }
