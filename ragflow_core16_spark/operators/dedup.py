@@ -418,19 +418,9 @@ ORDER BY doc_a, doc_b
 
 
 # ------------------------------------------------------- dup clustering
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the LSH candidate pairs → duplicate
-    CLUSTERS (canonical = min doc_id of the component) with sizes.
-
-    Algorithm: min-label propagation to fixpoint — each node repeatedly
-    takes the minimum label among itself and its neighbors.  Converges in
-    O(component diameter) rounds; every round is one keyed shuffle over
-    the EDGE list (∝ collisions, never |docs|²), which is the standard
-    scalable formulation (the alternating large-star/small-star refinement
-    drops in unchanged if diameters grow).  The driver loop carries only a
-    changed-count scalar per round — no data ever collects.  Dup pairs are
-    a vanishing fraction of a 100 TB corpus, so the iterated relation is
-    tiny relative to the scan that produced it."""
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, label) after min-label propagation over the LSH pair edges;
+    shared by ``dedup_clusters`` and ``dedup_keep``."""
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (pairs.union(pairs.select(F.col("doc_b").alias("doc_a"),
                                       F.col("doc_a").alias("doc_b")))
@@ -451,6 +441,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate pairs → duplicate
+    CLUSTERS (canonical = min doc_id of the component) with sizes.
+
+    Algorithm: min-label propagation to fixpoint — each node repeatedly
+    takes the minimum label among itself and its neighbors.  Converges in
+    O(component diameter) rounds; every round is one keyed shuffle over
+    the EDGE list (∝ collisions, never |docs|²), which is the standard
+    scalable formulation (the alternating large-star/small-star refinement
+    drops in unchanged if diameters grow).  The driver loop carries only a
+    changed-count scalar per round — no data ever collects.  Dup pairs are
+    a vanishing fraction of a 100 TB corpus, so the iterated relation is
+    tiny relative to the scan that produced it."""
+    labels = _cluster_labels(spark, sf_dir)
     return (labels.groupBy(F.col("label").alias("cluster_id"))
             .agg(F.count(F.lit(1)).alias("size"),
                  F.sort_array(F.collect_list("node")).alias("members"))
@@ -461,7 +468,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cluster_id"))
 
 
-DEDUP_CLUSTERS_SQL = (r"""
+_CLUSTERS_CTE = (r"""
 WITH RECURSIVE """ + _SHINGLES_CTE + r""",
   seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
   hashed AS (
@@ -486,11 +493,42 @@ WITH RECURSIVE """ + _SHINGLES_CTE + r""",
     UNION
     SELECT e.doc_a AS node, r.r
     FROM reach r JOIN edges e ON e.doc_b = r.node),
-  labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+  labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)""")
+
+DEDUP_CLUSTERS_SQL = _CLUSTERS_CTE + r"""
 SELECT cluster_id, count(*) AS size,
        string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
 FROM labels GROUP BY cluster_id ORDER BY cluster_id
-""")
+"""
+
+
+def dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the keep/drop decision for EVERY corpus document: each
+    doc joins its duplicate-cluster label (left join — non-duplicates form
+    singleton clusters of themselves) and survives iff it is the cluster's
+    canonical (min doc_id) member.  This is the step a real pipeline
+    actually applies after clustering; the join is keyed on doc_id (one
+    shuffle bounded by |docs|, and the label side — only docs that hit an
+    LSH collision — is a vanishing fraction at 100 TB, so AQE broadcasts
+    it)."""
+    labels = _cluster_labels(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    lab = labels.select(F.col("node").alias("doc_id"),
+                        F.col("label").alias("cl"))
+    cluster_id = F.coalesce(F.col("cl"), F.col("doc_id"))
+    return (docs.join(lab, "doc_id", "left")
+            .select("doc_id", cluster_id.alias("cluster_id"),
+                    (F.col("doc_id") == cluster_id).alias("kept"))
+            .orderBy("doc_id"))
+
+
+DEDUP_KEEP_SQL = _CLUSTERS_CTE + r"""
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(l.cluster_id, d.doc_id) AS kept
+FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+ORDER BY d.doc_id
+"""
 
 
 # --------------------------------------------------- stratified sampling
@@ -545,5 +583,6 @@ QUERIES = {
     "simhash": (simhash, SIMHASH_SQL),
     "simhash_pairs": (simhash_pairs, SIMHASH_PAIRS_SQL),
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_keep": (dedup_keep, DEDUP_KEEP_SQL),
     "stratified_sample": (stratified_sample, _stratified_sample_sql()),
 }
