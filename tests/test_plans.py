@@ -117,6 +117,30 @@ def test_dedup_queries_share_persisted_intermediates(spark):
     assert "InMemoryTableScan" in plan
 
 
+def test_decontaminate_partial_agg_no_cartesian(spark):
+    """The gram join must be keyed (hash join on gram), never a nested-loop
+    cartesian, and the per-doc gram count must combine map-side."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = E._registry()["decontaminate"][0](spark, SF)
+        simple = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"))
+        assert "CartesianProduct" not in simple
+        assert "BroadcastNestedLoopJoin" not in simple
+        assert "partial_count" in simple
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_repetition_quality_no_python_stage(spark):
+    """Gopher-style repetition metrics are pure JVM columnar — no Arrow/
+    Python operator anywhere in the plan."""
+    plan = _formatted(E._registry()["repetition_quality"][0](spark, SF))
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_template_sort_reads_checkpoint_not_python_stage(spark):
     """The presentation orderBy runs over a lazy localCheckpoint — the
     sort's child is an RDD scan, so the range-partitioner sampling pass
