@@ -1,5 +1,5 @@
-"""Multimodal tests: real PNG/WAV codecs, container decode, feature UDF,
-frame sampling, remaining JPEG/MP4 stub behavior."""
+"""Multimodal tests: real PNG/WAV/MP4 codecs, container decode, feature
+UDF, frame sampling, unknown-container stub behavior."""
 
 import pytest
 
@@ -86,6 +86,55 @@ class TestDecode:
     def test_deterministic(self):
         assert synth_payload(7, "video") == synth_payload(7, "video")
 
+    def test_video_is_real_mp4(self):
+        p = synth_payload(8, "video")
+        assert p[4:8] == b"ftyp"
+        m = decode_media(p)
+        nf = 4 + 8 % 8
+        assert m["kind"] == "video"
+        assert (m["w"], m["h"]) == (FRAME_BYTES, nf)
+        assert m["body"] == bytes((8 + i) % 256
+                                  for i in range(nf * FRAME_BYTES))
+
+    def test_unknown_container_raises(self):
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x00\x00\x00\x00nope not a container")
+
+
+class TestMp4Container:
+    def test_roundtrip_uniform(self):
+        from ragflow_core16_spark.media.mp4 import (demux_mp4, encode_mp4,
+                                                    extract_samples)
+        frames = [bytes([i]) * 64 for i in range(10)]
+        data = encode_mp4(frames, width=8, height=8, samples_per_chunk=4)
+        info = demux_mp4(data)
+        assert info["n_samples"] == 10
+        assert (info["width"], info["height"]) == (8, 8)
+        assert extract_samples(data) == frames
+        assert extract_samples(data, every_k=3) == frames[::3]
+
+    def test_roundtrip_mixed_sizes(self):
+        # mixed sizes force the explicit stsz table; short tail chunk
+        # forces the second stsc run
+        from ragflow_core16_spark.media.mp4 import demux_mp4, encode_mp4
+        frames = [bytes([i]) * (10 + 7 * i) for i in range(7)]
+        data = encode_mp4(frames, samples_per_chunk=3)
+        info = demux_mp4(data)
+        assert [s for _, s, _ in info["samples"]] == [len(f) for f in frames]
+        assert [data[o:o + s] for o, s, _ in info["samples"]] == frames
+
+    def test_timestamps_from_stts(self):
+        from ragflow_core16_spark.media.mp4 import demux_mp4, encode_mp4
+        data = encode_mp4([b"x" * 4] * 5, timescale=600, sample_delta=25)
+        info = demux_mp4(data)
+        assert info["timescale"] == 600
+        assert [t for _, _, t in info["samples"]] == [0, 25, 50, 75, 100]
+
+    def test_bad_tables_raise(self):
+        from ragflow_core16_spark.media.mp4 import demux_mp4
+        with pytest.raises(ValueError):
+            demux_mp4(b"\x00\x00\x00\x08ftyp")  # no moov
+
     def test_truncated_jpeg_raises(self):
         # JPEG now decodes natively (media/jpeg.py); malformed input fails
         # loudly instead of hitting a stub
@@ -155,8 +204,10 @@ class TestJpegCodec:
         m = decode_media(encode_jpeg(bytes([7]) * 64, 8, 8))
         assert m["kind"] == "image" and (m["w"], m["h"]) == (8, 8)
 
-    def test_mp4_still_stubbed(self):
+    def test_truncated_mp4_raises(self):
+        # MP4 demux is native now (media/mp4.py); a header with no moov
+        # fails loudly instead of hitting a stub
         import pytest
         from ragflow_core16_spark.operators.multimodal import decode_media
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             decode_media(b"\x00\x00\x00\x20ftypisom mp4 header")
