@@ -45,11 +45,11 @@ def _registry():
                                                 pdf_extract, relational,
                                                 retrieval, similarity,
                                                 templates, textstats,
-                                                training)
+                                                training, webclean)
     reg: dict[str, tuple] = {}
     for mod in (textstats, dedup, similarity, retrieval, relational,
                 templates, pdf_extract, multimodal, office, embed,
-                training, extract_e2e):
+                training, webclean, extract_e2e):
         for name, (fn, sql) in mod.QUERIES.items():
             reg[name] = (fn, sql)
     return reg

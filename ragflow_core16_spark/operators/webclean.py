@@ -1,0 +1,292 @@
+"""Web-corpus cleaning operators (beyond the reference's own surface —
+the C4 / CCNet-style passes a web-scale pretraining pipeline runs between
+extraction and training-data assembly).
+
+The synthetic ``documents`` table is bare lowercase words, so each
+operator runs over a CLOSED-FORM "weblines" enrichment derived from
+(doc_id, text) alone: the word stream is cut into 10-word lines and
+decorated deterministically — shared boilerplate lines, lorem-ipsum
+prefixes, PII suffixes (email / IP / phone), "enable javascript" and
+curly-brace noise, and terminal periods — with the SAME arithmetic in the
+Spark expressions and the DuckDB oracles, so every operator stays
+hash-checked end-to-end.  All derivations are pure JVM column
+expressions (higher-order functions + posexplode); no Python stage.
+
+Operators:
+
+* ``c4_line_filter`` — the published C4 cleaning recipe: keep a line iff
+  it ends in terminal punctuation, has ≥ 5 words, and contains none of
+  "javascript" / "lorem ipsum" / "{"; keep a document iff ≥ 3 lines
+  survive.  One explode + one groupBy (map-side combinable aggregates).
+* ``pii_redact`` — regex PII scrubbing (emails, IPv4s, phone numbers):
+  match counts + redaction markers.  Entirely scan-side column
+  expressions — zero shuffles beyond the final presentation sort; at
+  100 TB this is a free rider on any pass over the corpus.
+* ``paragraph_dedup`` — CCNet-style cross-document paragraph dedup: hash
+  every line, keep only the corpus-wide FIRST occurrence (min
+  (doc_id, line_no) per hash).  First-occurrence election is a
+  ``groupBy(hash).agg(min(struct(...)))`` — NOT a row_number window —
+  because partial aggregation combines map-side, so the one mega-hot
+  boilerplate hash (billions of "subscribe to our newsletter" lines at
+  100 TB) is absorbed by combiners instead of funnelling into a single
+  window partition.  Shuffle is bounded by |distinct hashes| + the
+  join back, both AQE-coalescible.
+
+Scale note: the weblines derivation itself is stateless per-row, so all
+three operators inherit the scan's partitioning — no repartition needed
+before the per-doc groupBys because doc_id never crosses files in the
+extraction layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINE_WORDS = 10
+_BOILER = "subscribe to our newsletter follow us on social media"
+_LOREM = "lorem ipsum dolor sit amet "
+
+# PII regexes — kept to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): literal classes, bounded repeats, no
+# lookaround.
+RE_EMAIL = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+RE_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+RE_PHONE = r"555-\d{4}"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def weblines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, nlines, line_no, raw, line): the deterministic web-shaped
+    line view.  ``raw`` is the post-boilerplate pre-decoration line (the
+    dedup target); ``line`` is fully decorated."""
+    d = (_docs(spark, sf_dir)
+         .filter(F.length(F.trim("text")) > 0)
+         .select("doc_id", F.split("text", " ").alias("w")))
+    d = d.withColumn("nlines",
+                     F.expr(f"cast(ceil(size(w) / {LINE_WORDS}.0) as int)"))
+    lines = d.select(
+        "doc_id", "nlines",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, nlines - 1),"
+            f" c -> array_join(slice(w, c * {LINE_WORDS} + 1,"
+            f" {LINE_WORDS}), ' '))")).alias("line_no", "chunk"))
+    did, ln = F.col("doc_id"), F.col("line_no")
+    raw = (F.when((did % 13 == 0) & (did % 53 != 0) & (ln == 0),
+                  F.lit(_BOILER))
+           .otherwise(F.col("chunk")))
+    raw = (F.when((did % 53 == 0) & (ln == 0), F.concat(F.lit(_LOREM), raw))
+           .otherwise(raw))
+    lines = lines.withColumn("raw", raw)
+    pii = (F.when(did % 4 == 0,
+                  F.concat(F.lit(" contact user"), did.cast("string"),
+                           F.lit("@example.com")))
+           .when(did % 4 == 1,
+                 F.concat(F.lit(" server 192.168."),
+                          (did % 256).cast("string"), F.lit("."),
+                          ((did * 7) % 256).cast("string")))
+           .when(did % 4 == 2,
+                 F.concat(F.lit(" call 555-"),
+                          (F.lit(1000) + did % 9000).cast("string")))
+           .otherwise(F.lit("")))
+    line = F.concat(
+        F.col("raw"),
+        F.when(ln == did % F.col("nlines"), pii).otherwise(F.lit("")),
+        F.when((did + ln) % 7 == 0, F.lit(" enable javascript to view"))
+         .otherwise(F.lit("")),
+        F.when((did + ln) % 11 == 0, F.lit(" { }")).otherwise(F.lit("")),
+        F.when((did + ln) % 3 != 0, F.lit(".")).otherwise(F.lit("")))
+    return lines.select("doc_id", "nlines", "line_no", "raw",
+                        line.alias("line"))
+
+
+# one SQL fragment for the same derivation, interpolated by every oracle
+WEBLINES_SQL = rf"""
+d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(ceil(len(string_split(text, ' ')) / {LINE_WORDS}.0) AS INTEGER)
+           AS nlines
+  FROM documents WHERE length(trim(text)) > 0),
+chunks AS (
+  SELECT doc_id, nlines, i AS line_no,
+         array_to_string(list_slice(w, i * {LINE_WORDS} + 1,
+                                    i * {LINE_WORDS} + {LINE_WORDS}), ' ')
+           AS chunk
+  FROM d, LATERAL (SELECT unnest(generate_series(0, nlines - 1)) AS i) u),
+rawl AS (
+  SELECT doc_id, nlines, line_no,
+         CASE WHEN doc_id % 53 = 0 AND line_no = 0
+              THEN '{_LOREM}' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 AND doc_id % 53 != 0 AND line_no = 0
+                 THEN '{_BOILER}' ELSE chunk END AS raw
+  FROM chunks),
+weblines AS (
+  SELECT doc_id, nlines, line_no, raw,
+         raw
+         || CASE WHEN line_no = doc_id % nlines THEN
+              CASE doc_id % 4
+                WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com'
+                WHEN 1 THEN ' server 192.168.'
+                            || CAST(doc_id % 256 AS VARCHAR) || '.'
+                            || CAST((doc_id * 7) % 256 AS VARCHAR)
+                WHEN 2 THEN ' call 555-'
+                            || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                ELSE '' END
+            ELSE '' END
+         || CASE WHEN (doc_id + line_no) % 7 = 0
+                 THEN ' enable javascript to view' ELSE '' END
+         || CASE WHEN (doc_id + line_no) % 11 = 0 THEN ' {{ }}' ELSE '' END
+         || CASE WHEN (doc_id + line_no) % 3 != 0 THEN '.' ELSE '' END
+           AS line
+  FROM rawl)
+"""
+
+
+# ------------------------------------------------------------- c4 filter
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wl = weblines(spark, sf_dir)
+    keep = (F.col("line").endswith(".")
+            & (F.size(F.split("line", " ")) >= 5)
+            & ~F.col("line").contains("javascript")
+            & ~F.col("line").contains("lorem ipsum")
+            & ~F.col("line").contains("{"))
+    wl = wl.withColumn("keep", keep)
+    kept_sorted = F.expr(
+        "array_join(transform(array_sort(collect_kept), x -> x.line),"
+        " '\n')")
+    return (wl.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.col("keep").cast("long")).alias("n_kept"),
+                 F.collect_list(
+                     F.when(F.col("keep"),
+                            F.struct("line_no", "line"))).alias(
+                                "collect_kept"))
+            .select("doc_id",
+                    F.col("n_lines").cast("int").alias("n_lines"),
+                    F.col("n_kept").cast("int").alias("n_kept"),
+                    (F.col("n_kept") >= 3).alias("c4_pass"),
+                    F.md5(kept_sorted).alias("kept_md5"))
+            .orderBy("doc_id"))
+
+
+C4_LINE_FILTER_SQL = rf"""
+WITH {WEBLINES_SQL},
+flagged AS (
+  SELECT doc_id, line_no, line,
+         (line LIKE '%.' AND len(string_split(line, ' ')) >= 5
+          AND line NOT LIKE '%javascript%'
+          AND line NOT LIKE '%lorem ipsum%'
+          AND line NOT LIKE '%{{%') AS keep
+  FROM weblines)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_lines,
+       CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS INTEGER)
+         AS n_kept,
+       coalesce(sum(CASE WHEN keep THEN 1 END), 0) >= 3 AS c4_pass,
+       md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY line_no), '')) AS kept_md5
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ------------------------------------------------------------ pii redact
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wl = weblines(spark, sf_dir)
+    doc = (wl.groupBy("doc_id")
+           .agg(F.expr(
+               "array_join(transform(array_sort("
+               "collect_list(struct(line_no, line))), x -> x.line), '\n')")
+               .alias("text_w")))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text_w", RE_EMAIL, "<EMAIL>"),
+            RE_IP, "<IP>"),
+        RE_PHONE, "<PHONE>")
+    return (doc.select(
+                "doc_id",
+                F.regexp_count("text_w", F.lit(RE_EMAIL)).cast("int")
+                 .alias("n_emails"),
+                F.regexp_count("text_w", F.lit(RE_IP)).cast("int")
+                 .alias("n_ips"),
+                F.regexp_count("text_w", F.lit(RE_PHONE)).cast("int")
+                 .alias("n_phones"),
+                F.md5(red).alias("redacted_md5"))
+            .orderBy("doc_id"))
+
+
+PII_REDACT_SQL = rf"""
+WITH {WEBLINES_SQL},
+doc AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY line_no) AS text_w
+  FROM weblines GROUP BY doc_id)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text_w, '{RE_EMAIL}')) AS INTEGER)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text_w, '{RE_IP}')) AS INTEGER)
+         AS n_ips,
+       CAST(len(regexp_extract_all(text_w, '{RE_PHONE}')) AS INTEGER)
+         AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+             text_w, '{RE_EMAIL}', '<EMAIL>', 'g'),
+             '{RE_IP}', '<IP>', 'g'),
+             '{RE_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+FROM doc ORDER BY doc_id
+"""
+
+
+# -------------------------------------------------------- paragraph dedup
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wl = weblines(spark, sf_dir).withColumn("h", F.md5("raw"))
+    first = (wl.groupBy("h")
+             .agg(F.min(F.struct("doc_id", "line_no")).alias("first")))
+    marked = (wl.join(first, "h")
+              .withColumn("is_dup",
+                          (F.col("doc_id") != F.col("first.doc_id"))
+                          | (F.col("line_no") != F.col("first.line_no"))))
+    kept_sorted = F.expr(
+        "array_join(transform(array_sort(collect_kept), x -> x.line),"
+        " '\n')")
+    return (marked.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.sum(F.col("is_dup").cast("long")).alias("n_dup"),
+                 F.collect_list(
+                     F.when(~F.col("is_dup"),
+                            F.struct("line_no", "line"))).alias(
+                                "collect_kept"))
+            .select("doc_id",
+                    F.col("n_lines").cast("int").alias("n_lines"),
+                    F.col("n_dup").cast("int").alias("n_dup_lines"),
+                    F.md5(kept_sorted).alias("kept_md5"))
+            .orderBy("doc_id"))
+
+
+PARAGRAPH_DEDUP_SQL = rf"""
+WITH {WEBLINES_SQL},
+hashed AS (SELECT doc_id, line_no, line, md5(raw) AS h FROM weblines),
+first_occ AS (
+  SELECT h, min(doc_id * 1000000 + line_no) AS first_key
+  FROM hashed GROUP BY h),
+marked AS (
+  SELECT x.doc_id, x.line_no, x.line,
+         (x.doc_id * 1000000 + x.line_no) != f.first_key AS is_dup
+  FROM hashed x JOIN first_occ f USING (h))
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_lines,
+       CAST(coalesce(sum(CASE WHEN is_dup THEN 1 END), 0) AS INTEGER)
+         AS n_dup_lines,
+       md5(coalesce(string_agg(CASE WHEN NOT is_dup THEN line END, chr(10)
+                               ORDER BY line_no), '')) AS kept_md5
+FROM marked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
+    "pii_redact": (pii_redact, PII_REDACT_SQL),
+    "paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
+}

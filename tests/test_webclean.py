@@ -1,0 +1,126 @@
+"""Web-corpus cleaning operators: C4 line filter, PII redaction, CCNet
+paragraph dedup — behavior checks plus the plan properties that matter at
+100 TB (no Python stage anywhere; first-occurrence election via partial
+min-agg, not a row_number window)."""
+
+import __spark_entry__ as E
+from ragflow_core16_spark.operators import webclean
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+class TestWeblines:
+    def test_line_cut_and_decoration(self, spark):
+        wl = {(r["doc_id"], r["line_no"]): r
+              for r in webclean.weblines(spark, SF).collect()}
+        d0 = wl[(0, 0)]
+        # doc 0: 53|0 → lorem prefix; 0%4==0 → email on line 0%nlines==0;
+        # (0+0)%7==0 → javascript; (0+0)%11==0 → curly; (0+0)%3==0 → no dot
+        assert d0["raw"].startswith("lorem ipsum dolor sit amet ")
+        assert "contact user0@example.com" in d0["line"]
+        assert d0["line"].endswith("{ }")
+        assert "enable javascript to view" in d0["line"]
+
+    def test_boilerplate_is_shared_exactly(self, spark):
+        wl = webclean.weblines(spark, SF)
+        boiler = (wl.filter((wl.doc_id % 13 == 0) & (wl.doc_id % 53 != 0)
+                            & (wl.line_no == 0))
+                  .select("raw").distinct().collect())
+        assert len(boiler) == 1
+        assert boiler[0]["raw"] == webclean._BOILER
+
+    def test_period_cadence(self, spark):
+        rows = (webclean.weblines(spark, SF)
+                .filter("doc_id = 1").orderBy("line_no").collect())
+        for r in rows:
+            assert r["line"].endswith(".") == ((1 + r["line_no"]) % 3 != 0)
+
+
+class TestC4:
+    def test_rules_drop_expected_lines(self, spark):
+        df = webclean.c4_line_filter(spark, SF)
+        out = {r["doc_id"]: r for r in df.collect()}
+        wl = (webclean.weblines(spark, SF)
+              .filter("doc_id = 3").orderBy("line_no").collect())
+        keep = [(not ("javascript" in r["line"] or "{" in r["line"]
+                      or "lorem ipsum" in r["line"]))
+                and r["line"].endswith(".")
+                and len(r["line"].split(" ")) >= 5 for r in wl]
+        assert out[3]["n_lines"] == len(wl)
+        assert out[3]["n_kept"] == sum(keep)
+        assert out[3]["c4_pass"] == (sum(keep) >= 3)
+
+    def test_no_python_stage(self, spark):
+        plan = _formatted(webclean.c4_line_filter(spark, SF))
+        assert "MapInPandas" not in plan and "EvalPython" not in plan
+
+
+class TestPii:
+    def test_counts_by_doc_class(self, spark):
+        out = {r["doc_id"]: r
+               for r in webclean.pii_redact(spark, SF).collect()}
+        for d, r in out.items():
+            want = [(1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0)][d % 4]
+            assert (r["n_emails"], r["n_ips"], r["n_phones"]) == want, d
+
+    def test_redaction_removes_matches(self, spark):
+        import re
+        wl = webclean.weblines(spark, SF).filter("doc_id = 4")
+        text = "\n".join(r["line"]
+                         for r in wl.orderBy("line_no").collect())
+        red = re.sub(webclean.RE_PHONE, "<PHONE>",
+                     re.sub(webclean.RE_IP, "<IP>",
+                            re.sub(webclean.RE_EMAIL, "<EMAIL>", text)))
+        assert "<EMAIL>" in red and "@example.com" not in red
+
+    def test_scan_side_only(self, spark):
+        # one groupBy(doc_id) to rebuild the doc, one presentation sort —
+        # the regex work itself adds no exchange (count detail headers;
+        # the tree section repeats each node)
+        plan = _formatted(webclean.pii_redact(spark, SF))
+        assert plan.count(") Exchange") <= 2
+        assert "EvalPython" not in plan
+
+
+class TestParagraphDedup:
+    def test_first_occurrence_kept(self, spark):
+        out = {r["doc_id"]: r
+               for r in webclean.paragraph_dedup(spark, SF).collect()}
+        boiler_docs = sorted(d for d in out
+                             if d % 13 == 0 and d % 53 != 0)
+        assert boiler_docs, "fixture must contain boilerplate docs"
+        # the earliest boilerplate doc keeps its line 0; every later one
+        # counts at least one duplicate
+        later = boiler_docs[1:]
+        assert all(out[d]["n_dup_lines"] >= 1 for d in later)
+
+    def test_dup_count_conservation(self, spark):
+        wl = webclean.weblines(spark, SF).select("raw").collect()
+        from collections import Counter
+        c = Counter(r["raw"] for r in wl)
+        expect_dups = sum(v - 1 for v in c.values())
+        got = webclean.paragraph_dedup(spark, SF)
+        total = sum(r["n_dup_lines"] for r in got.collect())
+        assert total == expect_dups
+
+    def test_min_agg_not_window(self, spark):
+        """First-occurrence election must be a partial-aggregable min —
+        a row_number window over the hash would funnel the mega-hot
+        boilerplate hash into one partition at 100 TB."""
+        plan = _formatted(webclean.paragraph_dedup(spark, SF))
+        assert "partial_min" in plan
+        assert "row_number" not in plan
+        assert "EvalPython" not in plan
+
+
+def test_registered_with_oracles():
+    reg, osql = E._registry(), E.oracle_sql()
+    for name in ("c4_line_filter", "pii_redact", "paragraph_dedup"):
+        assert name in reg and name in osql
