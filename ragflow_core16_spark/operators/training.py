@@ -239,8 +239,81 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 """
 
 
+# --------------------------------------------------------------- bpe train
+# Distributed BPE vocabulary training (Sennrich's algorithm, the one
+# behind GPT-2/tiktoken vocabularies).  The corpus-scale work is exactly
+# ONE shuffle: the word histogram (explode → groupBy(word), map-side
+# combinable, bounded by |distinct words| ≪ corpus at any scale).  Every
+# merge round then runs over that distinct-word table only: adjacent-pair
+# counts weighted by word frequency (small shuffle, partial-agg), a
+# single-row argmax collect (the same driver-scalar shape as a KMeans
+# round), and a JVM ``aggregate`` fold that rewrites the symbol arrays —
+# lineage is truncated per round with an eager localCheckpoint so R
+# rounds never stack R nested folds into one plan.
+#
+# Data-dependent per-round argmax makes this genuinely non-SQL-
+# expressible (a recursive CTE cannot aggregate over its own recursive
+# term), so it registers WITHOUT a DuckDB oracle; instead
+# tests/test_bpe_train.py pins the full merge list against an independent
+# pure-Python reference trainer at sf0.001.
+BPE_MERGES = 16
+
+
+def _bpe_merge_expr(left: str, right: str) -> str:
+    """Fold that rewrites every left-to-right non-overlapping (left,
+    right) adjacency into the merged symbol.  No just-merged flag is
+    needed: the merged token equals left||right which can never compare
+    equal to ``left`` (right is non-empty)."""
+    merged = left + right
+    return ("aggregate(syms, cast(array() as array<string>), (acc, x) -> "
+            f"if(size(acc) > 0 and element_at(acc, -1) = '{left}' "
+            f"and x = '{right}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), "
+            "concat(acc, array(x))))")
+
+
+def bpe_train(spark: SparkSession, sf_dir: str,
+              rounds: int = BPE_MERGES) -> DataFrame:
+    words = (_docs(spark, sf_dir)
+             .filter(F.length(F.trim("text")) > 0)
+             .select(F.explode(F.split("text", " ")).alias("word"))
+             .filter(F.length("word") > 0)
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    w = words.withColumn("syms", F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )).select("freq", "syms").localCheckpoint()
+    merges = []
+    for rank in range(rounds):
+        top = (w.filter(F.size("syms") >= 2)
+               .select("freq", F.explode(F.expr(
+                   "transform(sequence(1, size(syms) - 1),"
+                   " i -> struct(element_at(syms, i) AS l,"
+                   "             element_at(syms, i + 1) AS r))"))
+                   .alias("p"))
+               .groupBy("p.l", "p.r")
+               .agg(F.sum("freq").alias("cnt"))
+               .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+               .limit(1).collect())
+        if not top:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((rank, left, right, left + right, cnt))
+        w = (w.withColumn("syms", F.expr(_bpe_merge_expr(left, right)))
+             .localCheckpoint())
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string,"
+                " pair_freq bigint").orderBy("rank")
+
+
+def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_train(spark, sf_dir)
+
+
 QUERIES = {
     "sequence_pack": (sequence_pack, SEQUENCE_PACK_SQL),
     "repetition_quality": (repetition_quality, REPETITION_QUALITY_SQL),
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
+    # iterative data-dependent argmax per round — no SQL oracle; pinned
+    # against a pure-Python reference trainer in tests instead
+    "bpe_train": (bpe_train_q, None),
 }
