@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "doc_quality", "xlsx_template", "embed_docs", "insert_citations",
     "pdf_template", "paper_pdf_template", "pdf_table_template",
     "email_template",
+    "c4_line_filter", "pii_redact", "paragraph_dedup", "bpe_train",
 ]
 
 
