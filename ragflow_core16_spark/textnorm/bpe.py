@@ -89,3 +89,30 @@ def encoder_from_env() -> BpeEncoder | None:
     if not path:
         return None
     return BpeEncoder(load_vocab(path))
+
+
+def vocab_from_merges(merges: list[tuple]) -> dict[bytes, int]:
+    """Rank table from a trained merge list (``operators/training.py::
+    bpe_train`` rows: (rank, left, right, merged, pair_freq)).
+
+    All 256 single bytes get ranks 0-255 (the byte-level base alphabet,
+    as in every tiktoken vocabulary), and each merged token lands at
+    ``256 + merge_rank`` — rank order mirrors creation order, which is
+    what makes the encoder's lowest-rank-first merge loop reproduce
+    sequential application of the merge list.
+    """
+    ranks = {bytes([b]): b for b in range(256)}
+    for rank, _left, _right, merged, _freq in merges:
+        ranks[merged.encode("utf-8")] = 256 + int(rank)
+    return ranks
+
+
+def dump_vocab(ranks: dict[bytes, int], path: str) -> None:
+    """Write the standard ``.tiktoken`` dump (``base64(bytes) rank``) —
+    the file format ``RAG_TIKTOKEN_VOCAB`` loads, so a corpus-trained
+    vocabulary can be routed into token counting like a real cl100k
+    dump."""
+    with open(path, "wb") as f:
+        for tok, rank in sorted(ranks.items(), key=lambda kv: kv[1]):
+            f.write(base64.b64encode(tok) + b" " + str(rank).encode()
+                    + b"\n")

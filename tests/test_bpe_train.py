@@ -78,3 +78,36 @@ def test_word_histogram_combines_map_side(spark):
 def test_registered_rows_only():
     assert "bpe_train" in E._registry()
     assert "bpe_train" not in E.oracle_sql()
+
+
+def test_trained_vocab_roundtrip_through_encoder(spark, tmp_path):
+    """Train on the corpus, dump a .tiktoken vocab, reload it into the
+    tiktoken-style encoder: lowest-rank-first merging must reproduce the
+    trainer's own final segmentation for EVERY distinct corpus word (the
+    GPT-2 rank-order/merge-order correspondence, checked end-to-end)."""
+    from ragflow_core16_spark.textnorm.bpe import (BpeEncoder, dump_vocab,
+                                                   load_vocab,
+                                                   vocab_from_merges)
+    wf = _word_freq(spark)
+    merges = _py_bpe_train(wf, BPE_MERGES)
+    spark_merges = [tuple(r) for r in bpe_train(spark, SF).collect()]
+    assert spark_merges == merges
+
+    # trainer-side final segmentation (re-run the merge application)
+    syms = {w: list(w) for w in wf}
+    for _rank, left, right, _m, _c in merges:
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            syms[w] = out
+
+    path = str(tmp_path / "trained.tiktoken")
+    dump_vocab(vocab_from_merges(spark_merges), path)
+    enc = BpeEncoder(load_vocab(path))
+    for w, want in syms.items():
+        got = [t.decode() for t in enc.encode_piece(w.encode())]
+        assert got == want, w
