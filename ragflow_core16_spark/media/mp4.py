@@ -180,7 +180,6 @@ def demux_mp4(data: bytes) -> dict:
         raise ValueError("missing moov")
     trak = _path(data, moov[0], moov[1], b"trak")
     tk = _path(data, trak[0], trak[1], b"tkhd")
-    ver = data[tk[0]]
     # width/height are the last two 16.16 u32s of tkhd regardless of version
     width = _U32.unpack_from(data, tk[1] - 8)[0] >> 16
     height = _U32.unpack_from(data, tk[1] - 4)[0] >> 16
@@ -195,6 +194,8 @@ def demux_mp4(data: bytes) -> dict:
 
     def table(tag: bytes):
         hit = _find(data, stbl[0], stbl[1], tag)
+        if hit is None:
+            raise ValueError(f"missing sample table {tag!r}")
         return hit
 
     # stts → per-sample dts
@@ -244,6 +245,9 @@ def demux_mp4(data: bytes) -> dict:
     if si != n_samples:
         raise ValueError("stsc/stco tables place "
                          f"{si} samples, stsz declares {n_samples}")
+    if len(dts) < n_samples:
+        raise ValueError(f"stts covers {len(dts)} samples, "
+                         f"stsz declares {n_samples}")
     samples = list(zip(offsets, sizes, dts[:n_samples]))
     return {"timescale": timescale, "duration": duration, "width": width,
             "height": height, "n_samples": n_samples, "samples": samples}

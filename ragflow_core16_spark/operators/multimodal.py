@@ -185,8 +185,19 @@ def media_features(media: DataFrame) -> DataFrame:
 
 
 def frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
-    """Video frame sampler: fixed-size blocks, every k-th one (explode
-    shape: one media row → many frame rows)."""
+    """Video frame sampler: every k-th sample (explode shape: one media
+    row → many frame rows).  MP4 payloads are sliced at the DEMUXED
+    per-sample byte offsets — correct for mixed sample sizes and
+    pixel-decode-free; the legacy SYNTH container falls back to
+    fixed-size blocks."""
+
+    def _frames(payload: bytes) -> list[bytes]:
+        if len(payload) >= 8 and payload[4:8] == b"ftyp":
+            info = demux_mp4(payload)
+            return [payload[o:o + s] for o, s, _ in info["samples"]]
+        body = decode_media(payload)["body"]
+        return [body[i:i + FRAME_BYTES]
+                for i in range(0, len(body), FRAME_BYTES)]
 
     def run(batches):
         for pdf in batches:
@@ -195,12 +206,9 @@ def frame_sample(media: DataFrame, every_k: int = 2) -> DataFrame:
                                           pdf["payload"]):
                 if kind != "video":
                     continue
-                body = decode_media(bytes(payload))["body"]
-                n_frames = len(body) // FRAME_BYTES
-                for f_no in range(0, n_frames, every_k):
-                    rows.append((int(mid), f_no,
-                                 body[f_no * FRAME_BYTES:
-                                      (f_no + 1) * FRAME_BYTES]))
+                frames = _frames(bytes(payload))
+                for f_no in range(0, len(frames), every_k):
+                    rows.append((int(mid), f_no, frames[f_no]))
             yield pd.DataFrame(rows, columns=[f.name for f in FRAMES_SCHEMA])
 
     return media.mapInPandas(run, FRAMES_SCHEMA)

@@ -264,11 +264,15 @@ def _bpe_merge_expr(left: str, right: str) -> str:
     right) adjacency into the merged symbol.  No just-merged flag is
     needed: the merged token equals left||right which can never compare
     equal to ``left`` (right is non-empty)."""
+    def q(s: str) -> str:
+        # symbols come from corpus text — escape for the SQL literal
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
     merged = left + right
     return ("aggregate(syms, cast(array() as array<string>), (acc, x) -> "
-            f"if(size(acc) > 0 and element_at(acc, -1) = '{left}' "
-            f"and x = '{right}', "
-            f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), "
+            f"if(size(acc) > 0 and element_at(acc, -1) = '{q(left)}' "
+            f"and x = '{q(right)}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{q(merged)}')), "
             "concat(acc, array(x))))")
 
 

@@ -33,9 +33,10 @@ Operators:
   join back, both AQE-coalescible.
 
 Scale note: the weblines derivation itself is stateless per-row, so all
-three operators inherit the scan's partitioning — no repartition needed
-before the per-doc groupBys because doc_id never crosses files in the
-extraction layout.
+three operators inherit the scan's partitioning.  The small-fixture scan
+goes through ``session.spread()`` (single-row-group parquet arrives as
+one split; at real scale the scan already has thousands and spread is a
+no-op guard) — beyond that the per-doc groupBys need no repartition.
 """
 
 from __future__ import annotations
@@ -56,7 +57,8 @@ RE_PHONE = r"555-\d{4}"
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..session import spread
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def weblines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,11 +271,13 @@ PARAGRAPH_DEDUP_SQL = rf"""
 WITH {WEBLINES_SQL},
 hashed AS (SELECT doc_id, line_no, line, md5(raw) AS h FROM weblines),
 first_occ AS (
-  SELECT h, min(doc_id * 1000000 + line_no) AS first_key
+  -- lexicographic min over the row struct: the exact analogue of the
+  -- Spark side's min(struct(doc_id, line_no)) at any line count
+  SELECT h, min((doc_id, line_no)) AS first_key
   FROM hashed GROUP BY h),
 marked AS (
   SELECT x.doc_id, x.line_no, x.line,
-         (x.doc_id * 1000000 + x.line_no) != f.first_key AS is_dup
+         (x.doc_id, x.line_no) != f.first_key AS is_dup
   FROM hashed x JOIN first_occ f USING (h))
 SELECT doc_id,
        CAST(count(*) AS INTEGER) AS n_lines,

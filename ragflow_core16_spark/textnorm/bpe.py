@@ -103,7 +103,11 @@ def vocab_from_merges(merges: list[tuple]) -> dict[bytes, int]:
     """
     ranks = {bytes([b]): b for b in range(256)}
     for rank, _left, _right, merged, _freq in merges:
-        ranks[merged.encode("utf-8")] = 256 + int(rank)
+        # two rounds can surface the same merged string from different
+        # pairs (('ab','c') and ('a','bc') → 'abc'); the EARLIEST rank
+        # must win or the encoder applies the merge later than the
+        # trainer did
+        ranks.setdefault(merged.encode("utf-8"), 256 + int(rank))
     return ranks
 
 

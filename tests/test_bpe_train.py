@@ -111,3 +111,23 @@ def test_trained_vocab_roundtrip_through_encoder(spark, tmp_path):
     for w, want in syms.items():
         got = [t.decode() for t in enc.encode_piece(w.encode())]
         assert got == want, w
+
+
+def test_merge_expr_escapes_quoted_symbols(spark):
+    # corpora with apostrophes/backslashes must not break the SQL literal
+    from pyspark.sql import functions as F
+    from ragflow_core16_spark.operators.training import _bpe_merge_expr
+    df = spark.createDataFrame([(["don", "'", "t"],), (["a", "\\", "b"],)],
+                               "syms array<string>")
+    out = df.select(
+        F.expr(_bpe_merge_expr("'", "t")).alias("a"),
+        F.expr(_bpe_merge_expr("\\", "b")).alias("b")).collect()
+    assert out[0]["a"] == ["don", "'t"]
+    assert out[1]["b"] == ["a", "\\b"]
+
+
+def test_vocab_collision_keeps_earliest_rank():
+    from ragflow_core16_spark.textnorm.bpe import vocab_from_merges
+    ranks = vocab_from_merges([(5, "ab", "c", "abc", 9),
+                               (9, "a", "bc", "abc", 4)])
+    assert ranks[b"abc"] == 256 + 5

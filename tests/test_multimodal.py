@@ -211,3 +211,32 @@ class TestJpegCodec:
         from ragflow_core16_spark.operators.multimodal import decode_media
         with pytest.raises(ValueError):
             decode_media(b"\x00\x00\x00\x20ftypisom mp4 header")
+
+
+class TestFrameSampleOffsets:
+    def test_mixed_size_samples_sliced_at_demuxed_offsets(self, spark):
+        # frames must come from the stsz/stsc offsets, not fixed blocks
+        import pandas as pd
+        from ragflow_core16_spark.media.mp4 import encode_mp4
+        from ragflow_core16_spark.operators.multimodal import MEDIA_SCHEMA
+        frames = [bytes([i]) * (30 + 17 * i) for i in range(6)]
+        payload = encode_mp4(frames, samples_per_chunk=2)
+        pdf = pd.DataFrame(
+            [(0, "video", payload, 0, 0, 1)],
+            columns=[f.name for f in MEDIA_SCHEMA])
+        df = spark.createDataFrame(pdf, MEDIA_SCHEMA)
+        got = {r["frame_no"]: bytes(r["frame"])
+               for r in frame_sample(df, every_k=2).collect()}
+        assert got == {0: frames[0], 2: frames[2], 4: frames[4]}
+
+    def test_missing_stts_raises_value_error(self):
+        # a moov without sample tables must fail the ValueError contract,
+        # not TypeError
+        import pytest
+        import struct
+        from ragflow_core16_spark.media.mp4 import demux_mp4, encode_mp4
+        data = bytearray(encode_mp4([b"x" * 8] * 3))
+        i = data.find(b"stts")
+        data[i:i + 4] = b"free"          # retag: stts disappears
+        with pytest.raises(ValueError):
+            demux_mp4(bytes(data))
