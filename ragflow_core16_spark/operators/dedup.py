@@ -575,6 +575,94 @@ ORDER BY doc_id
 """
 
 
+# ----------------------------------------------- exact substring spans
+# The "Deduplicating Training Data Makes Language Models Better" (Lee et
+# al. 2022) recipe, re-expressed relationally: every corpus-repeated
+# L-token gram marks a hit at its start position, and overlapping /
+# adjacent hits merge into MAXIMAL duplicate spans per document
+# (gaps-and-islands over the position sequence — the suffix-array scan of
+# the paper becomes one lag window per doc).
+#
+# Scale design: the gram histogram is ONE hash shuffle with map-side
+# partial counts (the paper's suffix-array build is replaced by hashing —
+# same duplicates found for fixed L, embarrassingly parallel).  The
+# dup-gram set joins back on the gram key — shuffle bounded by corpus
+# gram count, never |docs|²; at 100 TB the join key would be xxhash64 of
+# the gram instead of the string (the string keeps the DuckDB oracle
+# byte-comparable here).  The islands window partitions by doc_id —
+# bounded per-doc state, no global sort.
+SPAN_GRAM = 8
+
+
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    n = SPAN_GRAM
+    d = (_docs(spark, sf_dir)
+         .filter(F.length(F.trim("text")) > 0)
+         .select("doc_id", F.split("text", " ").alias("w")))
+    grams = (d.filter(F.size("w") >= n)
+             .select("doc_id", F.posexplode(F.expr(
+                 f"transform(sequence(1, size(w) - {n - 1}),"
+                 f" i -> array_join(slice(w, i, {n}), ' '))"))
+                 .alias("pos0", "gram"))
+             .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram"))
+    dup = (grams.groupBy("gram")
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .filter(F.col("cnt") > 1)
+           .select("gram"))
+    hits = grams.join(dup, "gram").select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (hits
+               .withColumn("new_island",
+                           (F.coalesce(F.col("pos") - F.lag("pos").over(
+                               w_doc), F.lit(n + 1)) > n).cast("long"))
+               .withColumn("island",
+                           F.sum("new_island").over(
+                               w_doc.rowsBetween(Window.unboundedPreceding,
+                                                 0))))
+    return (islands.groupBy("doc_id", "island")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + n - 1).alias("span_end"),
+                 F.count(F.lit(1)).alias("n_grams"))
+            .select("doc_id",
+                    F.col("span_start").cast("int").alias("span_start"),
+                    F.col("span_end").cast("int").alias("span_end"),
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .cast("int").alias("span_tokens"),
+                    F.col("n_grams").cast("int").alias("n_grams"))
+            .orderBy("doc_id", "span_start"))
+
+
+SUBSTRING_SPANS_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE length(trim(text)) > 0),
+g AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(l, i, i + {SPAN_GRAM - 1}), ' ') AS gram
+  FROM w, LATERAL (SELECT unnest(generate_series(1,
+                     len(l) - {SPAN_GRAM - 1})) AS i) u
+  WHERE len(l) >= {SPAN_GRAM}),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN prev IS NULL OR pos - prev > {SPAN_GRAM}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits))
+SELECT doc_id,
+       CAST(min(pos) AS INTEGER) AS span_start,
+       CAST(max(pos) + {SPAN_GRAM - 1} AS INTEGER) AS span_end,
+       CAST(max(pos) + {SPAN_GRAM - 1} - min(pos) + 1 AS INTEGER)
+         AS span_tokens,
+       CAST(count(*) AS INTEGER) AS n_grams
+FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
+"""
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
@@ -585,4 +673,5 @@ QUERIES = {
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_keep": (dedup_keep, DEDUP_KEEP_SQL),
     "stratified_sample": (stratified_sample, _stratified_sample_sql()),
+    "substring_dedup_spans": (substring_dedup_spans, SUBSTRING_SPANS_SQL),
 }

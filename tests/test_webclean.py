@@ -124,3 +124,43 @@ def test_registered_with_oracles():
     reg, osql = E._registry(), E.oracle_sql()
     for name in ("c4_line_filter", "pii_redact", "paragraph_dedup"):
         assert name in reg and name in osql
+
+
+class TestSubstringSpans:
+    def test_spans_are_maximal_and_duplicated(self, spark):
+        from collections import Counter
+        from ragflow_core16_spark.operators.dedup import (SPAN_GRAM,
+                                                          substring_dedup_spans)
+        docs = {r["doc_id"]: r["text"].split(" ")
+                for r in spark.read.parquet(f"{SF}/documents.parquet")
+                .collect()}
+        cnt = Counter()
+        for w in docs.values():
+            for i in range(len(w) - SPAN_GRAM + 1):
+                cnt[" ".join(w[i:i + SPAN_GRAM])] += 1
+        spans = substring_dedup_spans(spark, SF).collect()
+        assert spans, "fixture must contain duplicate grams"
+        by_doc = {}
+        for r in spans:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for d, rs in by_doc.items():
+            rs.sort(key=lambda r: r["span_start"])
+            w = docs[d]
+            for a, b in zip(rs, rs[1:]):
+                # maximality: a following span starts beyond merge reach
+                assert b["span_start"] - (a["span_end"] - SPAN_GRAM + 1) \
+                    > SPAN_GRAM
+            for r in rs:
+                g0 = " ".join(w[r["span_start"] - 1:
+                                r["span_start"] - 1 + SPAN_GRAM])
+                assert cnt[g0] > 1, "span must start at a duplicated gram"
+
+    def test_plan_partial_count_no_python(self, spark):
+        from ragflow_core16_spark.operators.dedup import \
+            substring_dedup_spans
+        df = substring_dedup_spans(spark, SF)
+        simple = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"))
+        assert "partial_count" in simple
+        assert "EvalPython" not in simple and "MapInPandas" not in simple
