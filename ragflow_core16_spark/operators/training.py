@@ -313,6 +313,109 @@ def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(spark, sf_dir)
 
 
+# ------------------------------------------------------------- dsir
+# DSIR-style data selection (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document
+# by the affinity of its hashed n-gram feature distribution to a TARGET
+# domain (here the doc_id % 97 == 0 split, as in ``decontaminate``).
+# Features are unigrams + bigrams hashed into B=1024 buckets via the
+# repo's md5→bigint bridge, so the whole statistic is reproducible in
+# DuckDB.  The published score is the mean log-ratio
+# Σ log(p_target(f)/p_raw(f)); here the ratio Σcnt_t·(N_raw+B) /
+# Σcnt_r·(N_t+B) is emitted as an exact integer ppm (staged truncating
+# BIGINT divisions — identical in both engines, overflow-safe at 1000×)
+# keeping the oracle float-free; ``dsir_keep`` thresholds it at parity.
+# On this statistically uniform synthetic corpus every doc scores below
+# parity (there IS no distinct target domain) — the score spread, not
+# the boolean, is the discriminative output here.
+#
+# Scale design: the bucket histogram is ONE map-side-combinable shuffle
+# collapsing the corpus to 1024 rows; it joins back as a BROADCAST dim,
+# so scoring is a single per-doc aggregation riding the scan
+# partitioning.  No |docs|-sized shuffle beyond the per-doc groupBy.
+_DSIR_B = 1024
+
+
+def dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (_docs(spark, sf_dir)
+         .filter(F.length(F.trim("text")) > 0)
+         .select("doc_id", F.split("text", " ").alias("w")))
+    feats = (d.select("doc_id", F.explode(F.expr(
+                 "concat(w, transform(sequence(1, size(w) - 1),"
+                 " i -> concat(element_at(w, i), ' ',"
+                 "             element_at(w, i + 1))))")).alias("gram"))
+             .select("doc_id",
+                     (F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+                      .cast("bigint") % _DSIR_B).alias("b"),
+                     (F.col("doc_id") % _BENCH_MOD == 0).alias("is_t")))
+    hist = (feats.groupBy("b")
+            .agg(F.sum(F.col("is_t").cast("long")).alias("cnt_t"),
+                 F.sum((~F.col("is_t")).cast("long")).alias("cnt_r")))
+    totals = hist.agg(F.sum("cnt_t").alias("n_t"),
+                      F.sum("cnt_r").alias("n_r"))
+    scored = (feats.filter(~F.col("is_t"))
+              .join(F.broadcast(hist), "b")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_feats"),
+                   F.sum("cnt_t").alias("sum_target_cnt"),
+                   F.sum("cnt_r").alias("sum_raw_cnt")))
+    # affinity ratio in ppm via two truncating BIGINT divisions — the
+    # identical expression in DuckDB truncates identically, and the
+    # staged division keeps every intermediate far from int64 overflow
+    # even at 1000× corpus size (st·10^6 ≤ ~10^12, then × (n_r + B)
+    # only after the first division collapses the magnitude)
+    affinity = F.expr(
+        f"(sum_target_cnt * 1000000L div sum_raw_cnt)"
+        f" * (n_r + {_DSIR_B}) div (n_t + {_DSIR_B})")
+    return (scored.crossJoin(F.broadcast(totals))
+            .select("doc_id",
+                    F.col("n_feats").cast("int").alias("n_feats"),
+                    "sum_target_cnt", "sum_raw_cnt",
+                    affinity.alias("affinity_ppm"),
+                    (affinity >= 1000000).alias("dsir_keep"))
+            .orderBy("doc_id"))
+
+
+DSIR_AFFINITY_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+  WHERE length(trim(text)) > 0),
+feats AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram), 1, 15))::BIGINT % {_DSIR_B} AS b,
+         doc_id % {_BENCH_MOD} = 0 AS is_t
+  FROM (SELECT doc_id, unnest(l ||
+               list_transform(generate_series(1, len(l) - 1),
+                              i -> l[i] || ' ' || l[i + 1])) AS gram
+        FROM w)),
+hist AS (
+  SELECT b, CAST(coalesce(sum(CASE WHEN is_t THEN 1 END), 0) AS BIGINT)
+              AS cnt_t,
+         CAST(coalesce(sum(CASE WHEN NOT is_t THEN 1 END), 0) AS BIGINT)
+              AS cnt_r
+  FROM feats GROUP BY b),
+totals AS (
+  SELECT CAST(sum(cnt_t) AS BIGINT) AS n_t,
+         CAST(sum(cnt_r) AS BIGINT) AS n_r FROM hist),
+scored AS (
+  SELECT f.doc_id,
+         CAST(count(*) AS INTEGER) AS n_feats,
+         CAST(sum(h.cnt_t) AS BIGINT) AS sum_target_cnt,
+         CAST(sum(h.cnt_r) AS BIGINT) AS sum_raw_cnt,
+         any_value(t.n_t) AS n_t, any_value(t.n_r) AS n_r
+  FROM feats f JOIN hist h USING (b) CROSS JOIN totals t
+  WHERE NOT f.is_t
+  GROUP BY f.doc_id)
+SELECT doc_id, n_feats, sum_target_cnt, sum_raw_cnt,
+       CAST((sum_target_cnt * 1000000 // sum_raw_cnt)
+            * (n_r + {_DSIR_B}) // (n_t + {_DSIR_B}) AS BIGINT)
+         AS affinity_ppm,
+       (sum_target_cnt * 1000000 // sum_raw_cnt)
+         * (n_r + {_DSIR_B}) // (n_t + {_DSIR_B}) >= 1000000 AS dsir_keep
+FROM scored ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "sequence_pack": (sequence_pack, SEQUENCE_PACK_SQL),
     "repetition_quality": (repetition_quality, REPETITION_QUALITY_SQL),
@@ -320,4 +423,5 @@ QUERIES = {
     # iterative data-dependent argmax per round — no SQL oracle; pinned
     # against a pure-Python reference trainer in tests instead
     "bpe_train": (bpe_train_q, None),
+    "dsir_affinity": (dsir_affinity, DSIR_AFFINITY_SQL),
 }
