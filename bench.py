@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "pdf_template", "paper_pdf_template", "pdf_table_template",
     "email_template",
     "c4_line_filter", "pii_redact", "paragraph_dedup", "bpe_train",
+    "substring_dedup_spans", "dsir_affinity",
 ]
 
 
