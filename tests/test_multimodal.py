@@ -240,3 +240,29 @@ class TestFrameSampleOffsets:
         data[i:i + 4] = b"free"          # retag: stts disappears
         with pytest.raises(ValueError):
             demux_mp4(bytes(data))
+
+
+class TestMp4PropertyFuzz:
+    def test_roundtrip_over_shapes(self):
+        from hypothesis import given, settings, strategies as st
+        from ragflow_core16_spark.media.mp4 import (demux_mp4, encode_mp4,
+                                                    extract_samples)
+
+        @settings(max_examples=120, deadline=None)
+        @given(sizes=st.lists(st.integers(1, 400), min_size=1, max_size=24),
+               spc=st.integers(0, 9),
+               every_k=st.integers(1, 5),
+               delta=st.integers(1, 90000))
+        def run(sizes, spc, every_k, delta):
+            frames = [bytes([(i * 37) % 256]) * n
+                      for i, n in enumerate(sizes)]
+            data = encode_mp4(frames, samples_per_chunk=spc,
+                              sample_delta=delta)
+            info = demux_mp4(data)
+            assert info["n_samples"] == len(frames)
+            assert [t for _, _, t in info["samples"]] == [
+                i * delta for i in range(len(frames))]
+            assert extract_samples(data, every_k=every_k) \
+                == frames[::every_k]
+
+        run()
