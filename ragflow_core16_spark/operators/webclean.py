@@ -289,8 +289,56 @@ FROM marked GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------- corpus keep
+def corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final materialization a real pipeline runs: one keep decision
+    per document composing the quality gates (Gopher repetition + C4
+    line survival), duplicate-cluster survivorship, and benchmark
+    decontamination; the eval split itself (doc_id % 97 == 0) is
+    excluded.  Each input is the registered operator reused verbatim, so
+    the oracle is the literal SQL composition of their oracles.  All
+    joins are keyed on doc_id (one co-partitioned shuffle family; at
+    100 TB the decontamination side is a vanishing fraction and AQE
+    broadcasts it)."""
+    from .dedup import dedup_keep
+    from .training import decontaminate, repetition_quality
+    gopher = repetition_quality(spark, sf_dir).select("doc_id",
+                                                      "gopher_pass")
+    c4 = c4_line_filter(spark, sf_dir).select("doc_id", "c4_pass")
+    dk = dedup_keep(spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("dedup_kept"))
+    dec = decontaminate(spark, sf_dir).select("doc_id", "n_shared_grams")
+    clean = F.coalesce(F.col("n_shared_grams"), F.lit(0)) == 0
+    return (c4.join(gopher, "doc_id").join(dk, "doc_id")
+            .join(dec, "doc_id", "left")
+            .filter(F.col("doc_id") % 97 != 0)
+            .select("doc_id", "gopher_pass", "c4_pass", "dedup_kept",
+                    clean.alias("clean"),
+                    (F.col("gopher_pass") & F.col("c4_pass")
+                     & F.col("dedup_kept") & clean).alias("corpus_keep"))
+            .orderBy("doc_id"))
+
+
+def _corpus_keep_sql() -> str:
+    from .dedup import DEDUP_KEEP_SQL
+    from .training import DECONTAMINATE_SQL, REPETITION_QUALITY_SQL
+    return f"""
+SELECT c.doc_id, g.gopher_pass, c.c4_pass, k.kept AS dedup_kept,
+       coalesce(d.n_shared_grams, 0) = 0 AS clean,
+       (g.gopher_pass AND c.c4_pass AND k.kept
+        AND coalesce(d.n_shared_grams, 0) = 0) AS corpus_keep
+FROM ({C4_LINE_FILTER_SQL}) c
+JOIN ({REPETITION_QUALITY_SQL}) g USING (doc_id)
+JOIN ({DEDUP_KEEP_SQL}) k USING (doc_id)
+LEFT JOIN ({DECONTAMINATE_SQL}) d USING (doc_id)
+WHERE c.doc_id % 97 != 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),
     "paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
+    "corpus_keep": (corpus_keep, _corpus_keep_sql()),
 }

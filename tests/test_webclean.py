@@ -164,3 +164,25 @@ class TestSubstringSpans:
                 "simple"))
         assert "partial_count" in simple
         assert "EvalPython" not in simple and "MapInPandas" not in simple
+
+
+class TestCorpusKeep:
+    def test_composition_agrees_with_parts(self, spark):
+        from ragflow_core16_spark.operators.dedup import dedup_keep
+        from ragflow_core16_spark.operators.training import (
+            decontaminate, repetition_quality)
+        out = {r["doc_id"]: r
+               for r in webclean.corpus_keep(spark, SF).collect()}
+        assert out and all(d % 97 != 0 for d in out)
+        g = {r["doc_id"]: r["gopher_pass"]
+             for r in repetition_quality(spark, SF).collect()}
+        c = {r["doc_id"]: r["c4_pass"]
+             for r in webclean.c4_line_filter(spark, SF).collect()}
+        k = {r["doc_id"]: r["kept"] for r in dedup_keep(spark, SF).collect()}
+        d = {r["doc_id"]: r["n_shared_grams"]
+             for r in decontaminate(spark, SF).collect()}
+        for doc, r in out.items():
+            want = (g[doc] and c[doc] and k[doc] and d.get(doc, 0) == 0)
+            assert r["corpus_keep"] == want, doc
+        kept = sum(1 for r in out.values() if r["corpus_keep"])
+        assert 0 < kept < len(out), "keep decision must discriminate"
