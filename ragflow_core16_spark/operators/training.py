@@ -340,13 +340,16 @@ def dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (_docs(spark, sf_dir)
          .filter(F.length(F.trim("text")) > 0)
          .select("doc_id", F.split("text", " ").alias("w")))
+    from .dedup import _md5_bigint
+    # single-token docs contribute their unigram only — sequence(1, 0)
+    # counts DOWN in Spark, so the bigram arm must be explicitly empty
     feats = (d.select("doc_id", F.explode(F.expr(
-                 "concat(w, transform(sequence(1, size(w) - 1),"
+                 "concat(w, if(size(w) < 2, array(),"
+                 " transform(sequence(1, size(w) - 1),"
                  " i -> concat(element_at(w, i), ' ',"
-                 "             element_at(w, i + 1))))")).alias("gram"))
+                 "             element_at(w, i + 1)))))")).alias("gram"))
              .select("doc_id",
-                     (F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
-                      .cast("bigint") % _DSIR_B).alias("b"),
+                     (_md5_bigint(F.col("gram")) % _DSIR_B).alias("b"),
                      (F.col("doc_id") % _BENCH_MOD == 0).alias("is_t")))
     hist = (feats.groupBy("b")
             .agg(F.sum(F.col("is_t").cast("long")).alias("cnt_t"),

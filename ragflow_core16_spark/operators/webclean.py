@@ -301,37 +301,46 @@ def corpus_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the decontamination side is a vanishing fraction and AQE
     broadcasts it)."""
     from .dedup import dedup_keep
-    from .training import decontaminate, repetition_quality
+    from .training import _BENCH_MOD, decontaminate, repetition_quality
+    # dedup_keep covers EVERY document, so it anchors the join — quality
+    # gates that filtered a doc out (e.g. empty text) left-join to NULL
+    # and coalesce to a failing gate, never to a missing verdict
     gopher = repetition_quality(spark, sf_dir).select("doc_id",
                                                       "gopher_pass")
     c4 = c4_line_filter(spark, sf_dir).select("doc_id", "c4_pass")
     dk = dedup_keep(spark, sf_dir).select(
         "doc_id", F.col("kept").alias("dedup_kept"))
     dec = decontaminate(spark, sf_dir).select("doc_id", "n_shared_grams")
+    g = F.coalesce(F.col("gopher_pass"), F.lit(False))
+    c = F.coalesce(F.col("c4_pass"), F.lit(False))
     clean = F.coalesce(F.col("n_shared_grams"), F.lit(0)) == 0
-    return (c4.join(gopher, "doc_id").join(dk, "doc_id")
+    return (dk.join(c4, "doc_id", "left").join(gopher, "doc_id", "left")
             .join(dec, "doc_id", "left")
-            .filter(F.col("doc_id") % 97 != 0)
-            .select("doc_id", "gopher_pass", "c4_pass", "dedup_kept",
-                    clean.alias("clean"),
-                    (F.col("gopher_pass") & F.col("c4_pass")
-                     & F.col("dedup_kept") & clean).alias("corpus_keep"))
+            .filter(F.col("doc_id") % _BENCH_MOD != 0)
+            .select("doc_id", g.alias("gopher_pass"), c.alias("c4_pass"),
+                    "dedup_kept", clean.alias("clean"),
+                    (g & c & F.col("dedup_kept") & clean)
+                    .alias("corpus_keep"))
             .orderBy("doc_id"))
 
 
 def _corpus_keep_sql() -> str:
     from .dedup import DEDUP_KEEP_SQL
-    from .training import DECONTAMINATE_SQL, REPETITION_QUALITY_SQL
+    from .training import (_BENCH_MOD, DECONTAMINATE_SQL,
+                           REPETITION_QUALITY_SQL)
     return f"""
-SELECT c.doc_id, g.gopher_pass, c.c4_pass, k.kept AS dedup_kept,
+SELECT k.doc_id,
+       coalesce(g.gopher_pass, false) AS gopher_pass,
+       coalesce(c.c4_pass, false) AS c4_pass,
+       k.kept AS dedup_kept,
        coalesce(d.n_shared_grams, 0) = 0 AS clean,
-       (g.gopher_pass AND c.c4_pass AND k.kept
-        AND coalesce(d.n_shared_grams, 0) = 0) AS corpus_keep
-FROM ({C4_LINE_FILTER_SQL}) c
-JOIN ({REPETITION_QUALITY_SQL}) g USING (doc_id)
-JOIN ({DEDUP_KEEP_SQL}) k USING (doc_id)
+       (coalesce(g.gopher_pass, false) AND coalesce(c.c4_pass, false)
+        AND k.kept AND coalesce(d.n_shared_grams, 0) = 0) AS corpus_keep
+FROM ({DEDUP_KEEP_SQL}) k
+LEFT JOIN ({C4_LINE_FILTER_SQL}) c USING (doc_id)
+LEFT JOIN ({REPETITION_QUALITY_SQL}) g USING (doc_id)
 LEFT JOIN ({DECONTAMINATE_SQL}) d USING (doc_id)
-WHERE c.doc_id % 97 != 0
+WHERE k.doc_id % {_BENCH_MOD} != 0
 ORDER BY doc_id
 """
 

@@ -131,28 +131,3 @@ def test_vocab_collision_keeps_earliest_rank():
     ranks = vocab_from_merges([(5, "ab", "c", "abc", 9),
                                (9, "a", "bc", "abc", 4)])
     assert ranks[b"abc"] == 256 + 5
-
-
-class TestDsir:
-    def test_affinity_scores_spread_and_parity_threshold(self, spark):
-        from ragflow_core16_spark.operators.training import dsir_affinity
-        rows = dsir_affinity(spark, SF).collect()
-        # target split excluded from the scored output
-        assert all(r["doc_id"] % 97 != 0 for r in rows)
-        ppm = [r["affinity_ppm"] for r in rows]
-        assert len(set(ppm)) > 10, "score must discriminate between docs"
-        for r in rows:
-            assert r["dsir_keep"] == (r["affinity_ppm"] >= 1000000)
-            assert r["sum_raw_cnt"] >= r["n_feats"]  # self-counts included
-
-    def test_bucket_histogram_broadcasts(self, spark):
-        from ragflow_core16_spark.operators.training import dsir_affinity
-        df = dsir_affinity(spark, SF)
-        simple = df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "simple"))
-        # the 1024-row histogram and the 1-row totals join as broadcasts;
-        # no sort-merge join of the corpus against them
-        assert "BroadcastHashJoin" in simple
-        assert "SortMergeJoin" not in simple
-        assert "partial_sum" in simple

@@ -186,3 +186,32 @@ class TestCorpusKeep:
             assert r["corpus_keep"] == want, doc
         kept = sum(1 for r in out.values() if r["corpus_keep"])
         assert 0 < kept < len(out), "keep decision must discriminate"
+
+    def test_every_doc_gets_a_verdict(self, spark, tmp_path):
+        # empty/whitespace docs are filtered by the quality gates but must
+        # still receive corpus_keep=false, never a missing row — and the
+        # composed oracle must agree
+        import duckdb
+        import hashlib
+        import pandas as pd
+        pdf = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": ["good words flow here and keep on flowing fine ok",
+                     "", "   ",
+                     "another document with plenty of words to pass by",
+                     "short"],
+            "lang": ["en"] * 5, "source": ["s"] * 5,
+            "n_chars": [48, 0, 3, 48, 5]})
+        pdf.to_parquet(str(tmp_path / "documents.parquet"))
+        out = webclean.corpus_keep(spark, str(tmp_path)).toPandas()
+        assert sorted(out["doc_id"]) == [1, 2, 3, 4]  # 0 is eval split
+        empt = out[out.doc_id.isin([1, 2])]
+        assert (~empt["corpus_keep"]).all()
+        assert (~empt["gopher_pass"]).all() and (~empt["c4_pass"]).all()
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/documents.parquet')")
+        oracle = con.execute(webclean._corpus_keep_sql()).df()
+        h = lambda d: hashlib.md5(
+            d.astype(str).to_csv(index=False).encode()).hexdigest()
+        assert h(out) == h(oracle)
