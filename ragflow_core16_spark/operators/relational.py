@@ -196,6 +196,81 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# ------------------------------------------------------------ as-of join
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event matched to the latest purchase (ts' ≤ ts)
+    by the same user — the time-series join Spark has no native operator
+    for.  Implemented with the SCALABLE pattern: union the reference
+    stream under a side tag and take a running ``last(..., ignorenulls)``
+    window per user ordered by (ts, side) — ONE shuffle keyed on
+    user_id, bounded per-user state, no range join and no per-row probe.
+    A naive inequality join would be a quadratic range join; the window
+    form is what survives 10^12 events.  Oracle: DuckDB's native ASOF
+    JOIN (identical ≤ semantics, self-match included)."""
+    e = _t(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "event_type", "ts",
+                    F.lit(None).cast("long").alias("ref_id"),
+                    F.lit(None).cast("timestamp_ntz").alias("ref_ts"),
+                    F.lit(1).alias("side"))
+    right = (e.filter(F.col("event_type") == "purchase")
+             .select(F.lit(None).cast("long").alias("event_id"),
+                     "user_id",
+                     F.lit(None).cast("string").alias("event_type"), "ts",
+                     F.col("event_id").alias("ref_id"),
+                     F.col("ts").alias("ref_ts"),
+                     F.lit(0).alias("side")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "side")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (left.unionByName(right)
+            .withColumn("asof_ref", F.last("ref_id", ignorenulls=True)
+                        .over(w))
+            .withColumn("asof_ts", F.last("ref_ts", ignorenulls=True)
+                        .over(w))
+            .filter(F.col("side") == 1)
+            .select("event_id", "user_id", "event_type",
+                    F.col("asof_ref").alias("ref_event_id"),
+                    F.expr("timestampdiff(MICROSECOND, asof_ts, ts)")
+                    .alias("gap_us"))
+            .orderBy("event_id"))
+
+
+EVENTS_ASOF_SQL = """
+SELECT e.event_id, e.user_id, e.event_type,
+       r.event_id AS ref_event_id,
+       epoch_us(e.ts) - epoch_us(r.ts) AS gap_us
+FROM events e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON e.user_id = r.user_id AND e.ts >= r.ts
+ORDER BY e.event_id
+"""
+
+
+# ---------------------------------------------------------------- rollup
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (event_type × hour-of-day hierarchy with
+    subtotals and a grand total) — multi-level aggs in one pass; value
+    sums as exact integer cents so the oracle stays float-free."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.sum(F.round(F.col("value") * 100).cast("bigint"))
+    return (e.withColumn("hh", F.hour("ts").cast("int"))
+            .rollup("event_type", "hh")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 cents.alias("value_cents"))
+            .orderBy(F.asc_nulls_first("event_type"),
+                     F.asc_nulls_first("hh")))
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT event_type, CAST(hour(ts) AS INTEGER) AS hh,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY ROLLUP (event_type, hh)
+ORDER BY event_type NULLS FIRST, hh NULLS FIRST
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
@@ -204,4 +279,6 @@ QUERIES = {
     "sessionize": (sessionize, SESSIONIZE_SQL),
     "events_props": (events_props, EVENTS_PROPS_SQL),
     "order_priority_counts": (order_priority_counts, ORDER_PRIORITY_SQL),
+    "events_asof_purchase": (events_asof_purchase, EVENTS_ASOF_SQL),
+    "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
 }

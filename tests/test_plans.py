@@ -149,3 +149,28 @@ def test_template_sort_reads_checkpoint_not_python_stage(spark):
     assert "rangepartitioning" in plan
     assert "Scan ExistingRDD" in plan
     assert "MapInPandas" not in plan       # lineage truncated at checkpoint
+
+
+def test_asof_join_is_window_not_range_join(spark):
+    """The as-of join must be the union+window form: one hash partition
+    on user_id, no BroadcastNestedLoop/cartesian range join — the shape
+    that survives 10^12 events."""
+    df = E._registry()["events_asof_purchase"][0](spark, SF)
+    simple = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"))
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "CartesianProduct" not in simple
+    assert "SortMergeJoin" not in simple       # no join at all: a window
+    assert "Window" in simple
+    assert "hashpartitioning(user_id" in simple
+
+
+def test_rollup_is_expand_single_pass(spark):
+    """ROLLUP runs as one Expand + aggregate pass, with partial aggs."""
+    df = E._registry()["events_rollup"][0](spark, SF)
+    simple = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"))
+    assert "Expand" in simple
+    assert "partial_count" in simple

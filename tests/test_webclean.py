@@ -215,3 +215,40 @@ class TestCorpusKeep:
         h = lambda d: hashlib.md5(
             d.astype(str).to_csv(index=False).encode()).hexdigest()
         assert h(out) == h(oracle)
+
+
+class TestAsofAndRollup:
+    def test_asof_matches_pandas_reference(self, spark):
+        from ragflow_core16_spark.operators.relational import \
+            events_asof_purchase
+        ev = (spark.read.parquet(f"{SF}/events.parquet")
+              .select("event_id", "user_id", "event_type", "ts").collect())
+        purchases = sorted((r["user_id"], r["ts"], r["event_id"])
+                           for r in ev if r["event_type"] == "purchase")
+        import bisect
+        by_user = {}
+        for u, ts, eid in purchases:
+            by_user.setdefault(u, []).append((ts, eid))
+        want = {}
+        for r in ev:
+            lst = by_user.get(r["user_id"], [])
+            i = bisect.bisect_right([t for t, _ in lst], r["ts"])
+            want[r["event_id"]] = lst[i - 1][1] if i else None
+        got = {r["event_id"]: r["ref_event_id"]
+               for r in events_asof_purchase(spark, SF).collect()}
+        assert got == want
+        assert any(v is not None for v in got.values())
+        assert any(v is None for v in got.values())
+
+    def test_rollup_subtotals_consistent(self, spark):
+        from ragflow_core16_spark.operators.relational import events_rollup
+        rows = events_rollup(spark, SF).collect()
+        total = [r for r in rows
+                 if r["event_type"] is None and r["hh"] is None]
+        assert len(total) == 1
+        leaf = sum(r["n_events"] for r in rows
+                   if r["event_type"] is not None and r["hh"] is not None)
+        assert total[0]["n_events"] == leaf
+        per_type = sum(r["n_events"] for r in rows
+                       if r["event_type"] is not None and r["hh"] is None)
+        assert per_type == leaf
