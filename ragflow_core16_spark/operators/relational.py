@@ -271,6 +271,32 @@ ORDER BY event_type NULLS FIRST, hh NULLS FIRST
 """
 
 
+# ------------------------------------------------------------- set ops
+def purchasers_never_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (EXCEPT ∘ INTERSECT): users with a high-value
+    purchase who also clicked, minus users who hit a severe (value > 90)
+    error.  Distinct set semantics compile to aggregate/anti-join shapes
+    — one hash family keyed on user_id."""
+    e = _t(spark, sf_dir, "events")
+    purch = (e.filter((F.col("event_type") == "purchase")
+                      & (F.col("value") > 50)).select("user_id"))
+    click = e.filter(F.col("event_type") == "click").select("user_id")
+    sev = (e.filter((F.col("event_type") == "error")
+                    & (F.col("value") > 90)).select("user_id"))
+    return (purch.intersect(click).exceptAll(sev.distinct())
+            .orderBy("user_id"))
+
+
+PURCHASERS_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 50
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 90
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
@@ -281,4 +307,5 @@ QUERIES = {
     "order_priority_counts": (order_priority_counts, ORDER_PRIORITY_SQL),
     "events_asof_purchase": (events_asof_purchase, EVENTS_ASOF_SQL),
     "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
+    "purchasers_never_error": (purchasers_never_error, PURCHASERS_SQL),
 }
