@@ -44,12 +44,13 @@ def _registry():
                                                 multimodal, office,
                                                 pdf_extract, relational,
                                                 retrieval, similarity,
-                                                templates, textstats,
-                                                training, webclean)
+                                                sketches, templates,
+                                                textstats, training,
+                                                webclean)
     reg: dict[str, tuple] = {}
     for mod in (textstats, dedup, similarity, retrieval, relational,
                 templates, pdf_extract, multimodal, office, embed,
-                training, webclean, extract_e2e):
+                training, webclean, sketches, extract_e2e):
         for name, (fn, sql) in mod.QUERIES.items():
             reg[name] = (fn, sql)
     return reg

@@ -297,6 +297,178 @@ ORDER BY user_id
 """
 
 
+# ------------------------------------------------------- bounded range join
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded time-band self-join (the interval/range join Spark has no
+    native operator for): for every event, count events by OTHER users
+    within ±60 s.  Scale pattern: quantize time into 60 s buckets, explode
+    the LEFT side to its 3 candidate buckets, equi-join on the bucket, then
+    apply the exact band predicate — the shuffle is keyed on the bucket, so
+    candidate volume is (events per 3 minutes), never |events|².  A naive
+    theta-join would be a cartesian at 10^12 rows.  Oracle: DuckDB's native
+    inequality join (it plans an IEJoin) over the same band."""
+    e = _t(spark, sf_dir, "events")
+    w_us = 60_000_000  # band half-width in microseconds
+    us_of = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    left = (e.select("event_id", "user_id", us_of("ts").alias("us"))
+            .withColumn("probe", F.explode(F.array(
+                (F.col("us") / w_us).cast("bigint") - 1,
+                (F.col("us") / w_us).cast("bigint"),
+                (F.col("us") / w_us).cast("bigint") + 1))))
+    right = e.select(F.col("event_id").alias("r_id"),
+                     F.col("user_id").alias("r_user"),
+                     us_of("ts").alias("r_us")) \
+             .withColumn("bucket", (F.col("r_us") / w_us).cast("bigint"))
+    hits = (left.join(right, left.probe == right.bucket)
+            .filter((F.col("r_user") != F.col("user_id"))
+                    & (F.abs(F.col("r_us") - F.col("us")) <= w_us))
+            .groupBy("event_id")
+            .agg(F.count(F.lit(1)).alias("n")))
+    return (e.select("event_id").join(hits, "event_id", "left")
+            .select("event_id",
+                    F.coalesce("n", F.lit(0)).alias("n_concurrent"))
+            .orderBy("event_id"))
+
+
+RANGE_JOIN_SQL = """
+SELECT e.event_id, count(r.event_id) AS n_concurrent
+FROM events e LEFT JOIN events r
+  ON r.user_id != e.user_id
+ AND abs(epoch_us(r.ts) - epoch_us(e.ts)) <= 60000000
+GROUP BY e.event_id ORDER BY e.event_id
+"""
+
+
+# ------------------------------------------- correlated scalar subquery
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery): lineitems whose
+    quantity is below 20% of the per-part average.  Decorrelated into a
+    per-part aggregate + equi-join — ONE shuffle family keyed on partkey,
+    map-side partial agg.  The comparison ``qty < 0.2 * avg(qty)`` is done
+    in exact integer form (``5·qty·cnt < sum_qty`` — quantities are
+    integral) so Spark and the oracle agree at the boundary regardless of
+    float summation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sq"),
+                     F.count(F.lit(1)).alias("cnt")))
+    j = li.join(per_part, "l_partkey")
+    small = j.filter(F.col("l_quantity").cast("bigint") * 5 * F.col("cnt")
+                     < F.col("sq"))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .alias("revenue_cents"))
+
+
+SMALL_QTY_SQL = """
+WITH pp AS (
+  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey)
+SELECT count(*) AS n_small,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN pp ON l.l_partkey = pp.l_partkey
+WHERE CAST(l.l_quantity AS BIGINT) * 5 * pp.cnt < pp.sq
+"""
+
+
+# -------------------------------------------------------------- anti join
+def customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left ANTI join (TPC-H Q22 shape): customers that never placed a
+    high-value (>300k) order, aggregated per market segment.  The anti
+    side is filtered BEFORE the distinct-key projection — predicate
+    pushdown shrinks it at the scan, and the join shuffles only keys."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    big = (o.filter(F.col("o_totalprice") > 300000)
+           .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    return (c.join(big, "c_custkey", "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+                 .alias("acctbal_cents"))
+            .orderBy("c_mktsegment"))
+
+
+CUSTOMERS_NO_ORDERS_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# ------------------------------------------------------------------ pivot
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (event_type → columns) of hourly counts.  The explicit value
+    list keeps the plan a single groupBy with conditional aggregates — no
+    extra pass to discover the pivot domain (which at 10^12 rows would be
+    its own shuffle)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.withColumn("hh", F.hour("ts").cast("int"))
+            .groupBy("hh").pivot("event_type", _EVENT_TYPES).count()
+            .na.fill(0, _EVENT_TYPES)
+            .orderBy("hh"))
+
+
+EVENTS_PIVOT_SQL = """
+SELECT CAST(hour(ts) AS INTEGER) AS hh,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'error')    AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'view')     AS view
+FROM events GROUP BY 1 ORDER BY hh
+"""
+
+
+# ------------------------------------------------------ exact percentiles
+def lang_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed percentiles per group via rank arithmetic: the
+    p-th percentile of n_chars is the element at row_number
+    ``floor((n-1)·p) + 1`` in the per-lang sort — two window passes, one
+    shuffle on lang.  No approx-percentile sketch: the selection index is
+    integer arithmetic, so the oracle agrees exactly."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = (d.select("lang", "n_chars", "doc_id")
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1))
+                          .over(Window.partitionBy("lang"))))
+    idx50 = (F.col("n") - 1) * 1 / 2
+    idx90 = (F.col("n") - 1) * 9 / 10
+    return (ranked.groupBy("lang")
+            .agg(F.max("n").alias("n_docs"),
+                 F.max(F.when(F.col("rn") == F.floor(idx50).cast("bigint") + 1,
+                              F.col("n_chars"))).alias("p50"),
+                 F.max(F.when(F.col("rn") == F.floor(idx90).cast("bigint") + 1,
+                              F.col("n_chars"))).alias("p90"))
+            .orderBy("lang"))
+
+
+LANG_PERCENTILES_SQL = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT lang, max(n) AS n_docs,
+       max(CASE WHEN rn = CAST(floor((n - 1) * 1 / 2) AS BIGINT) + 1
+                THEN n_chars END) AS p50,
+       max(CASE WHEN rn = CAST(floor((n - 1) * 9 / 10) AS BIGINT) + 1
+                THEN n_chars END) AS p90
+FROM ranked GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
@@ -308,4 +480,9 @@ QUERIES = {
     "events_asof_purchase": (events_asof_purchase, EVENTS_ASOF_SQL),
     "events_rollup": (events_rollup, EVENTS_ROLLUP_SQL),
     "purchasers_never_error": (purchasers_never_error, PURCHASERS_SQL),
+    "range_join_events": (range_join_events, RANGE_JOIN_SQL),
+    "small_quantity_revenue": (small_quantity_revenue, SMALL_QTY_SQL),
+    "customers_no_orders": (customers_no_orders, CUSTOMERS_NO_ORDERS_SQL),
+    "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
+    "lang_percentiles": (lang_percentiles, LANG_PERCENTILES_SQL),
 }

@@ -396,7 +396,100 @@ ORDER BY approx_l2, k.vec_id LIMIT {TOP_K}
 """
 
 
+# ----------------------------------------------------------- SemDeDup
+SEMDEDUP_T = NEAR_DUP_THRESHOLD  # pair-cosine dup threshold (synthetic corpus)
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str,
+                   threshold: float = SEMDEDUP_T) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic deduplication: cluster the
+    embeddings with a coarse quantizer (deterministic centroids = vec_id
+    1..K, same convention as ``ivf_ann_topk``), score pair cosines ONLY
+    within a cluster, and inside every duplicate group keep the example
+    LEAST similar to its cluster centroid (the paper's keep rule — it
+    preserves the outlier and drops the redundant core).
+
+    Scale shape: the assignment is a broadcast cross join against K rows
+    (a write-time bucket column at 100 TB, exactly like IVF), and the
+    pair join is keyed on the cluster id — candidate volume is bounded by
+    the cluster sizes, never |docs|².  Keep decisions are a semi-join
+    aggregate, no driver-side state.  Deterministic → DuckDB oracle."""
+    from pyspark.sql import Window
+    e = _emb(spark, sf_dir)
+    cent = (e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= N_CENTROIDS))
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cv")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+    assigned = (e.crossJoin(F.broadcast(cent))
+                .withColumn("ccos", F.round(_cos(F.col("embedding"),
+                                                 F.col("cv")), 6))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "embedding",
+                        F.col("cid").alias("cluster"), "ccos"))
+    a = assigned.select(F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("va"),
+                        F.col("cluster").alias("cl_a"),
+                        F.col("ccos").alias("ccos_a"))
+    b = assigned.select(F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("vb"),
+                        F.col("cluster").alias("cl_b"),
+                        F.col("ccos").alias("ccos_b"))
+    pair_cos = F.round(_cos(F.col("va"), F.col("vb")), 4)
+    # a is dropped when some same-cluster partner b is a dup (cos >= t)
+    # and b wins the keep rule: lower centroid-cos, tie -> lower vec_id.
+    dropped = (a.join(b, F.col("cl_a") == F.col("cl_b"))
+               .filter(F.col("id_a") != F.col("id_b"))
+               .filter(pair_cos >= threshold)
+               .filter((F.col("ccos_b") < F.col("ccos_a"))
+                       | ((F.col("ccos_b") == F.col("ccos_a"))
+                          & (F.col("id_b") < F.col("id_a"))))
+               .select(F.col("id_a").alias("vec_id")).distinct()
+               .withColumn("is_dropped", F.lit(1)))
+    return (assigned.join(dropped, "vec_id", "left")
+            .select("vec_id", "cluster",
+                    F.round("ccos", 4).alias("centroid_cos"),
+                    F.when(F.col("is_dropped").isNull(), True)
+                    .otherwise(False).alias("keep"))
+            .orderBy("vec_id"))
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}),
+ass0 AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         round(list_dot_product(e.embedding, c.cv) /
+               (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_dot_product(e.embedding, c.cv) /
+                    (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                     sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                    c.cid) AS rn
+  FROM embeddings e CROSS JOIN cent c),
+assigned AS (
+  SELECT vec_id, embedding, cid AS cluster, ccos FROM ass0 WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id != b.vec_id
+  WHERE round(list_dot_product(a.embedding, b.embedding) /
+              (sqrt(list_dot_product(a.embedding, a.embedding)) *
+               sqrt(list_dot_product(b.embedding, b.embedding))), 4)
+        >= {SEMDEDUP_T}
+    AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id)))
+SELECT s.vec_id, s.cluster, round(s.ccos, 4) AS centroid_cos,
+       d.vec_id IS NULL AS keep
+FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+ORDER BY s.vec_id
+"""
+
+
 QUERIES = {
+    "semantic_dedup": (semantic_dedup, SEMANTIC_DEDUP_SQL),
     "pq_ann_topk": (pq_ann_topk, PQ_ANN_SQL),
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "near_dup_exact": (near_dup_exact, NEAR_DUP_EXACT_SQL),

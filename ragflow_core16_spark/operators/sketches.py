@@ -1,0 +1,150 @@
+"""Cardinality sketches for web-scale profiling — integer-exact HyperLogLog.
+
+At 10^12 rows ``count(DISTINCT …)`` is a full shuffle of every distinct
+key; the HLL sketch replaces it with a 64-register byte array that merges
+with ``max`` — partial aggregation does all the work map-side and the
+shuffle carries ≤ 64 tiny rows per group.  This implementation keeps every
+step in integer arithmetic so the DuckDB oracle reproduces it bit-for-bit:
+
+  * hash      — the repo's md5→bigint bridge (15 hex digits = 60 bits),
+  * register  — low 6 bits (m = 64), payload w = high 54 bits,
+  * rho(w)    — unrolled 54-branch CASE (no float log2),
+  * harmonic  — Σ 2^(-M) is scaled by 2^40: every term 2^(40-min(M,40)) is
+                a BIGINT, so the sum S is exact,
+  * estimate  — alpha_64·m²·2^40/S evaluated as one truncating BIGINT
+                division (alpha_64 = 0.709 carried as 709/1000),
+  * linear counting — the small-range correction m·ln(m/V) is a 64-entry
+                precomputed integer table (V = empty registers).
+
+The same expression text runs on Spark (``F.expr``) and DuckDB, so the
+sketch is deterministic across engines — the oracle check IS the estimate.
+Standard HLL per Flajolet et al. 2007; the 2^40 scaling trick keeps the
+harmonic mean rational.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+M_REGISTERS = 64          # 2^6 registers
+W_BITS = 54               # 60-bit bridge hash minus 6 register bits
+RHO_CAP = 40              # cap so 2^(RHO_CAP - M) stays a positive BIGINT
+ALPHA_NUM, ALPHA_DEN = 709, 1000   # alpha_64 = 0.709
+
+
+def _rho_case(w: str) -> str:
+    """Unrolled integer CASE computing rho = leading-zero count of the
+    54-bit payload + 1 (identical text for Spark SQL and DuckDB)."""
+    branches = " ".join(
+        f"WHEN {w} >= {1 << k} THEN {W_BITS - k}"
+        for k in range(W_BITS - 1, -1, -1))
+    return f"CASE {branches} ELSE {W_BITS + 1} END"
+
+
+def _linear_count_case(v: str) -> str:
+    """Small-range (linear counting) table: floor(m·ln(m/V)) for V=1..m."""
+    branches = " ".join(
+        f"WHEN {v} = {V} THEN "
+        f"{int(math.floor(M_REGISTERS * math.log(M_REGISTERS / V)))}"
+        for V in range(1, M_REGISTERS + 1))
+    return f"CASE {branches} END"
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user estimate per event_type, next to the exact count.
+
+    Plan shape: ONE groupBy (event_type, register) with a max — partial agg
+    collapses each map partition to ≤ 64·|groups| rows before the shuffle —
+    then a 64-row-per-group rollup.  The exact count (for the accuracy
+    column) is the expensive path the sketch replaces."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+               16, 10).cast("bigint")
+    # integer div/mod only — h is a 60-bit value, float division would
+    # lose low bits above 2^53
+    regs = (e.select("event_type", h.alias("h"))
+            .withColumn("reg", F.expr(f"h % {M_REGISTERS}"))
+            .withColumn("w", F.expr(f"h div {M_REGISTERS}"))
+            .withColumn("rho", F.expr(_rho_case("w")))
+            .groupBy("event_type", "reg")
+            .agg(F.max("rho").alias("m_rho")))
+    term = F.expr(f"CAST(pow(2, {RHO_CAP} - least(m_rho, {RHO_CAP})) "
+                  f"AS BIGINT)")
+    per_type = (regs.groupBy("event_type")
+                .agg(F.sum(term).alias("s_present"),
+                     F.count(F.lit(1)).alias("n_regs")))
+    v = (F.lit(M_REGISTERS) - F.col("n_regs")).cast("bigint")
+    s = (F.col("s_present")
+         + v * F.lit(1 << RHO_CAP).cast("bigint")).cast("bigint")
+    raw = F.expr(
+        f"CAST({ALPHA_NUM} * {M_REGISTERS * M_REGISTERS} AS BIGINT) "
+        f"* CAST({1 << RHO_CAP} AS BIGINT) DIV (CAST({ALPHA_DEN} AS BIGINT)"
+        f" * s)")
+    lc = F.expr(_linear_count_case("v"))
+    est = F.when((v > 0) & (raw <= int(2.5 * M_REGISTERS)), lc).otherwise(raw)
+    sketch = (per_type.withColumn("v", v).withColumn("s", s)
+              .withColumn("raw", raw)
+              .select("event_type", F.col("n_regs").cast("bigint")
+                      .alias("n_registers"),
+                      est.cast("bigint").alias("hll_estimate")))
+    exact = (e.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("exact_distinct")))
+    return (sketch.join(exact, "event_type")
+            .withColumn("err_permille",
+                        F.expr("abs(hll_estimate - exact_distinct) * 1000 "
+                               "div exact_distinct"))
+            .orderBy("event_type"))
+
+
+def _hll_sql() -> str:
+    rho = _rho_case("w")
+    lc = _linear_count_case("v")
+    return f"""
+WITH hashed AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events),
+regs AS (
+  SELECT event_type, h % {M_REGISTERS} AS reg,
+         max({rho.replace('w', f'(h // {M_REGISTERS})')}) AS m_rho
+  FROM hashed GROUP BY 1, 2),
+per_type AS (
+  SELECT event_type,
+         CAST(sum(CAST(pow(2, {RHO_CAP} - least(m_rho, {RHO_CAP}))
+                       AS BIGINT)) AS BIGINT) AS s_present,
+         count(*) AS n_regs
+  FROM regs GROUP BY event_type),
+est AS (
+  SELECT event_type, n_regs,
+         CAST({M_REGISTERS} - n_regs AS BIGINT) AS v,
+         s_present + CAST({M_REGISTERS} - n_regs AS BIGINT)
+           * CAST({1 << RHO_CAP} AS BIGINT) AS s
+  FROM per_type),
+scored AS (
+  SELECT event_type, n_regs, v,
+         CAST({ALPHA_NUM} * {M_REGISTERS * M_REGISTERS} AS BIGINT)
+           * CAST({1 << RHO_CAP} AS BIGINT)
+           // (CAST({ALPHA_DEN} AS BIGINT) * s) AS raw
+  FROM est),
+sk AS (
+  SELECT event_type, CAST(n_regs AS BIGINT) AS n_registers,
+         CAST(CASE WHEN v > 0 AND raw <= {int(2.5 * M_REGISTERS)}
+                   THEN {lc} ELSE raw END AS BIGINT) AS hll_estimate
+  FROM scored),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type)
+SELECT sk.event_type, sk.n_registers, sk.hll_estimate, exact.exact_distinct,
+       abs(sk.hll_estimate - exact.exact_distinct) * 1000
+         // exact.exact_distinct AS err_permille
+FROM sk JOIN exact ON sk.event_type = exact.event_type
+ORDER BY sk.event_type
+"""
+
+
+QUERIES = {
+    "hll_distinct": (hll_distinct, _hll_sql()),
+}
