@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "email_template",
     "c4_line_filter", "pii_redact", "paragraph_dedup", "bpe_train",
     "substring_dedup_spans", "dsir_affinity",
+    "hll_distinct", "semantic_dedup", "range_join_events",
 ]
 
 

@@ -34,8 +34,19 @@ NEAR_DUP_THRESHOLD = 0.4
 
 
 def _emb(spark, sf_dir):
+    """Embeddings scan with the vector cast to array<double>: DuckDB's
+    list_dot_product on FLOAT[] accumulates in single precision, which can
+    flip a 4-decimal rounding boundary against Spark's double fold; both
+    engines therefore compute on doubles (the oracle SQLs read the `emb`
+    CTE below)."""
     from ..session import spread
-    return spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    df = spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return df.withColumn("embedding", F.col("embedding").cast("array<double>"))
+
+
+# shared casted scan for every oracle SQL in this module
+EMB_CTE = ("emb AS (SELECT vec_id, label, "
+           "CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings)")
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -63,12 +74,13 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COSINE_TOPK_SQL = f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+WITH {EMB_CTE},
+q AS (SELECT embedding AS qv FROM emb WHERE vec_id = {QUERY_VEC_ID})
 SELECT e.vec_id, e.label,
        round(list_dot_product(e.embedding, q.qv) /
              (sqrt(list_dot_product(e.embedding, e.embedding)) *
               sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
-FROM embeddings e, q
+FROM emb e, q
 WHERE e.vec_id != {QUERY_VEC_ID}
 ORDER BY cosine DESC, e.vec_id LIMIT {TOP_K}
 """
@@ -157,10 +169,11 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_ANN_SQL = f"""
-WITH cent AS (
-  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+WITH {EMB_CTE},
+cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM emb
   WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}),
-q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+q AS (SELECT embedding AS qv FROM emb WHERE vec_id = {QUERY_VEC_ID}),
 ass AS (
   SELECT e.vec_id, e.label, e.embedding, c.cid,
          row_number() OVER (
@@ -168,7 +181,7 @@ ass AS (
            ORDER BY list_dot_product(e.embedding, c.cv) /
                     (sqrt(list_dot_product(e.embedding, e.embedding)) *
                      sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rn
-  FROM embeddings e CROSS JOIN cent c),
+  FROM emb e CROSS JOIN cent c),
 assigned AS (
   SELECT vec_id, label, embedding, cid AS bucket FROM ass WHERE rn = 1),
 probes AS (
@@ -228,11 +241,12 @@ def near_dup_exact(spark: SparkSession, sf_dir: str,
 
 
 NEAR_DUP_EXACT_SQL = f"""
+WITH {EMB_CTE}
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.embedding, b.embedding) /
              (sqrt(list_dot_product(a.embedding, a.embedding)) *
               sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.embedding, b.embedding) /
             (sqrt(list_dot_product(a.embedding, a.embedding)) *
              sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= {NEAR_DUP_THRESHOLD}
@@ -256,8 +270,9 @@ def _bucket_sql(dim: int = 64) -> str:
 
 def _lsh_ann_sql() -> str:
     return f"""
-WITH b AS (
-  SELECT vec_id, label, embedding, {_bucket_sql()} AS bucket FROM embeddings),
+WITH {EMB_CTE},
+b AS (
+  SELECT vec_id, label, embedding, {_bucket_sql()} AS bucket FROM emb),
 q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = {QUERY_VEC_ID})
 SELECT b.vec_id, b.label,
        round(list_dot_product(b.embedding, q.qv) /
@@ -270,8 +285,9 @@ ORDER BY cosine DESC, b.vec_id LIMIT {TOP_K}
 
 def _embedding_near_dup_sql() -> str:
     return f"""
-WITH b AS (
-  SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings)
+WITH {EMB_CTE},
+b AS (
+  SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM emb)
 SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        round(list_dot_product(a.embedding, c.embedding) /
              (sqrt(list_dot_product(a.embedding, a.embedding)) *
@@ -361,15 +377,16 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PQ_ANN_SQL = f"""
-WITH subs AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
+WITH {EMB_CTE},
+subs AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m),
 cb AS (
   SELECT s.m, e.vec_id AS cid,
          list_slice(e.embedding, s.m*16 + 1, s.m*16 + 16) AS cbv
-  FROM embeddings e, subs s WHERE e.vec_id BETWEEN 1 AND {PQ_K}),
+  FROM emb e, subs s WHERE e.vec_id BETWEEN 1 AND {PQ_K}),
 vm AS (
   SELECT e.vec_id, e.label, s.m,
          list_slice(e.embedding, s.m*16 + 1, s.m*16 + 16) AS sv
-  FROM embeddings e, subs s),
+  FROM emb e, subs s),
 dists AS (
   SELECT v.vec_id, v.label, v.m, c.cid,
          list_dot_product(v.sv, v.sv) - 2*list_dot_product(v.sv, c.cbv)
@@ -382,7 +399,7 @@ codes AS (
     FROM dists) WHERE rn = 1),
 q AS (
   SELECT s.m, list_slice(e.embedding, s.m*16 + 1, s.m*16 + 16) AS qsv
-  FROM embeddings e, subs s WHERE e.vec_id = {QUERY_VEC_ID}),
+  FROM emb e, subs s WHERE e.vec_id = {QUERY_VEC_ID}),
 adc AS (
   SELECT c.m, c.cid,
          list_dot_product(q.qsv, q.qsv) - 2*list_dot_product(q.qsv, c.cbv)
@@ -398,6 +415,11 @@ ORDER BY approx_l2, k.vec_id LIMIT {TOP_K}
 
 # ----------------------------------------------------------- SemDeDup
 SEMDEDUP_T = NEAR_DUP_THRESHOLD  # pair-cosine dup threshold (synthetic corpus)
+# SemDeDup's scale lever is the cluster count: candidate pairs grow as
+# sum(|cluster|^2), so k must scale with the corpus (the paper uses 50k
+# clusters for LAION).  64 here (vs 8 for IVF probing) keeps the pair
+# join bounded; at 10^12 docs k would be ~10^5.
+SEMDEDUP_K = 64
 
 
 def semantic_dedup(spark: SparkSession, sf_dir: str,
@@ -416,13 +438,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     aggregate, no driver-side state.  Deterministic → DuckDB oracle."""
     from pyspark.sql import Window
     e = _emb(spark, sf_dir)
-    cent = (e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= N_CENTROIDS))
+    cent = (e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= SEMDEDUP_K))
             .select(F.col("vec_id").alias("cid"),
                     F.col("embedding").alias("cv")))
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
     assigned = (e.crossJoin(F.broadcast(cent))
                 .withColumn("ccos", F.round(_cos(F.col("embedding"),
-                                                 F.col("cv")), 6))
+                                                 F.col("cv")), 4))
                 .withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1)
                 .select("vec_id", "embedding",
@@ -448,28 +470,30 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
                .withColumn("is_dropped", F.lit(1)))
     return (assigned.join(dropped, "vec_id", "left")
             .select("vec_id", "cluster",
-                    F.round("ccos", 4).alias("centroid_cos"),
+                    F.col("ccos").alias("centroid_cos"),
                     F.when(F.col("is_dropped").isNull(), True)
                     .otherwise(False).alias("keep"))
             .orderBy("vec_id"))
 
 
 SEMANTIC_DEDUP_SQL = f"""
-WITH cent AS (
-  SELECT vec_id AS cid, embedding AS cv FROM embeddings
-  WHERE vec_id BETWEEN 1 AND {N_CENTROIDS}),
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM emb
+  WHERE vec_id BETWEEN 1 AND {SEMDEDUP_K}),
 ass0 AS (
   SELECT e.vec_id, e.embedding, c.cid,
          round(list_dot_product(e.embedding, c.cv) /
                (sqrt(list_dot_product(e.embedding, e.embedding)) *
-                sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos,
+                sqrt(list_dot_product(c.cv, c.cv))), 4) AS ccos,
          row_number() OVER (
            PARTITION BY e.vec_id
            ORDER BY round(list_dot_product(e.embedding, c.cv) /
                     (sqrt(list_dot_product(e.embedding, e.embedding)) *
-                     sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                     sqrt(list_dot_product(c.cv, c.cv))), 4) DESC,
                     c.cid) AS rn
-  FROM embeddings e CROSS JOIN cent c),
+  FROM emb e CROSS JOIN cent c),
 assigned AS (
   SELECT vec_id, embedding, cid AS cluster, ccos FROM ass0 WHERE rn = 1),
 dropped AS (
@@ -481,7 +505,7 @@ dropped AS (
                sqrt(list_dot_product(b.embedding, b.embedding))), 4)
         >= {SEMDEDUP_T}
     AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id)))
-SELECT s.vec_id, s.cluster, round(s.ccos, 4) AS centroid_cos,
+SELECT s.vec_id, s.cluster, s.ccos AS centroid_cos,
        d.vec_id IS NULL AS keep
 FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
 ORDER BY s.vec_id

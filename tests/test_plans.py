@@ -174,3 +174,49 @@ def test_rollup_is_expand_single_pass(spark):
             "simple"))
     assert "Expand" in simple
     assert "partial_count" in simple
+
+
+def test_range_join_is_bucketed_not_cartesian(spark):
+    """The ±60 s band self-join must run as an equi-join on the time
+    bucket (hash join), never a nested-loop/cartesian theta-join."""
+    plan = _formatted(E._registry()["range_join_events"][0](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # explode of the 3 probe buckets feeds a hash equi-join
+    assert "explode(" in plan
+    assert "HashJoin" in plan
+
+
+def test_small_quantity_revenue_partial_agg(spark):
+    """Q17 shape: the per-part aggregate must partial-agg map-side and the
+    lineitem⋈aggregate join must stay an equi-join."""
+    plan = _formatted(E._registry()["small_quantity_revenue"][0](spark, SF))
+    assert "partial_" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_events_pivot_single_aggregate_pass(spark):
+    """Explicit pivot domain → one aggregate, no domain-discovery pass
+    (no extra job) and no Python stage."""
+    plan = _formatted(E._registry()["events_pivot"][0](spark, SF))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    # exactly one shuffle family: the groupBy(hh) exchange + the sort
+    exchanges = [ln for ln in plan.splitlines()
+                 if ln.strip().startswith(") Exchange")]
+    assert len(exchanges) <= 2, exchanges
+
+
+def test_hll_sketch_partial_aggregates(spark):
+    """The HLL register build must partial-agg (max per register) before
+    its shuffle — that is the whole point of the sketch at scale."""
+    plan = _formatted(E._registry()["hll_distinct"][0](spark, SF))
+    assert "partial_max" in plan
+
+
+def test_semantic_dedup_broadcasts_centroids(spark):
+    """Cluster assignment is a broadcast against K centroid rows; the pair
+    join is keyed on the cluster id — no cartesian anywhere."""
+    plan = _formatted(E._registry()["semantic_dedup"][0](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
