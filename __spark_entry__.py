@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _registry():
     from ragflow_core16_spark.operators import (dedup, embed, extract_e2e,
-                                                multimodal, office,
+                                                graph, multimodal, office,
                                                 pdf_extract, relational,
                                                 retrieval, similarity,
                                                 sketches, templates,
@@ -50,7 +50,7 @@ def _registry():
     reg: dict[str, tuple] = {}
     for mod in (textstats, dedup, similarity, retrieval, relational,
                 templates, pdf_extract, multimodal, office, embed,
-                training, webclean, sketches, extract_e2e):
+                training, webclean, sketches, graph, extract_e2e):
         for name, (fn, sql) in mod.QUERIES.items():
             reg[name] = (fn, sql)
     return reg

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "c4_line_filter", "pii_redact", "paragraph_dedup", "bpe_train",
     "substring_dedup_spans", "dsir_affinity",
     "hll_distinct", "semantic_dedup", "range_join_events",
+    "pagerank",
 ]
 
 

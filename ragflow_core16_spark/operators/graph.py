@@ -1,0 +1,112 @@
+"""Iterative graph computation at shuffle-scale — integer-exact PageRank.
+
+A web-scale corpus is also a link graph; rank/centrality scores are a
+standard quality prior for training-data selection (the reference's rerank
+stage consumes a ``pagerank_fea`` column — ``rag/nlp/search.py:247-272`` —
+but assumes it precomputed).  This operator computes it.
+
+Spark shape: each iteration is ONE shuffle keyed on the destination node
+(join ranks⋈edges on src is a broadcast when the rank table is small, a
+co-partitioned hash join at scale; the contribution sum partial-aggregates
+map-side).  Iterations are a driver-side Python loop over DataFrames —
+the lineage is 3 joins deep, well inside plan-size limits; at hundreds of
+iterations you'd localCheckpoint every ~10 (same pattern as ``bpe_train``).
+
+Determinism: ranks are parts-per-million BIGINTs; the damping update is
+``150000 + 850000·Σ(contrib) div 1000000`` with truncating integer
+division, and a node's out-contribution is ``rank div out_degree`` — no
+floats anywhere, so summation order cannot perturb results and the DuckDB
+oracle (the same three iterations unrolled as CTEs) matches bit-for-bit.
+
+The edge set is derived deterministically from the ``documents`` table via
+the repo's md5→bigint bridge (each doc links to 1–3 pseudo-random targets),
+so both engines materialize the identical graph without an edge file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_ITER = 3
+DAMP_NUM = 850_000          # 0.85 in ppm
+BASE_NUM = 150_000          # (1 - 0.85) in ppm
+PPM = 1_000_000
+
+
+def _docs(spark, sf_dir):
+    from ..session import spread
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _edges(d: DataFrame, n_docs_col) -> DataFrame:
+    """1–3 md5-derived out-links per document (self-loops allowed — they
+    are deterministic and harmless to the fixed-point)."""
+    deg = (F.col("doc_id") % 3 + 1).cast("int")
+    links = F.transform(
+        F.sequence(F.lit(1), deg),
+        lambda k: F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                                          k.cast("string"))), 1, 15),
+            16, 10).cast("bigint") % n_docs_col)
+    return (d.select("doc_id", F.explode(links).alias("dst"))
+            .withColumn("out_deg", deg.cast("bigint"))
+            .select(F.col("doc_id").alias("src"), "dst", "out_deg"))
+
+
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()  # scalar corpus size (one cheap count; a literal at scale)
+    edges = _edges(d, F.lit(n))
+    ranks = d.select("doc_id", F.lit(PPM).cast("bigint").alias("rank_ppm"))
+    for _ in range(N_ITER):
+        contrib = (edges.join(ranks, edges.src == ranks.doc_id)
+                   .select("dst", F.expr("rank_ppm div out_deg")
+                           .alias("c")))
+        summed = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (d.join(summed, d.doc_id == summed.dst, "left")
+                 .select("doc_id",
+                         (F.lit(BASE_NUM)
+                          + F.expr(f"{DAMP_NUM} * coalesce(s, 0) "
+                                   f"div {PPM}")).cast("bigint")
+                         .alias("rank_ppm")))
+    return (ranks.orderBy(F.desc("rank_ppm"), "doc_id")
+            .limit(50)
+            .select("doc_id", "rank_ppm"))
+
+
+def _pagerank_sql() -> str:
+    it = """
+{name} AS (
+  SELECT n.doc_id,
+         CAST({base} + {damp} * coalesce(s.s, 0) // {ppm} AS BIGINT)
+           AS rank_ppm
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS doc_id, sum(r.rank_ppm // e.out_deg) AS s
+    FROM edges e JOIN {prev} r ON e.src = r.doc_id
+    GROUP BY e.dst) s ON n.doc_id = s.doc_id)"""
+    its = ",".join(
+        it.format(name=f"it{i + 1}", prev=("r0" if i == 0 else f"it{i}"),
+                  base=BASE_NUM, damp=DAMP_NUM, ppm=PPM)
+        for i in range(N_ITER))
+    return f"""
+WITH nodes AS (SELECT doc_id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (
+  SELECT doc_id AS src,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                             || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+           % (SELECT n FROM nn) AS dst,
+         CAST(doc_id % 3 + 1 AS BIGINT) AS out_deg
+  FROM nodes, unnest(generate_series(1, 3)) AS t(k)
+  WHERE k <= doc_id % 3 + 1),
+r0 AS (SELECT doc_id, CAST({PPM} AS BIGINT) AS rank_ppm FROM nodes),
+{its}
+SELECT doc_id, rank_ppm FROM it{N_ITER}
+ORDER BY rank_ppm DESC, doc_id LIMIT 50
+"""
+
+
+QUERIES = {
+    "pagerank": (pagerank, _pagerank_sql()),
+}

@@ -469,6 +469,38 @@ FROM ranked GROUP BY lang ORDER BY lang
 """
 
 
+# ----------------------------------------------------- salted aggregation
+N_SALT = 16
+
+
+def salted_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for skewed group keys: ``documents``
+    has only a handful of ``source`` values, so a naive groupBy(source)
+    funnels the whole corpus into that many reducers.  Stage 1 aggregates
+    on (source, doc_id % 16) — 16-way fan-out of every hot key — stage 2
+    collapses the 16 partials.  Both stages partial-agg map-side; the
+    extra shuffle carries ≤ 16 rows per key.  This is the explicit form
+    of what AQE skew-join splitting does for joins, applied to
+    aggregation.  Oracle: the plain one-stage groupBy (semantically
+    identical by associativity of sum/count)."""
+    d = _t(spark, sf_dir, "documents")
+    stage1 = (d.withColumn("salt", (F.col("doc_id") % N_SALT).cast("int"))
+              .groupBy("source", "salt")
+              .agg(F.count(F.lit(1)).alias("pn"),
+                   F.sum(F.col("n_chars").cast("bigint")).alias("pchars")))
+    return (stage1.groupBy("source")
+            .agg(F.sum("pn").alias("n_docs"),
+                 F.sum("pchars").alias("total_chars"))
+            .orderBy("source"))
+
+
+SALTED_SOURCE_AGG_SQL = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
@@ -485,4 +517,5 @@ QUERIES = {
     "customers_no_orders": (customers_no_orders, CUSTOMERS_NO_ORDERS_SQL),
     "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
     "lang_percentiles": (lang_percentiles, LANG_PERCENTILES_SQL),
+    "salted_source_agg": (salted_source_agg, SALTED_SOURCE_AGG_SQL),
 }

@@ -220,3 +220,20 @@ def test_semantic_dedup_broadcasts_centroids(spark):
     plan = _formatted(E._registry()["semantic_dedup"][0](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iteration_partial_aggs(spark):
+    """Each PageRank iteration must partial-agg contributions map-side
+    and never degrade to a nested-loop join."""
+    plan = _formatted(E._registry()["pagerank"][0](spark, SF))
+    assert "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_agg_two_stage(spark):
+    """The salted aggregation must show BOTH stages with map-side partial
+    aggregation (hot keys fan out 16-way before the final collapse)."""
+    plan = _formatted(E._registry()["salted_source_agg"][0](spark, SF))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "salt" in plan
