@@ -501,6 +501,193 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+# ---------------------------------------------- outer join + histogram
+def order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer distribution by order count.  LEFT OUTER
+    join with an extra join-side predicate (priority filter belongs in the
+    join condition, NOT a post-filter — a WHERE would turn the outer join
+    inner), then two cascaded aggs.  Shuffles: one on custkey for the join
+    + first agg, one tiny one on c_count; both partial-agg map-side.  At
+    10^12 orders the first agg keys on the join key, so AQE coalesces the
+    same exchange for join and agg."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    joined = c.join(
+        o, (c.c_custkey == o.o_custkey) &
+           (o.o_orderpriority != "1-URGENT"), "left_outer")
+    counts = (joined.groupBy("c_custkey")
+              .agg(F.count("o_orderkey").alias("c_count")))
+    return (counts.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+ORDER_COUNT_HISTOGRAM_SQL = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ------------------------------------------- agg-filtered semi join back
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold,
+    joined back to order + customer detail.  The HAVING-filtered agg is
+    tiny (top ~1% of orders), so the join back to orders is a BROADCAST of
+    the filtered keys — the scan side never shuffles on orderkey twice.
+    Customer dim is broadcast too."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+           .filter(F.col("total_qty") > 250))
+    return (o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .select("c_name", "o_orderkey", "o_orderdate",
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    "total_qty")
+            .orderBy(F.desc("total_qty"), "o_orderkey"))
+
+
+LARGE_ORDERS_SQL = """
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice, b.total_qty
+FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING round(sum(l_quantity), 2) > 250) b
+JOIN orders o   ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY b.total_qty DESC, o.o_orderkey
+"""
+
+
+# ------------------------------------------------- disjunctive pushdown
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate across both join sides.
+    Catalyst does NOT factor a disjunction into per-side conjuncts, so the
+    hull of each side's bands (l_quantity ∈ [1,30]; p_size ∈ [1,35],
+    brand ∈ {1,2,3}) is pushed manually — semantics-preserving weakening
+    that reaches the parquet scans as PushedFilters and shrinks the
+    broadcast part dim before the join.  The exact OR lands as the branch
+    CASE post-join.  Per-branch revenue keeps the result multi-row (and
+    each branch's sum small enough for stable rounding)."""
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    li = li.filter(F.col("l_quantity").between(1, 30))
+    p = p.filter(F.col("p_size").between(1, 35) &
+                 F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    branch = (F.when((F.col("p_brand") == "Brand#1") &
+                     F.col("p_size").between(1, 15) &
+                     F.col("l_quantity").between(1, 11), "b1")
+              .when((F.col("p_brand") == "Brand#2") &
+                    F.col("p_size").between(1, 25) &
+                    F.col("l_quantity").between(10, 20), "b2")
+              .when((F.col("p_brand") == "Brand#3") &
+                    F.col("p_size").between(1, 35) &
+                    F.col("l_quantity").between(20, 30), "b3"))
+    return (j.withColumn("branch", branch)
+            .filter(F.col("branch").isNotNull())
+            .groupBy("branch")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy("branch"))
+
+
+DISJUNCTIVE_REVENUE_SQL = """
+SELECT branch, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM (
+  SELECT l.l_extendedprice, l.l_discount,
+         CASE
+           WHEN p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                AND l.l_quantity BETWEEN 1 AND 11 THEN 'b1'
+           WHEN p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+                AND l.l_quantity BETWEEN 10 AND 20 THEN 'b2'
+           WHEN p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+                AND l.l_quantity BETWEEN 20 AND 30 THEN 'b3'
+         END AS branch
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+WHERE branch IS NOT NULL
+GROUP BY branch ORDER BY branch
+"""
+
+
+# ----------------------------------------------- scalar-subquery-on-agg
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum revenue inside a
+    date window.  The per-supplier agg is computed ONCE and reused for
+    both the max (a 1-row broadcast) and the equality filter.  The agg is
+    cached — the CREATE VIEW revenue0 analogue — because Catalyst plans
+    the self-referencing subquery as two full lineitem scans otherwise
+    (exchange reuse does not cross the max-vs-join branch split); the
+    cached relation is ≤ |suppliers| rows.  Revenue compared at full
+    double precision (identical per-supplier partial sums both engines),
+    rounded only for display."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (li.filter((F.col("l_shipdate") >= F.lit("1996-01-01")) &
+                     (F.col("l_shipdate") < F.lit("1996-04-01")))
+           .groupBy("l_suppkey")
+           .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("total_revenue"))
+           .cache())
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (rev.join(F.broadcast(mx),
+                     rev.total_revenue == mx.mx)
+            .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.round("total_revenue", 2).alias("total_revenue"))
+            .orderBy("s_suppkey"))
+
+
+TOP_SUPPLIER_SQL = """
+WITH revenue0 AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, round(r.total_revenue, 2) AS total_revenue
+FROM revenue0 r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue0)
+ORDER BY s.s_suppkey
+"""
+
+
+# ------------------------------------- distinct-agg after excluding join
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each (brand, type)
+    — with an excluded-supplier anti join.  The exclusion list (negative
+    acctbal) is tiny → broadcast LEFT ANTI; the distinct count shuffles on
+    the (brand, type, suppkey) triple once, then a cheap second agg —
+    Spark plans count(DISTINCT) as exactly that two-phase expand."""
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    bad = s.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (li.join(F.broadcast(bad),
+                    li.l_suppkey == bad.s_suppkey, "left_anti")
+            .join(F.broadcast(p.filter(F.col("p_size") <= 25)),
+                  li.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_type")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type"))
+
+
+SUPPLIER_PART_VARIETY_SQL = """
+SELECT p.p_brand, p.p_type, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size <= 25
+WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+"""
+
+
 QUERIES = {
     "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
@@ -518,4 +705,11 @@ QUERIES = {
     "events_pivot": (events_pivot, EVENTS_PIVOT_SQL),
     "lang_percentiles": (lang_percentiles, LANG_PERCENTILES_SQL),
     "salted_source_agg": (salted_source_agg, SALTED_SOURCE_AGG_SQL),
+    "order_count_histogram": (order_count_histogram,
+                              ORDER_COUNT_HISTOGRAM_SQL),
+    "large_orders": (large_orders, LARGE_ORDERS_SQL),
+    "disjunctive_revenue": (disjunctive_revenue, DISJUNCTIVE_REVENUE_SQL),
+    "top_supplier_revenue": (top_supplier_revenue, TOP_SUPPLIER_SQL),
+    "supplier_part_variety": (supplier_part_variety,
+                              SUPPLIER_PART_VARIETY_SQL),
 }

@@ -145,6 +145,104 @@ ORDER BY sk.event_type
 """
 
 
+# ------------------------------------------------------ count-min sketch
+#
+# Heavy-hitter counting without a per-key shuffle: the sketch is a DEPTH×
+# WIDTH integer grid; every row of the stream increments one bucket per
+# depth row (bucket = seeded-md5(key) mod WIDTH) and the per-key estimate
+# is the MIN over its DEPTH buckets (Cormode & Muthukrishnan 2005).  All
+# arithmetic is integer (md5→bigint bridge, mod, min), so the DuckDB
+# oracle reproduces the sketch bit-for-bit — including the overestimates
+# that collisions cause (150 keys into 64 buckets guarantees some).
+#
+# Plan shape at 10^12 rows: the (depth, bucket) expansion multiplies the
+# stream DEPTH× but partial aggregation collapses each map partition to
+# ≤ DEPTH·WIDTH rows before the shuffle, so the exchange carries a few
+# hundred rows per partition regardless of input size — the whole point
+# of sketching vs the exact per-key groupBy it stands next to.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heavy hitters by CMS estimate next to their exact counts.
+
+    Stages: (1) sketch build — one stack() expansion + groupBy(depth,
+    bucket) count; (2) estimate — the distinct-key relation re-derives its
+    DEPTH buckets as column expressions, joins the ≤ DEPTH·WIDTH-row
+    sketch BROADCAST, min over depth rows; (3) deterministic top-20 by
+    (estimate DESC, user_id).  The exact count column is the expensive
+    path the sketch replaces (kept for the accuracy columns)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = F.col("user_id").cast("string")
+
+    def bucket(r: int):
+        return (F.conv(F.substring(F.md5(F.concat_ws(
+            "#", key, F.lit(str(r)))), 1, 15), 16, 10)
+            .cast("bigint") % CMS_WIDTH)
+
+    pairs = ", ".join(f"{r}, b{r}" for r in range(CMS_DEPTH))
+    stream = e.select(*[bucket(r).alias(f"b{r}") for r in range(CMS_DEPTH)])
+    sketch = (stream.selectExpr(
+        f"stack({CMS_DEPTH}, {pairs}) as (depth, bucket)")
+        .groupBy("depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt")))
+
+    keys = (e.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("exact_count")))
+    key_buckets = (keys.select(
+        "user_id", "exact_count",
+        *[bucket(r).alias(f"b{r}") for r in range(CMS_DEPTH)])
+        .selectExpr("user_id", "exact_count",
+                    f"stack({CMS_DEPTH}, {pairs}) as (depth, bucket)"))
+    est = (key_buckets.join(F.broadcast(sketch), ["depth", "bucket"])
+           .groupBy("user_id", "exact_count")
+           .agg(F.min("cnt").alias("cms_estimate")))
+    from pyspark.sql.window import Window
+    w = Window.orderBy(F.desc("cms_estimate"), F.asc("user_id"))
+    return (est.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 20)
+            .select("user_id", "cms_estimate", "exact_count",
+                    (F.col("cms_estimate") - F.col("exact_count"))
+                    .alias("overcount"), "rk")
+            .orderBy("rk"))
+
+
+def _cms_sql() -> str:
+    def bucket(key: str, r: int) -> str:
+        return (f"('0x' || substr(md5({key} || '#' || '{r}'), 1, 15))"
+                f"::BIGINT % {CMS_WIDTH}")
+
+    stream_rows = " UNION ALL ".join(
+        f"SELECT {r} AS depth, {bucket('CAST(user_id AS VARCHAR)', r)} "
+        f"AS bucket FROM events" for r in range(CMS_DEPTH))
+    key_rows = " UNION ALL ".join(
+        f"SELECT user_id, exact_count, {r} AS depth, "
+        f"{bucket('CAST(user_id AS VARCHAR)', r)} AS bucket FROM keys"
+        for r in range(CMS_DEPTH))
+    return f"""
+WITH sketch AS (
+  SELECT depth, bucket, count(*) AS cnt
+  FROM ({stream_rows}) GROUP BY depth, bucket),
+keys AS (
+  SELECT user_id, count(*) AS exact_count FROM events GROUP BY user_id),
+key_buckets AS ({key_rows}),
+est AS (
+  SELECT k.user_id, k.exact_count, min(s.cnt) AS cms_estimate
+  FROM key_buckets k JOIN sketch s
+    ON k.depth = s.depth AND k.bucket = s.bucket
+  GROUP BY k.user_id, k.exact_count),
+ranked AS (
+  SELECT user_id, cms_estimate, exact_count,
+         cms_estimate - exact_count AS overcount,
+         row_number() OVER (ORDER BY cms_estimate DESC, user_id) AS rk
+  FROM est)
+SELECT user_id, cms_estimate, exact_count, overcount, rk
+FROM ranked WHERE rk <= 20 ORDER BY rk
+"""
+
+
 QUERIES = {
     "hll_distinct": (hll_distinct, _hll_sql()),
+    "cms_heavy_hitters": (cms_heavy_hitters, _cms_sql()),
 }

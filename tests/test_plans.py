@@ -237,3 +237,60 @@ def test_salted_agg_two_stage(spark):
     plan = _formatted(E._registry()["salted_source_agg"][0](spark, SF))
     assert "partial_count" in plan or "partial_sum" in plan
     assert "salt" in plan
+
+
+def test_order_count_histogram_outer_join_condition_not_postfilter(spark):
+    """Q13 shape: the priority exclusion must ride the join condition (a
+    post-filter would turn the outer join inner); the filter reaches the
+    orders scan, and both aggs partial-agg map-side."""
+    plan = _formatted(E._registry()["order_count_histogram"][0](spark, SF))
+    pushed = plan.split("PushedFilters:")[1].splitlines()[0]
+    assert "o_orderpriority" in pushed
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_large_orders_broadcasts_filtered_keys(spark):
+    """Q18 shape: the HAVING-filtered key set joins back as a broadcast —
+    the fact table must not sort-merge against its own aggregate."""
+    plan = _formatted(E._registry()["large_orders"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_disjunctive_revenue_hull_pushed_to_both_scans(spark):
+    """Q19 shape: the manually-factored hull of the OR-of-ANDs must reach
+    BOTH parquet scans (Catalyst does not factor disjunctions itself)."""
+    plan = _formatted(E._registry()["disjunctive_revenue"][0](spark, SF))
+    assert "LessThanOrEqual(l_quantity,30" in plan
+    assert "LessThanOrEqual(p_size,35" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_top_supplier_reuses_cached_revenue_view(spark):
+    """Q15 shape: the revenue0 agg must be materialized once (InMemory
+    scan in both branches), not two full lineitem scans."""
+    df = E._registry()["top_supplier_revenue"][0](spark, SF)
+    plan = _formatted(df)
+    # both branches (max side and join side) read the cached relation
+    assert plan.count("InMemoryTableScan") >= 2
+    # exactly one lineitem scan survives: the shared cache-fill plan node
+    assert plan.count("Location: InMemoryFileIndex "
+                      f"[file:{SF}/lineitem.parquet]") == 1
+
+
+def test_supplier_part_variety_anti_join_broadcast(spark):
+    """Q16 shape: excluded suppliers are a broadcast LEFT ANTI, never a
+    shuffle; distinct-count expands once after the join."""
+    plan = _formatted(E._registry()["supplier_part_variety"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_sketch_partial_aggregates_and_broadcast(spark):
+    """CMS: the depth×bucket expansion must collapse map-side (partial
+    count) and the ≤256-row sketch must broadcast to the key relation."""
+    plan = _formatted(E._registry()["cms_heavy_hitters"][0](spark, SF))
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
