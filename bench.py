@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "substring_dedup_spans", "dsir_affinity",
     "hll_distinct", "semantic_dedup", "range_join_events",
     "pagerank",
+    "cms_heavy_hitters", "order_count_histogram", "supplier_part_variety",
 ]
 
 
