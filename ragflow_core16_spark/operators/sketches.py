@@ -53,27 +53,37 @@ def _linear_count_case(v: str) -> str:
     return f"CASE {branches} END"
 
 
-def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct-user estimate per event_type, next to the exact count.
+def hll_registers(df: DataFrame, key_col: str,
+                  group_cols: list[str]) -> DataFrame:
+    """The mergeable half of the sketch: (group, reg) → max rho.
 
-    Plan shape: ONE groupBy (event_type, register) with a max — partial agg
-    collapses each map partition to ≤ 64·|groups| rows before the shuffle —
-    then a 64-row-per-group rollup.  The exact count (for the accuracy
-    column) is the expensive path the sketch replaces."""
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+    This is the state a streaming job carries between micro-batches and
+    what executors exchange: register maxes merge with ``max`` (max of
+    maxes), so partial register tables from any partitioning of the input
+    — batches, days, executors — combine losslessly.  Shared by the batch
+    query below and ``streaming/sketches_stream.py``."""
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
                16, 10).cast("bigint")
     # integer div/mod only — h is a 60-bit value, float division would
-    # lose low bits above 2^53
-    regs = (e.select("event_type", h.alias("h"))
-            .withColumn("reg", F.expr(f"h % {M_REGISTERS}"))
-            .withColumn("w", F.expr(f"h div {M_REGISTERS}"))
-            .withColumn("rho", F.expr(_rho_case("w")))
-            .groupBy("event_type", "reg")
-            .agg(F.max("rho").alias("m_rho")))
+    # lose low bits above 2^53.  Working columns carry a __hll_ prefix so
+    # they can never shadow a caller's group column (e.g. a window `w`).
+    return (df.select(*group_cols, h.alias("__hll_h"))
+            .withColumn("reg", F.expr(f"__hll_h % {M_REGISTERS}"))
+            .withColumn("__hll_w", F.expr(f"__hll_h div {M_REGISTERS}"))
+            .withColumn("__hll_rho", F.expr(_rho_case("__hll_w")))
+            .groupBy(*group_cols, "reg")
+            .agg(F.max("__hll_rho").alias("m_rho")))
+
+
+def hll_estimate_from_registers(regs: DataFrame,
+                                group_cols: list[str]) -> DataFrame:
+    """Finalize a register table (possibly a union of partial tables —
+    re-merged here with one more max) into per-group estimates."""
+    regs = (regs.groupBy(*group_cols, "reg")
+            .agg(F.max("m_rho").alias("m_rho")))
     term = F.expr(f"CAST(pow(2, {RHO_CAP} - least(m_rho, {RHO_CAP})) "
                   f"AS BIGINT)")
-    per_type = (regs.groupBy("event_type")
+    per_type = (regs.groupBy(*group_cols)
                 .agg(F.sum(term).alias("s_present"),
                      F.count(F.lit(1)).alias("n_regs")))
     v = (F.lit(M_REGISTERS) - F.col("n_regs")).cast("bigint")
@@ -85,11 +95,23 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" * s)")
     lc = F.expr(_linear_count_case("v"))
     est = F.when((v > 0) & (raw <= int(2.5 * M_REGISTERS)), lc).otherwise(raw)
-    sketch = (per_type.withColumn("v", v).withColumn("s", s)
-              .withColumn("raw", raw)
-              .select("event_type", F.col("n_regs").cast("bigint")
-                      .alias("n_registers"),
-                      est.cast("bigint").alias("hll_estimate")))
+    return (per_type.withColumn("v", v).withColumn("s", s)
+            .withColumn("raw", raw)
+            .select(*group_cols, F.col("n_regs").cast("bigint")
+                    .alias("n_registers"),
+                    est.cast("bigint").alias("hll_estimate")))
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-user estimate per event_type, next to the exact count.
+
+    Plan shape: ONE groupBy (event_type, register) with a max — partial agg
+    collapses each map partition to ≤ 64·|groups| rows before the shuffle —
+    then a 64-row-per-group rollup.  The exact count (for the accuracy
+    column) is the expensive path the sketch replaces."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sketch = hll_estimate_from_registers(
+        hll_registers(e, "user_id", ["event_type"]), ["event_type"])
     exact = (e.groupBy("event_type")
              .agg(F.countDistinct("user_id").alias("exact_distinct")))
     return (sketch.join(exact, "event_type")

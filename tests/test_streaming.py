@@ -146,3 +146,54 @@ class TestDedupStream:
         drop(["https://b.example.com/2"], "d2")
         got = spark.read.parquet(outp)
         assert got.count() == 1
+
+
+class TestHllStream:
+    def test_streaming_partials_equal_batch_sketch(self, spark, tmp_path):
+        """Registers appended per micro-batch must finalize to estimates
+        byte-identical to one batch pass over the same rows — the
+        mergeability claim of operators/sketches.py, executed."""
+        from ragflow_core16_spark.operators.sketches import (
+            hll_estimate_from_registers, hll_registers)
+        from ragflow_core16_spark.streaming.sketches_stream import (
+            finalize_register_sink, run_hll_stream)
+
+        inp, sink, ckpt = (str(tmp_path / d) for d in ("in", "sink", "ck"))
+        events = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+                  .repartition(6))  # ≥3 micro-batches at 2 files/trigger
+        events.write.parquet(inp)
+
+        run_hll_stream(spark, inp, sink, ckpt, window="6 hours")
+
+        # multiple partial rows per register must exist (merge is real work)
+        regs = spark.read.parquet(sink)
+        assert regs.count() > regs.select("w", "event_type", "reg") \
+                                 .distinct().count()
+
+        got = finalize_register_sink(spark, sink).collect()
+        batch = hll_estimate_from_registers(
+            hll_registers(events.withColumn("w", F.window("ts", "6 hours")),
+                          "user_id", ["w", "event_type"]),
+            ["w", "event_type"])
+        want = (batch.select(F.col("w.start").alias("window_start"),
+                             "event_type", "n_registers", "hll_estimate")
+                .orderBy("window_start", "event_type").collect())
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path):
+        """Appending the same batch's partials twice (the foreachBatch
+        replay case) must not change any estimate."""
+        from ragflow_core16_spark.operators.sketches import hll_registers
+        from ragflow_core16_spark.streaming.sketches_stream import (
+            finalize_register_sink)
+
+        sink = str(tmp_path / "sink")
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        partial = hll_registers(
+            events.withColumn("w", F.window("ts", "6 hours")),
+            "user_id", ["w", "event_type"])
+        partial.write.mode("append").parquet(sink)
+        once = [tuple(r) for r in finalize_register_sink(spark, sink).collect()]
+        partial.write.mode("append").parquet(sink)  # replay
+        twice = [tuple(r) for r in finalize_register_sink(spark, sink).collect()]
+        assert once == twice
