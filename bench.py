@@ -37,7 +37,8 @@ BENCH_QUERIES = [
     "email_template",
     "c4_line_filter", "pii_redact", "paragraph_dedup", "bpe_train",
     "substring_dedup_spans", "dsir_affinity",
-    "hll_distinct", "semantic_dedup", "range_join_events",
+    "hll_distinct", "quantile_sketch", "semantic_dedup", "range_join_events",
+    "latest_capture_extract",
     "pagerank",
     "cms_heavy_hitters", "order_count_histogram", "supplier_part_variety",
 ]
@@ -47,7 +48,10 @@ def _spark(cpus: int):
     from ragflow_core16_spark.session import get_spark
     s = get_spark(f"local[{cpus}]", app_name=f"bench[{cpus}]",
                   extra_conf={"spark.sql.shuffle.partitions": str(max(cpus, 8)),
-                              "spark.ui.enabled": "false"})
+                              "spark.ui.enabled": "false",
+                              # reclaim shuffle files/broadcasts promptly in
+                              # a long many-query session (default 30min)
+                              "spark.cleaner.periodicGC.interval": "1min"})
     s.sparkContext.setLogLevel("ERROR")
     return s
 
@@ -122,8 +126,16 @@ def default_bench() -> dict:
     for name in BENCH_QUERIES:
         _noop_write(reg[name][0](spark, "/root/testdata/sf0.001"))
 
+    # hermetic per-query timing: drop all persisted state between queries
+    # so no measurement inherits a neighbor's cache (or its storage-memory
+    # pressure — with 36 queries in one JVM, accumulated MEMORY_AND_DISK
+    # blocks were squeezing execution memory and inflating later queries
+    # by 2-5x run-to-run)
+    from ragflow_core16_spark.operators.dedup import reset_shared_cache
     qtimes = {}
     for name in BENCH_QUERIES:
+        reset_shared_cache()
+        spark.catalog.clearCache()
         fn, _sql = reg[name]
         t0 = time.time()
         _noop_write(fn(spark, SF_DIR))

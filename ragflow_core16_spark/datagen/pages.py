@@ -237,6 +237,46 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
     return docs.select("doc_id", "text", "lang").mapInPandas(gen, PAGES_SCHEMA)
 
 
+def captures_from_documents(spark: SparkSession, sf_dir: str,
+                            seed: int = 42) -> DataFrame:
+    """Re-crawl corpus: every url appears ``1 + md5i(f"{seed}:ncap:{doc}")
+    % 3`` times.  The LATEST capture (max warc_ts) is byte-identical to the
+    ``pages_from_documents`` page; earlier captures are stale decoys
+    (valid but different pages, warc_ts = latest − c days).  A correct
+    latest-capture collapse must therefore reproduce the single-capture
+    extraction output exactly — any decoy leaking through changes text,
+    counts and hashes.  Capture counts are md5-derived so oracles can
+    replay them."""
+    real = pages_from_documents(spark, sf_dir, seed)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"],
+                                          pdf["lang"]):
+                doc_id = int(doc_id)
+                url, ts, _title, _paras = doc_page_fields(
+                    doc_id, text or "", seed)
+                n_cap = 1 + _md5i(f"{seed}:ncap:{doc_id}") % 3
+                for c in range(1, n_cap):
+                    html_s = (f"<html><head><title>Stale {doc_id} rev {c}"
+                              f"</title></head><body>"
+                              f'<div class="content"><p>stale capture {c} '
+                              f"of document {doc_id}.</p></div>"
+                              f"</body></html>")
+                    out.append((url, ts - pd.Timedelta(days=c),
+                                html_s.encode("utf-8"),
+                                f"stale capture {c} of document {doc_id}.",
+                                lang))
+            yield pd.DataFrame(
+                out, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    decoys = docs.select("doc_id", "text", "lang").mapInPandas(
+        gen, PAGES_SCHEMA)
+    return real.unionByName(decoys)
+
+
 def _wrap_text_paragraphs(text: str, doc_id: int, seed: int = 42) -> list[str]:
     """Paragraph wrap with md5-derived widths: paragraph ``p`` takes
     ``25 + md5i(f"{seed}:k:{doc_id}:{p}") % 36`` words (a pure function of

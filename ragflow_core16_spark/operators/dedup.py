@@ -94,6 +94,19 @@ def _memo(name: str, spark, sf_dir: str, build):
     return df
 
 
+def reset_shared_cache() -> None:
+    """Unpersist and forget the shared intermediates (bench hygiene: lets
+    a harness measure each query hermetically — every run pays its own
+    materialization instead of inheriting a neighbor's, and storage memory
+    doesn't accumulate across an N-query session)."""
+    for _sess, df in _MEMO.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _MEMO.clear()
+
+
 def _shingles_cached(spark, sf_dir) -> DataFrame:
     return _memo("shingles", spark, sf_dir,
                  lambda: _shingles(spark, sf_dir))

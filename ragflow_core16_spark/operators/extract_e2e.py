@@ -79,6 +79,42 @@ def q_extract_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(_ordered("url", "chunk_seq")))
 
 
+def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl collapse then extraction: every url carries 1-3 captures
+    (``captures_from_documents``); keep ONLY the newest before parsing.
+
+    Plan shape at 10^12 pages: ``groupBy(url).agg(max_by(html, warc_ts))``
+    is one keyed shuffle with map-side partial aggregation — each mapper
+    forwards at most one candidate per url — and the EXPENSIVE stage (the
+    Python extraction UDF) then runs on |urls| winners, not |captures|
+    rows.  The window-function alternative (row_number over url ordered by
+    warc_ts, filter rk=1) shuffles every capture AND sorts inside each
+    partition before it can discard losers; max_by never materializes an
+    ordering.  The oracle is the single-capture pages oracle plus the
+    replayed capture count — byte parity proves no stale capture leaked
+    through the collapse."""
+    from ..datagen.pages import captures_from_documents
+    from ..operators.extract import extract_pages
+    _tune(spark)
+    caps = captures_from_documents(spark, sf_dir, seed=_SEED)
+    from pyspark.sql import functions as F
+    latest = (caps.groupBy("url")
+              .agg(F.max_by(F.struct("warc_ts", "html", "text", "lang"),
+                            "warc_ts").alias("s"))
+              .select("url", "s.warc_ts", "s.html", "s.text", "s.lang"))
+    # the count branch prunes to (url) — on a real parquet/Iceberg source
+    # this scan never reads the html column
+    n_caps = (caps.groupBy("url")
+              .agg(F.count(F.lit(1)).alias("n_captures")))
+    ext = extract_pages(latest)
+    return (ext.join(n_caps, "url")
+            .select("url", F.col("n_captures").cast("integer")
+                    .alias("n_captures"),
+                    "lang", "status", "title", "n_sections", "n_chunks",
+                    "n_tokens")
+            .transform(_ordered("url")))
+
+
 def q_extract_book(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.extract import extract_pages
     _tune(spark)
@@ -245,8 +281,23 @@ FROM perdoc d JOIN meta m USING (doc_id)
 ORDER BY m.url
 """
 
+LATEST_CAPTURE_SQL = _PREFIX + f"""
+SELECT m.url,
+       CAST(1 + {_md5i(f"'{_SEED}:ncap:' || m.doc_id")} % 3 AS INTEGER)
+         AS n_captures,
+       m.lang, 'ok' AS status, t.title,
+       CAST(d.n_sections AS INTEGER) AS n_sections,
+       CAST(d.n_chunks AS INTEGER) AS n_chunks,
+       CAST(d.tot AS INTEGER) AS n_tokens
+FROM perdoc d
+JOIN meta m USING (doc_id)
+JOIN title t USING (doc_id)
+ORDER BY m.url
+"""
+
 QUERIES = {
     "extract_pages_e2e": (q_extract_pages, EXTRACT_PAGES_SQL),
+    "latest_capture_extract": (q_latest_capture, LATEST_CAPTURE_SQL),
     "extract_chunks_e2e": (q_extract_chunks, EXTRACT_CHUNKS_SQL),
     "extract_book_template": (q_extract_book, EXTRACT_BOOK_SQL),
     "extract_one_template": (q_extract_one, EXTRACT_ONE_SQL),

@@ -264,7 +264,149 @@ FROM ranked WHERE rk <= 20 ORDER BY rk
 """
 
 
+# --------------------------------------------------- DDSketch quantiles
+#
+# Rank queries (p50/p90/p99) without a global sort: values map to
+# relative-error buckets — octave e = floor(log2(v)) plus 3 mantissa bits,
+# so each bucket spans [m·2^(e-3), (m+1)·2^(e-3)) and the reported lower
+# bound under-estimates the true quantile by < 12.5% (DDSketch, Masson et
+# al. VLDB 2019, with the power-of-2 gamma that keeps every step in
+# integer arithmetic — no float log).  Bucket counts merge with SUM, the
+# same mergeability that makes HLL registers streaming/partition-safe:
+# partial sketches from any split of the input combine losslessly.
+#
+# Plan shape at 10^12 rows: ONE groupBy (group, bucket) with a count —
+# partial agg collapses each map partition to ≤ ~16·8 rows per group
+# before the shuffle — then a window cumsum over that tiny bucket relation
+# picks the quantile buckets.  The exact path it replaces (per-group rank
+# over every row) is kept for the accuracy columns.
+Q_EBITS = 16          # value < 2^16 after ×100 scaling
+Q_MBITS = 3           # mantissa sub-buckets per octave → rel. err < 1/8
+
+
+def _q_scale(v: str) -> str:
+    """double → positive BIGINT, identical on both engines: floor() first
+    (exactly representable), then cast (Spark truncates, DuckDB rounds —
+    irrelevant after floor)."""
+    return f"CAST(floor({v} * 100) AS BIGINT) + 1"
+
+
+def _q_octave(x: str) -> str:
+    """Unrolled integer floor(log2(x)) for x in [1, 2^Q_EBITS)."""
+    branches = " ".join(
+        f"WHEN {x} >= {1 << k} THEN {k}"
+        for k in range(Q_EBITS - 1, 0, -1))
+    return f"CASE {branches} ELSE 0 END"
+
+
+def _q_lower(e: str, x: str) -> str:
+    """Bucket lower bound: v < 2^(Q_MBITS) octaves are exact (bucket = v);
+    above, round v down to a multiple of 2^(e - Q_MBITS)."""
+    return (f"CASE WHEN {e} < {Q_MBITS} THEN {x} "
+            f"ELSE ({x} div pow2e) * pow2e END")
+
+
+def quantile_buckets(df: DataFrame, value_col: str,
+                     group_cols: list[str]) -> DataFrame:
+    """The mergeable half: (group, bucket lower bound) → count."""
+    x = _q_scale(value_col)
+    e = _q_octave("__q_x")
+    return (df.selectExpr(*group_cols, f"{x} AS __q_x")
+            .selectExpr(*group_cols, "__q_x", f"{e} AS __q_e")
+            .selectExpr(*group_cols, "__q_x", "__q_e",
+                        f"CAST(pow(2, greatest(__q_e - {Q_MBITS}, 0)) "
+                        f"AS BIGINT) AS pow2e")
+            .selectExpr(*group_cols,
+                        _q_lower("__q_e", "__q_x") + " AS bucket_lo")
+            .groupBy(*group_cols, "bucket_lo")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of events.value per event_type: sketch lower bounds
+    next to the exact rank values (both on the ×100 integer scale)."""
+    from pyspark.sql.window import Window
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    buckets = quantile_buckets(e, "value", ["event_type"])
+    w = (Window.partitionBy("event_type").orderBy("bucket_lo")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (buckets.withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("n", F.sum("cnt").over(
+               Window.partitionBy("event_type"))))
+    picks = []
+    for name, pm in (("p50", 500), ("p90", 900), ("p99", 990)):
+        rank = F.expr(f"({pm} * n + 999) div 1000")
+        picks.append(
+            cum.filter(F.col("cum") >= rank)
+            .groupBy("event_type")
+            .agg(F.min("bucket_lo").alias(f"{name}_sketch")))
+    exact_src = e.selectExpr("event_type",
+                             _q_scale("value") + " AS x")
+    rw = Window.partitionBy("event_type").orderBy("x")
+    ranked = (exact_src.withColumn("rk", F.row_number().over(rw))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  Window.partitionBy("event_type"))))
+    exacts = []
+    for name, pm in (("p50", 500), ("p90", 900), ("p99", 990)):
+        exacts.append(
+            ranked.filter(F.col("rk") == F.expr(
+                f"({pm} * n + 999) div 1000"))
+            .select("event_type", F.col("x").alias(f"{name}_exact")))
+    out = picks[0]
+    for d in picks[1:] + exacts:
+        out = out.join(d, "event_type")
+    return out.select(
+        "event_type", "p50_sketch", "p50_exact", "p90_sketch", "p90_exact",
+        "p99_sketch", "p99_exact").orderBy("event_type")
+
+
+def _quantile_sql() -> str:
+    x = _q_scale("value")
+    e = _q_octave("x")
+    qcols_s, qcols_e, joins = [], [], []
+    for name, pm in (("p50", 500), ("p90", 900), ("p99", 990)):
+        qcols_s.append(
+            f"{name}_s AS (SELECT event_type, min(bucket_lo) AS "
+            f"{name}_sketch FROM cum WHERE cum >= ({pm} * n + 999) "
+            f"// 1000 GROUP BY event_type)")
+        qcols_e.append(
+            f"{name}_e AS (SELECT event_type, x AS {name}_exact FROM "
+            f"ranked WHERE rk = ({pm} * n + 999) // 1000)")
+        joins.append(f"JOIN {name}_e USING (event_type)")
+        if name != "p50":
+            joins.append(f"JOIN {name}_s USING (event_type)")
+    return f"""
+WITH scaled AS (SELECT event_type, {x} AS x FROM events),
+oct AS (SELECT event_type, x, {e} AS e FROM scaled),
+pw AS (SELECT event_type, x, e,
+              CAST(pow(2, greatest(e - {Q_MBITS}, 0)) AS BIGINT) AS pow2e
+       FROM oct),
+buckets AS (
+  SELECT event_type, {_q_lower('e', 'x').replace(' div ', ' // ')}
+         AS bucket_lo, count(*) AS cnt
+  FROM pw GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bucket_lo, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket_lo
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM buckets),
+ranked AS (
+  SELECT event_type, x, row_number() OVER (PARTITION BY event_type
+           ORDER BY x) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM scaled),
+{', '.join(qcols_s)},
+{', '.join(qcols_e)}
+SELECT event_type, p50_sketch, p50_exact, p90_sketch, p90_exact,
+       p99_sketch, p99_exact
+FROM p50_s {' '.join(joins)}
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "hll_distinct": (hll_distinct, _hll_sql()),
     "cms_heavy_hitters": (cms_heavy_hitters, _cms_sql()),
+    "quantile_sketch": (quantile_sketch, _quantile_sql()),
 }

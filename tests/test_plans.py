@@ -294,3 +294,27 @@ def test_cms_sketch_partial_aggregates_and_broadcast(spark):
     assert "partial_count" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantile_sketch_partial_aggregates(spark):
+    """DDSketch build: the (group, bucket) count must partial-agg map-side
+    — the shuffle carries bucket rows, never value rows."""
+    plan = _formatted(E._registry()["quantile_sketch"][0](spark, SF))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_latest_capture_collapse_is_agg_not_window_sort(spark):
+    """Re-crawl collapse must be one max_by aggregation with a map-side
+    partial (each mapper forwards ≤1 candidate per url) — NOT a window
+    row_number, which would sort every capture inside each partition.
+    Inspected pre-checkpoint (the presentation sort truncates lineage)."""
+    from pyspark.sql import functions as F
+    from ragflow_core16_spark.datagen.pages import captures_from_documents
+    caps = captures_from_documents(spark, SF)
+    latest = (caps.groupBy("url")
+              .agg(F.max_by(F.struct("warc_ts", "html", "text", "lang"),
+                            "warc_ts").alias("s")))
+    plan = _formatted(latest)
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
