@@ -48,10 +48,7 @@ def _spark(cpus: int):
     from ragflow_core16_spark.session import get_spark
     s = get_spark(f"local[{cpus}]", app_name=f"bench[{cpus}]",
                   extra_conf={"spark.sql.shuffle.partitions": str(max(cpus, 8)),
-                              "spark.ui.enabled": "false",
-                              # reclaim shuffle files/broadcasts promptly in
-                              # a long many-query session (default 30min)
-                              "spark.cleaner.periodicGC.interval": "1min"})
+                              "spark.ui.enabled": "false"})
     s.sparkContext.setLogLevel("ERROR")
     return s
 
@@ -126,16 +123,29 @@ def default_bench() -> dict:
     for name in BENCH_QUERIES:
         _noop_write(reg[name][0](spark, "/root/testdata/sf0.001"))
 
-    # hermetic per-query timing: drop all persisted state between queries
-    # so no measurement inherits a neighbor's cache (or its storage-memory
-    # pressure — with 36 queries in one JVM, accumulated MEMORY_AND_DISK
-    # blocks were squeezing execution memory and inflating later queries
-    # by 2-5x run-to-run)
+    # hermetic per-query timing: drop ALL persisted state between queries
+    # so no measurement inherits a neighbor's storage-memory pressure.
+    # catalog.clearCache() alone is not enough — the presentation sorts
+    # run over lazy localCheckpoints whose RDD blocks live OUTSIDE the
+    # catalog; across 36 queries they fill the unified memory region,
+    # squeeze execution memory, and inflate later queries 2-10x
+    # run-to-run.  getPersistentRDDs + unpersist reaches those blocks;
+    # the GC pair lets the ContextCleaner reap what Python just dropped.
+    import gc as _gc
     from ragflow_core16_spark.operators.dedup import reset_shared_cache
-    qtimes = {}
-    for name in BENCH_QUERIES:
+
+    def _deep_clean():
         reset_shared_cache()
         spark.catalog.clearCache()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs()
+                        .values()):
+            rdd.unpersist()
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    qtimes = {}
+    for name in BENCH_QUERIES:
+        _deep_clean()
         fn, _sql = reg[name]
         t0 = time.time()
         _noop_write(fn(spark, SF_DIR))

@@ -38,6 +38,10 @@ def main(argv=None) -> int:
     ap.add_argument("--delimiter", default="\n!?。；！？")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--snapshot-table", action="store_true",
+                    help="commit through the snapshot table protocol "
+                         "(atomic manifest commits, time travel) instead "
+                         "of the append+lineage layout")
     ap.add_argument("--target-partition-mb", type=int, default=64)
     args = ap.parse_args(argv)
 
@@ -49,7 +53,8 @@ def main(argv=None) -> int:
              .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())
 
-    from ragflow_core16_spark.pipeline.run import run_extraction
+    from ragflow_core16_spark.pipeline.run import (run_extraction,
+                                                   run_extraction_snapshotted)
 
     if args.input.startswith("iceberg:"):
         pages = spark.read.table(args.input[len("iceberg:"):])
@@ -58,7 +63,9 @@ def main(argv=None) -> int:
     if args.lang:
         pages = pages.filter(F.col("lang") == args.lang)
 
-    summary = run_extraction(
+    runner = (run_extraction_snapshotted if args.snapshot_table
+              else run_extraction)
+    summary = runner(
         spark, pages, args.output,
         run_id=args.run_id,
         resume=not args.no_resume,

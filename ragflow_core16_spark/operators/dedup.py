@@ -676,8 +676,120 @@ FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
 """
 
 
+# ------------------------------------------------- incremental (daily) dedup
+#
+# The recurring-ingest shape: yesterday's corpus already has its band
+# index materialized (write-once, reused every day); only TODAY'S batch is
+# shingled and hashed fresh, and the candidate search is a (band,
+# band_hash) bucket join of the small batch side against the corpus index
+# — shuffle ∝ batch size + collisions, never corpus × batch.  Admission is
+# the deterministic signature-agreement vote (≥ 8 of 16 minhashes), so the
+# decision needs no second pass over corpus text.
+INCR_AGREE_MIN = 8
+_INCR_SPLIT = 5  # 1/5 of docs play "today's batch", the rest "corpus"
+
+
+def _incr_split_expr():
+    return _md5_bigint(F.concat(F.lit("42:batch:"),
+                                F.col("doc_id").cast("string"))) % _INCR_SPLIT
+
+
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per batch doc: is_new + the canonical corpus duplicate (min doc_id
+    among corpus docs agreeing on ≥ 8/16 minhashes) + the match count."""
+    wide = _signature_wide(spark, sf_dir)
+    split = _incr_split_expr()
+    batch_w = wide.filter(split == 0)
+    corpus_w = wide.filter(split != 0)
+
+    rows_per_band = N_HASHES // N_BANDS
+    def bands_of(w, side):
+        cols = []
+        for b in range(N_BANDS):
+            seeds = range(b * rows_per_band, (b + 1) * rows_per_band)
+            cols.append(F.md5(F.concat_ws(",", *[
+                F.concat_ws(":", F.lit(str(s)), f"h{s}") for s in seeds]))
+                .alias(f"bh{b}"))
+        stack = ", ".join(f"{b}, bh{b}" for b in range(N_BANDS))
+        return (w.select("doc_id", *cols)
+                .selectExpr(f"doc_id AS {side}",
+                            f"stack({N_BANDS}, {stack}) as (band, band_hash)"))
+
+    cand = (bands_of(batch_w, "batch_id")
+            .join(bands_of(corpus_w, "corpus_id"), ["band", "band_hash"])
+            .select("batch_id", "corpus_id").distinct())
+    sig = lambda w, side: w.select(
+        F.col("doc_id").alias(side),
+        F.array(*[f"h{s}" for s in range(N_HASHES)]).alias(f"sig_{side}"))
+    agree = F.aggregate(
+        F.zip_with("sig_batch_id", "sig_corpus_id",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
+    matches = (cand.join(sig(batch_w, "batch_id"), "batch_id")
+               .join(sig(corpus_w, "corpus_id"), "corpus_id")
+               .withColumn("n_agree", agree)
+               .filter(F.col("n_agree") >= INCR_AGREE_MIN)
+               .groupBy("batch_id")
+               .agg(F.min("corpus_id").alias("dup_of"),
+                    F.count(F.lit(1)).alias("n_matches")))
+    batch_ids = (_docs(spark, sf_dir).filter(_incr_split_expr() == 0)
+                 .select("doc_id"))
+    return (batch_ids.join(matches.withColumnRenamed("batch_id", "doc_id"),
+                           "doc_id", "left")
+            .select("doc_id", F.col("dup_of").isNull().alias("is_new"),
+                    "dup_of",
+                    F.coalesce("n_matches", F.lit(0)).cast("int")
+                    .alias("n_matches"))
+            .orderBy("doc_id"))
+
+
+INCREMENTAL_DEDUP_SQL = (r"""
+WITH """ + _SHINGLES_CTE + rf""",
+  seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+  hashed AS (
+    SELECT s.doc_id, sd.seed,
+           ('0x' || substr(md5(s.shingle || '#' || sd.seed), 1, 15))::BIGINT AS h
+    FROM shingles s CROSS JOIN seeds sd),
+  sig AS (SELECT doc_id, seed, min(h) AS minhash
+          FROM hashed GROUP BY doc_id, seed),
+  tagged AS (
+    SELECT doc_id,
+           ('0x' || substr(md5('42:batch:' || doc_id), 1, 15))::BIGINT
+             % {_INCR_SPLIT} AS grp
+    FROM documents),
+  bands AS (
+    SELECT doc_id, seed // 4 AS band,
+           md5(string_agg(seed || ':' || minhash, ','
+               ORDER BY seed || ':' || minhash)) AS band_hash
+    FROM sig GROUP BY doc_id, seed // 4),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+    FROM bands a JOIN tagged ta ON ta.doc_id = a.doc_id AND ta.grp = 0
+    JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+    JOIN tagged tb ON tb.doc_id = b.doc_id AND tb.grp <> 0),
+  agree AS (
+    SELECT c.batch_id, c.corpus_id,
+           sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END)
+             AS n_agree
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.batch_id
+    JOIN sig sb ON sb.doc_id = c.corpus_id AND sb.seed = sa.seed
+    GROUP BY c.batch_id, c.corpus_id),
+  matches AS (
+    SELECT batch_id, min(corpus_id) AS dup_of, count(*) AS n_matches
+    FROM agree WHERE n_agree >= {INCR_AGREE_MIN}
+    GROUP BY batch_id)
+SELECT t.doc_id, m.dup_of IS NULL AS is_new, m.dup_of,
+       CAST(coalesce(m.n_matches, 0) AS INTEGER) AS n_matches
+FROM tagged t LEFT JOIN matches m ON m.batch_id = t.doc_id
+WHERE t.grp = 0
+ORDER BY t.doc_id
+""")
+
+
 QUERIES = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
     "minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_LSH_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),

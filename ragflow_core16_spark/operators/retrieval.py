@@ -730,9 +730,12 @@ def cosine_doc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = (F.sqrt(F.aggregate("embedding", F.lit(0.0),
                               lambda a, v: a + v * v)) *
            F.sqrt(F.aggregate("qv", F.lit(0.0), lambda a, v: a + v * v)))
+    # rank on the ROUNDED cosine: the rank key must be reproducible
+    # bit-for-bit across engines and partitionings, and a raw float sum
+    # is not (addition order) — same contract as every score column
     scored = (e.crossJoin(F.broadcast(q))
               .select(F.col("vec_id").alias("doc_id"),
-                      (dot / nrm).alias("cos")))
+                      F.round(dot / nrm, 6).alias("cos")))
     return scored.select(
         "doc_id", F.row_number().over(
             Window.orderBy(F.desc("cos"), "doc_id")).alias("rank"))         .filter(F.col("rank") <= TOP_N)
@@ -760,13 +763,17 @@ scores AS (
   SELECT t.doc_id, sum(i.idf * least(t.tf, 1)) AS score
   FROM tfs t JOIN idf i ON i.term = t.term GROUP BY t.doc_id),
 ftrank AS (
-  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  -- rank on the ROUNDED score (as the Spark side does): the raw float
+  -- sum's last bits depend on addition order, so two docs hitting the
+  -- same term set can order differently per engine/partitioning
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank
   FROM scores QUALIFY rank <= {TOP_N}),
 dense AS (
   SELECT e.vec_id AS doc_id,
-         list_dot_product(e.embedding, q.embedding) /
+         round(list_dot_product(e.embedding, q.embedding) /
          (sqrt(list_dot_product(e.embedding, e.embedding)) *
-          sqrt(list_dot_product(q.embedding, q.embedding))) AS cos
+          sqrt(list_dot_product(q.embedding, q.embedding))), 6) AS cos
   FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q),
 dnrank AS (
   SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank

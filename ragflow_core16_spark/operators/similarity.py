@@ -422,6 +422,26 @@ SEMDEDUP_T = NEAR_DUP_THRESHOLD  # pair-cosine dup threshold (synthetic corpus)
 SEMDEDUP_K = 64
 
 
+def semantic_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, cluster, ccos): nearest deterministic centroid
+    per vector — broadcast cross join against K centroid rows + window
+    argmin.  Split out so the plan test can audit the broadcast below the
+    checkpoint that ``semantic_dedup`` puts on top."""
+    from pyspark.sql import Window
+    e = _emb(spark, sf_dir)
+    cent = (e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= SEMDEDUP_K))
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cv")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
+    return (e.crossJoin(F.broadcast(cent))
+            .withColumn("ccos", F.round(_cos(F.col("embedding"),
+                                             F.col("cv")), 4))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding",
+                    F.col("cid").alias("cluster"), "ccos"))
+
+
 def semantic_dedup(spark: SparkSession, sf_dir: str,
                    threshold: float = SEMDEDUP_T) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) semantic deduplication: cluster the
@@ -436,19 +456,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     pair join is keyed on the cluster id — candidate volume is bounded by
     the cluster sizes, never |docs|².  Keep decisions are a semi-join
     aggregate, no driver-side state.  Deterministic → DuckDB oracle."""
-    from pyspark.sql import Window
-    e = _emb(spark, sf_dir)
-    cent = (e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= SEMDEDUP_K))
-            .select(F.col("vec_id").alias("cid"),
-                    F.col("embedding").alias("cv")))
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), "cid")
-    assigned = (e.crossJoin(F.broadcast(cent))
-                .withColumn("ccos", F.round(_cos(F.col("embedding"),
-                                                 F.col("cv")), 4))
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "embedding",
-                        F.col("cid").alias("cluster"), "ccos"))
+    # the K-way cosine assignment feeds BOTH pair sides and the final
+    # keep join — materialize it once (at 100 TB this is the write-time
+    # cluster bucket column, per the docstring; recomputing it 3x was
+    # the dominant cost of this query)
+    assigned = (semantic_assignment(spark, sf_dir)
+                .localCheckpoint(eager=False))
     a = assigned.select(F.col("vec_id").alias("id_a"),
                         F.col("embedding").alias("va"),
                         F.col("cluster").alias("cl_a"),

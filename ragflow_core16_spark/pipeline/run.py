@@ -98,3 +98,45 @@ def run_extraction(spark: SparkSession, pages: DataFrame, out_dir: str,
             "error": summary_row["error"],
             "bytes_in": summary_row["bytes_in"],
             "chunks": summary_row["chunks"]}
+
+
+def run_extraction_snapshotted(spark: SparkSession, pages: DataFrame,
+                               table_dir: str, run_id: str | None = None,
+                               resume: bool = True,
+                               chunk_token_num: int = 128,
+                               delimiter: str = "\n!?。；！？",
+                               target_partition_bytes: int = 64 * 1024 * 1024
+                               ) -> dict:
+    """The same pipeline on transactional footing: ONE snapshot table
+    holds the extracted rows (chunks ride as the array column and the
+    flat chunk view is derived on read), and the atomic manifest commit
+    IS the resume marker — there is no separate lineage table to order
+    after the data, because data that isn't committed is invisible to the
+    resume anti-join by construction.  A crash mid-run leaves the table
+    at its previous snapshot plus vacuumable orphan files; a rerun
+    re-extracts exactly the uncommitted pages (deterministic bytes, same
+    chunk ids).  Time travel (``SnapshotTable.as_of``) addresses every
+    prior corpus state for reproducing a training-data cut."""
+    from .snapshots import SnapshotTable
+    run_id = run_id or uuid.uuid4().hex[:12]
+    t0 = time.time()
+    table = SnapshotTable(spark, table_dir)
+    if resume and table.current_version() > 0:
+        pages = pages.join(table.read().select("url"), "url", "left_anti")
+    pages = repartition_by_size(pages, target_partition_bytes)
+    extracted = (extract_pages(pages, chunk_token_num, delimiter)
+                 .withColumn("run_id", F.lit(run_id))
+                 .withColumn("part_id", F.spark_partition_id()))
+    version = table.commit_append(extracted)
+    committed = table.read(version).filter(F.col("run_id") == run_id)
+    row = committed.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
+        F.sum(F.when(F.col("status") == "error", 1).otherwise(0))
+        .alias("error"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("n_chunks").alias("chunks")).collect()[0]
+    return {"run_id": run_id, "version": version,
+            "wall_sec": time.time() - t0, "rows": row["rows"],
+            "ok": row["ok"], "error": row["error"],
+            "bytes_in": row["bytes_in"], "chunks": row["chunks"]}

@@ -216,10 +216,16 @@ def test_hll_sketch_partial_aggregates(spark):
 
 def test_semantic_dedup_broadcasts_centroids(spark):
     """Cluster assignment is a broadcast against K centroid rows; the pair
-    join is keyed on the cluster id — no cartesian anywhere."""
-    plan = _formatted(E._registry()["semantic_dedup"][0](spark, SF))
+    join is keyed on the cluster id — no cartesian anywhere.  The
+    assignment subtree is audited pre-checkpoint (semantic_dedup
+    materializes it once for its three consumers, truncating lineage)."""
+    from ragflow_core16_spark.operators.similarity import (
+        semantic_assignment)
+    plan = _formatted(semantic_assignment(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    full = _formatted(E._registry()["semantic_dedup"][0](spark, SF))
+    assert "CartesianProduct" not in full
 
 
 def test_pagerank_iteration_partial_aggs(spark):
