@@ -609,6 +609,96 @@ def pdf_table_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(_ordered("doc_id", "kind", "seq")))
 
 
+LAYOUT_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("seq", IntegerType(), False),
+    StructField("layout_type", StringType(), False),
+    StructField("content", StringType(), False),
+])
+
+_PAGE_W, _PAGE_H = 612.0, 792.0
+
+
+def pdf_layout_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_layouts_rec`` end-to-end (layout_recognizer.py:60-157 glue +
+    rule-based region proposer): a deterministic 2-page box stream per
+    document — running head repeated on both pages (garbage region AND
+    corpus-wide repeat kill set: a mid-page stray copy survives tagging
+    but dies to the Counter), a first-page title, ``¶``-prefixed body
+    lines (prefix defeats accidental caption-regex anchors in corpus
+    words), a ``Figure 1`` caption, a ``1 / 2`` page marker (garbage
+    regex), and a page-2 References section (heading + entries → all
+    dropped as reference-region garbage).  Survivors with their assigned
+    ``layout_type`` are the oracle-derivable output."""
+    from ..pdf.layout import layouts_rec
+
+    docs = _spread_docs(spark, sf_dir)
+
+    def run(batches):
+        for pdf_b in batches:
+            out = []
+            for doc_id, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                doc_id = int(doc_id)
+                words = (text or "").split()
+                if not words:
+                    continue
+
+                def mk(x0, top, x1, bottom, txt):
+                    return {"x0": x0, "top": top, "x1": x1,
+                            "bottom": bottom, "text": txt}
+
+                head = f"running head {doc_id}"
+                p1 = [mk(72, 20, 300, 32, head),
+                      mk(72, 100, 400, 112, f"Synthetic Report {doc_id}")]
+                for k in range(0, len(words), 8):
+                    p1.append(mk(72, 160 + 18 * (k // 8), 540,
+                                 172 + 18 * (k // 8),
+                                 "¶ " + " ".join(words[k:k + 8])))
+                p1.append(mk(72, 700, 300, 712,
+                             f"Figure 1 overview for doc {doc_id}"))
+                p1.append(mk(280, 760, 332, 772, "1 / 2"))
+                p2 = [mk(72, 20, 300, 32, head),
+                      mk(72, 150, 400, 162, head),  # stray mid-page copy
+                      mk(72, 600, 200, 612, "References"),
+                      mk(72, 630, 400, 642, f"[1] source {doc_id}"),
+                      mk(72, 648, 400, 660, f"[2] archive {doc_id}")]
+                try:
+                    boxes, _lts = layouts_rec([p1, p2], _PAGE_W, _PAGE_H)
+                    for i, b in enumerate(boxes):
+                        out.append((doc_id, i, b.get("layout_type", ""),
+                                    b["text"]))
+                except Exception:
+                    out.append((doc_id, 0, "error", ""))
+            yield pd.DataFrame(out, columns=[f.name for f in LAYOUT_SCHEMA])
+
+    return (docs.mapInPandas(run, LAYOUT_SCHEMA)
+            .transform(_ordered("doc_id", "seq")))
+
+
+PDF_LAYOUT_SQL = r"""
+WITH toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+title AS (
+  SELECT doc_id, 0 AS seq, 'title' AS layout_type,
+         'Synthetic Report ' || doc_id AS content FROM toklists),
+body AS (
+  SELECT doc_id, CAST((i-1) // 8 + 1 AS INTEGER) AS seq,
+         'text' AS layout_type,
+         '¶ ' || array_to_string(list_slice(l, i, least(i+7, n)), ' ')
+           AS content
+  FROM toklists, LATERAL (SELECT unnest(generate_series(1, n, 8)) AS i) u),
+figcap AS (
+  SELECT doc_id, CAST((n + 7) // 8 + 1 AS INTEGER) AS seq,
+         'figure caption' AS layout_type,
+         'Figure 1 overview for doc ' || doc_id AS content FROM toklists)
+SELECT doc_id, seq, layout_type, content FROM title
+UNION ALL SELECT doc_id, seq, layout_type, content FROM body
+UNION ALL SELECT doc_id, seq, layout_type, content FROM figcap
+ORDER BY doc_id, seq
+"""
+
+
 PDF_TABLE_SQL = r"""
 WITH toklists AS (
   SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
@@ -645,6 +735,7 @@ ORDER BY doc_id, kind, seq
 QUERIES = {
     "pdf_template": (pdf_template, PDF_TEMPLATE_SQL),
     "pdf_table_template": (pdf_table_template, PDF_TABLE_SQL),
+    "pdf_layout_template": (pdf_layout_template, PDF_LAYOUT_SQL),
     "pdf_concat_template": (pdf_concat_template, PDF_CONCAT_SQL),
     "paper_pdf_template": (paper_pdf_template, PAPER_PDF_SQL),
     "presentation_template": (presentation_template, PRESENTATION_SQL),
