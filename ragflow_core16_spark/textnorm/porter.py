@@ -162,27 +162,5 @@ def stem(word: str) -> str:
     return w
 
 
-# minimal WordNet-morphy-style lemmatization for the no-POS noun default,
-# which is what WordNetLemmatizer().lemmatize(t) does in the reference
-_IRREGULAR = {
-    "men": "man", "women": "woman", "children": "child", "teeth": "tooth",
-    "feet": "foot", "mice": "mouse", "geese": "goose", "people": "person",
-    "leaves": "leaf", "lives": "life", "knives": "knife", "wives": "wife",
-}
-
-
-@lru_cache(maxsize=1 << 16)
-def lemmatize(word: str) -> str:
-    if word in _IRREGULAR:
-        return _IRREGULAR[word]
-    if len(word) <= 3:
-        return word
-    if word.endswith("ies") and len(word) > 4:
-        return word[:-3] + "y"
-    if word.endswith(("xes", "ses", "zes", "ches", "shes")):
-        return word[:-2]
-    if word.endswith("ss") or word.endswith("us") or word.endswith("is"):
-        return word
-    if word.endswith("s") and not word.endswith("ous"):
-        return word[:-1]
-    return word
+# noun lemmatization lives in textnorm/morphy.py (exact WordNet-morphy
+# algorithm with a pluggable lexicon)

@@ -28,7 +28,8 @@ import math
 import os
 import re
 
-from .porter import lemmatize, stem
+from .morphy import lemmatize
+from .porter import stem
 
 # built-in CJK lexicon (word, freq, pos): common general + tech vocabulary,
 # enough for realistic bidirectional max-match; a full huqie-style dict

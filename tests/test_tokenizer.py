@@ -1,7 +1,8 @@
 """Tokenizer tests: Porter stemmer (published pairs), lemmatizer,
 bidirectional max-match, fine-grained split, Q2B."""
 
-from ragflow_core16_spark.textnorm.porter import stem, lemmatize
+from ragflow_core16_spark.textnorm.morphy import lemmatize, morphy
+from ragflow_core16_spark.textnorm.porter import stem
 from ragflow_core16_spark.textnorm.rag_tokenizer import (
     RagTokenizer, tokenize, fine_grained_tokenize)
 
@@ -29,8 +30,49 @@ class TestPorter:
         assert lemmatize("dogs") == "dog"
         assert lemmatize("boxes") == "box"
         assert lemmatize("children") == "child"
-        assert lemmatize("analysis") == "analysis"  # -is kept
-        assert lemmatize("glass") == "glass"        # -ss kept
+        assert lemmatize("analysis") == "analysis"  # lemma validates as-is
+        assert lemmatize("glass") == "glass"        # ditto
+
+
+class TestMorphy:
+    """Exact WordNet-morphy noun behavior (the reference's
+    WordNetLemmatizer().lemmatize default-pos path)."""
+
+    def test_detachment_rules(self):
+        assert lemmatize("churches") == "church"    # ches -> ch
+        assert lemmatize("wishes") == "wish"        # shes -> sh
+        assert lemmatize("glasses") == "glass"      # ses -> s
+        assert lemmatize("wolves") == "wolf"        # ves -> f
+        assert lemmatize("quizzes") == "quiz"       # exception list
+        assert lemmatize("parties") == "party"      # ies -> y
+
+    def test_irregular_plurals(self):
+        assert lemmatize("feet") == "foot"
+        assert lemmatize("mice") == "mouse"
+        assert lemmatize("geese") == "goose"
+        assert lemmatize("women") == "woman"
+        assert lemmatize("criteria") == "criterion"
+        assert lemmatize("matrices") == "matrix"
+
+    def test_lexicon_validation_no_guessing(self):
+        # morphy never strips a suffix into a word the lexicon doesn't
+        # know: unknown forms come back unchanged (unlike a bare
+        # heuristic, which would return "wa"/"xyzzie")
+        assert lemmatize("was") == "was"
+        assert lemmatize("xyzzies") == "xyzzies"
+
+    def test_form_in_lexicon_wins(self):
+        # a form that IS a lemma validates at step 1 before any longer
+        # chain: min-by-length then picks the shorter candidate
+        assert lemmatize("data") == "data"     # not "datum"
+        assert lemmatize("series") == "series"
+        assert lemmatize("species") == "species"
+
+    def test_shortest_candidate(self):
+        # "axes" -> exception lemmas {ax, axis}: nltk returns the
+        # shortest validated candidate
+        assert lemmatize("axes") == "ax"
+        assert sorted(morphy("axes")) == ["ax", "axis"]
 
 
 class TestTokenize:
