@@ -185,30 +185,86 @@ def _classify(b, page_w, page_h, pn, in_references):
     return "text"
 
 
+def _table_grids(ordered, med_h):
+    """Grids of cell boxes under a ``Table N`` caption: consecutive
+    baseline rows of ≥2 boxes, first row within 3·med_h of the caption,
+    later rows within 2·med_h of the previous one.  Returns a list of
+    grids (lists of member boxes); captions are not members."""
+    # baseline rows: boxes sharing a top within med_h/2
+    rows = []
+    for b in ordered:
+        if rows and abs(b["top"] - rows[-1][0]["top"]) <= med_h / 2:
+            rows[-1].append(b)
+        else:
+            rows.append([b])
+    grids = []
+    taken = set()
+    for cap in ordered:
+        if not _CAPTION_TABLE.match(cap["text"].strip()):
+            continue
+        grid = []
+        prev_bottom = cap["bottom"]
+        first = True
+        for row in rows:
+            if row[0]["top"] <= cap["bottom"]:
+                continue
+            gap = row[0]["top"] - prev_bottom
+            if len(row) < 2 or id(row[0]) in taken \
+                    or gap > (3 if first else 2) * med_h:
+                if grid:
+                    break
+                continue
+            grid.extend(row)
+            prev_bottom = max(b["bottom"] for b in row)
+            first = False
+        if grid:
+            grids.append(grid)
+            taken.update(id(b) for b in grid)
+    return grids
+
+
 def propose_layouts(bxs, page_w, page_h, page_number=0):
     """Deterministic rule-based layout-region proposer (the YOLO model
     slot): position bands for header/footer, caption and reference-heading
-    regexes, first-page title band; consecutive same-class boxes in the
-    same column (x-overlap, vertical gap ≤ 1.5·median height) fuse into
-    one region.  Scores are 1.0 — rule proposals are definitional here,
-    not confidences."""
+    regexes, first-page title band, and a table-grid rule (rows of ≥2
+    boxes sharing a baseline directly under a ``Table N`` caption);
+    consecutive same-class boxes in the same column (x-overlap, vertical
+    gap ≤ 1.5·median height) fuse into one region.  Scores are 1.0 —
+    rule proposals are definitional here, not confidences."""
     if not bxs:
         return []
     ordered = sort_Y_firstly(
         list(bxs), sum(b["bottom"] - b["top"] for b in bxs) / len(bxs) / 2)
     heights = sorted(b["bottom"] - b["top"] for b in ordered)
     med_h = heights[len(heights) // 2]
+    grids = _table_grids(ordered, med_h)
+    grid_of = {id(b): gi for gi, grid in enumerate(grids) for b in grid}
+    emitted_grids = set()
     in_refs = False
     regions = []
     cur = None
     for b in ordered:
+        gi = grid_of.get(id(b))
+        if gi is not None:
+            # one region per grid, spanning its bounding box
+            if gi not in emitted_grids:
+                emitted_grids.add(gi)
+                regions.append({
+                    "type": "table", "score": 1.0,
+                    "x0": min(c["x0"] for c in grids[gi]) - 1,
+                    "x1": max(c["x1"] for c in grids[gi]) + 1,
+                    "top": min(c["top"] for c in grids[gi]) - 1,
+                    "bottom": max(c["bottom"] for c in grids[gi]) + 1,
+                    "page_number": page_number})
+            cur = None
+            continue
         cls = _classify(b, page_w, page_h, page_number, in_refs)
         if cls == "reference":
             in_refs = True
         same_col = cur is not None and cls == cur["type"] \
             and b["x0"] < cur["x1"] and cur["x0"] < b["x1"] \
             and 0 <= b["top"] - cur["bottom"] <= 1.5 * med_h
-        if same_col and cls in ("text", "reference", "table"):
+        if same_col and cls in ("text", "reference"):
             cur["x0"] = min(cur["x0"], b["x0"])
             cur["x1"] = max(cur["x1"], b["x1"])
             cur["bottom"] = max(cur["bottom"], b["bottom"])

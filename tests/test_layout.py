@@ -176,6 +176,29 @@ class TestProposeLayouts:
         assert regions[0]["type"] == "text"
         assert all(r["type"] == "reference" for r in regions[1:])
 
+    def test_table_grid_under_caption(self):
+        bxs = [box(72, 160, 540, 172, "¶ body before"),
+               box(72, 200, 160, 212, "Table 1 results"),
+               box(72, 224, 132, 236, "h1"), box(150, 224, 210, 236, "h2"),
+               box(72, 244, 132, 256, "11"), box(150, 244, 210, 256, "12"),
+               box(72, 264, 132, 276, "21"), box(150, 264, 210, 276, "22"),
+               box(72, 400, 540, 412, "¶ body after")]
+        regions = propose_layouts(bxs, W, H, 0)
+        types = [r["type"] for r in regions]
+        assert types == ["text", "table caption", "table", "text"]
+        tbl = regions[types.index("table")]
+        # one region spanning the whole 2x3 grid
+        assert tbl["top"] <= 224 and tbl["bottom"] >= 276
+        assert tbl["x0"] <= 72 and tbl["x1"] >= 210
+
+    def test_grid_ends_at_single_box_row(self):
+        bxs = [box(72, 200, 160, 212, "Table 2 summary"),
+               box(72, 224, 132, 236, "a"), box(150, 224, 210, 236, "b"),
+               box(72, 244, 540, 256, "¶ single full-width line")]
+        regions = propose_layouts(bxs, W, H, 0)
+        types = [r["type"] for r in regions]
+        assert types == ["table caption", "table", "text"]
+
     def test_title_only_on_first_page(self):
         bxs = [box(72, 100, 400, 112, "Looks Like A Title")]
         assert propose_layouts(bxs, W, H, 0)[0]["type"] == "title"
