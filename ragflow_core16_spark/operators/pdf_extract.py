@@ -675,6 +675,98 @@ def pdf_layout_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(_ordered("doc_id", "seq")))
 
 
+def pdf_layout_table_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed rule-path chain ``_layouts_rec → _extract_table_figure``
+    (pdf_parser.py:526-533 then :656-867): the box stream arrives
+    UNTAGGED — the rule proposer detects the title, body column, table
+    caption and cell grid, the tagging glue drops the running head and
+    page marker, and the popped table grid renders through
+    ``construct_table`` with its caption attached.  Output = surviving
+    text rows + the table HTML, all oracle-derivable."""
+    from ..pdf.layout import layouts_rec
+    from ..pdf.tablefig import extract_table_figure
+
+    docs = _spread_docs(spark, sf_dir)
+
+    def run(batches):
+        for pdf_b in batches:
+            out = []
+            for doc_id, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                doc_id = int(doc_id)
+                words = (text or "").split()
+                if not words:
+                    continue
+
+                def mk(x0, top, x1, bottom, txt):
+                    return {"x0": x0, "top": top, "x1": x1,
+                            "bottom": bottom, "text": txt,
+                            "page_number": 1}
+
+                p1 = [mk(72, 20, 300, 32, f"running head {doc_id}"),
+                      mk(72, 100, 400, 112, f"Synthetic Report {doc_id}")]
+                for k in range(0, len(words), 8):
+                    p1.append(mk(72, 160 + 18 * (k // 8), 540,
+                                 172 + 18 * (k // 8),
+                                 "¶ " + " ".join(words[k:k + 8])))
+                p1.append(mk(72, 500, 260, 512,
+                             f"Table 1 summary for doc {doc_id}"))
+                cols = [72, 150, 228]
+                for c in range(3):
+                    p1.append(mk(cols[c], 524, cols[c] + 60, 536,
+                                 f"c{c + 1}"))
+                for r in range(2 + doc_id % 4):
+                    for c in range(3):
+                        p1.append(mk(cols[c], 544 + 20 * r,
+                                     cols[c] + 60, 556 + 20 * r,
+                                     str(100 * (c + 1) + r)))
+                p1.append(mk(280, 760, 332, 772, "1 / 1"))
+                try:
+                    boxes, _lts = layouts_rec([p1], _PAGE_W, _PAGE_H)
+                    rem, res = extract_table_figure(
+                        boxes, [12.0], return_html=True)
+                    for i, b in enumerate(rem):
+                        out.append((doc_id, "text", i, b["text"]))
+                    for i, r in enumerate(res):
+                        out.append((doc_id, r["type"], i, r["content"]))
+                except Exception:
+                    out.append((doc_id, "error", 0, ""))
+            yield pd.DataFrame(out, columns=[f.name for f in TABLEFIG_SCHEMA])
+
+    return (docs.mapInPandas(run, TABLEFIG_SCHEMA)
+            .transform(_ordered("doc_id", "kind", "seq")))
+
+
+PDF_LAYOUT_TABLE_SQL = r"""
+WITH toklists AS (
+  SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
+  FROM documents WHERE length(trim(text)) > 0),
+title AS (
+  SELECT doc_id, 'text' AS kind, 0 AS seq,
+         'Synthetic Report ' || doc_id AS content FROM toklists),
+body AS (
+  SELECT doc_id, 'text' AS kind, CAST((i-1) // 8 + 1 AS INTEGER) AS seq,
+         '¶ ' || array_to_string(list_slice(l, i, least(i+7, n)), ' ')
+           AS content
+  FROM toklists, LATERAL (SELECT unnest(generate_series(1, n, 8)) AS i) u),
+tbl AS (
+  SELECT t.doc_id, 'table' AS kind, 0 AS seq,
+         '<table><caption>Table 1 summary for doc ' || t.doc_id
+         || '</caption>' || chr(10)
+         || '<tr><th  >c1</th><th  >c2</th><th  >c3</th></tr>' || chr(10)
+         || string_agg('<tr><td  >' || (100 + r) || '</td><td  >'
+                       || (200 + r) || '</td><td  >' || (300 + r)
+                       || '</td></tr>', chr(10) ORDER BY r)
+         || chr(10) || '</table>' AS content
+  FROM toklists t,
+       LATERAL (SELECT unnest(generate_series(0, 1 + t.doc_id % 4)) AS r) u
+  GROUP BY t.doc_id)
+SELECT doc_id, kind, seq, content FROM title
+UNION ALL SELECT doc_id, kind, seq, content FROM body
+UNION ALL SELECT doc_id, kind, seq, content FROM tbl
+ORDER BY doc_id, kind, seq
+"""
+
+
 PDF_LAYOUT_SQL = r"""
 WITH toklists AS (
   SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
@@ -736,6 +828,7 @@ QUERIES = {
     "pdf_template": (pdf_template, PDF_TEMPLATE_SQL),
     "pdf_table_template": (pdf_table_template, PDF_TABLE_SQL),
     "pdf_layout_template": (pdf_layout_template, PDF_LAYOUT_SQL),
+    "pdf_layout_table_e2e": (pdf_layout_table_e2e, PDF_LAYOUT_TABLE_SQL),
     "pdf_concat_template": (pdf_concat_template, PDF_CONCAT_SQL),
     "paper_pdf_template": (paper_pdf_template, PAPER_PDF_SQL),
     "presentation_template": (presentation_template, PRESENTATION_SQL),
