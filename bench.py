@@ -34,7 +34,7 @@ BENCH_QUERIES = [
     "pricing_summary", "revenue_by_nation", "events_hourly", "sessionize",
     "doc_quality", "xlsx_template", "embed_docs", "insert_citations",
     "pdf_template", "paper_pdf_template", "pdf_table_template",
-    "email_template",
+    "pdf_layout_table_e2e", "email_template",
     "c4_line_filter", "pii_redact", "paragraph_dedup", "bpe_train",
     "substring_dedup_spans", "dsir_affinity",
     "hll_distinct", "quantile_sketch", "semantic_dedup", "range_join_events",
