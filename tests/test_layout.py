@@ -205,6 +205,37 @@ class TestProposeLayouts:
         assert propose_layouts(bxs, W, H, 1)[0]["type"] == "text"
 
 
+class TestLayoutProperties:
+    """Hypothesis fuzz: a 10^12-page job meets arbitrary geometry; the
+    recognizer must never crash, invent text, or duplicate a box."""
+
+    from hypothesis import given, settings, strategies as st
+
+    _boxes = st.lists(
+        st.tuples(st.floats(0, 600, allow_nan=False),
+                  st.floats(0, 780, allow_nan=False),
+                  st.floats(1, 300, allow_nan=False),
+                  st.floats(1, 14, allow_nan=False),
+                  st.text(max_size=40)),
+        max_size=25)
+
+    @given(_boxes)
+    @settings(max_examples=60, deadline=None)
+    def test_never_crashes_output_is_subset(self, raw):
+        bxs = [{"x0": x, "top": y, "x1": x + w, "bottom": y + h, "text": t}
+               for x, y, w, h, t in raw]
+        inputs = [b["text"] for b in bxs]
+        boxes, pl = layouts_rec([bxs], W, H)
+        for b in boxes:
+            # every output is an input box (placeholders are empty-text)
+            assert b["text"] == "" or inputs.count(b["text"]) >= 1
+            assert "layout_type" in b
+        # no duplication: output count never exceeds inputs + placeholders
+        n_ph = sum(1 for b in boxes if b["text"] == "")
+        assert len(boxes) - n_ph <= len(bxs)
+        assert len(pl) == 1
+
+
 class TestLayoutsRecE2E:
     def test_two_page_doc(self):
         head = "running head 7"
