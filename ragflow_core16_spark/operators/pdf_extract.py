@@ -675,6 +675,48 @@ def pdf_layout_template(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(_ordered("doc_id", "seq")))
 
 
+def pdf_deepdoc_sections(pdf: bytes) -> tuple[list[str], list[dict]]:
+    """Full naive-mode DeepDOC route over REAL pdf bytes — the reference's
+    stage order (pdf_parser.py naive ``__call__``): reader → `_layouts_rec`
+    (rule proposer + tagging glue) → `_text_merge` → `_concat_downward` →
+    `_filter_forpages` → `_extract_table_figure`.  Returns
+    ``(sections, tables)``: surviving merged text blocks in reading order
+    and the popped table/figure results.
+
+    This is the library path a user of the reference's naive PDF mode
+    calls; the per-stage driver queries (`pdf_layout_template`,
+    `pdf_concat_template`, `pdf_table_template`, `pdf_layout_table_e2e`)
+    pin each stage against a DuckDB oracle separately."""
+    import statistics
+
+    from ..pdf.boxops import filter_forpages, text_merge
+    from ..pdf.concat import concat_downward
+    from ..pdf.layout import layouts_rec
+    from ..pdf.plain import PAGE_HEIGHT
+    from ..pdf.tablefig import extract_table_figure
+
+    raw = extract_pdf_boxes(pdf)
+    if not raw:
+        return [], []
+    n_pages = max(b["page_number"] for b in raw)
+    pages = [[] for _ in range(n_pages)]
+    for b in raw:
+        pages[b["page_number"] - 1].append(b)
+    boxes, _lts = layouts_rec(pages, 612.0, PAGE_HEIGHT)
+    if not boxes:
+        return [], []
+    heights = [b["bottom"] - b["top"] for b in boxes]
+    mean_h = [statistics.median(heights)] * n_pages
+    widths = [(b["x1"] - b["x0"]) / max(len(b["text"]), 1) for b in boxes]
+    mean_w = [statistics.median(widths)] * n_pages
+    boxes = text_merge(boxes, mean_h)
+    boxes = concat_downward(boxes, mean_h, mean_w)
+    boxes = filter_forpages(boxes, n_pages)
+    remaining, tables = extract_table_figure(boxes, mean_h,
+                                             return_html=True)
+    return [b["text"] for b in remaining if b["text"].strip()], tables
+
+
 def pdf_layout_table_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed rule-path chain ``_layouts_rec → _extract_table_figure``
     (pdf_parser.py:526-533 then :656-867): the box stream arrives

@@ -236,6 +236,44 @@ class TestLayoutProperties:
         assert len(pl) == 1
 
 
+class TestDeepdocSections:
+    """Full naive-mode composition over REAL pdf bytes: reader →
+    layouts_rec → text_merge → concat_downward → filter_forpages →
+    extract_table_figure."""
+
+    def test_real_pdf_route(self):
+        from ragflow_core16_spark.pdf.plain import build_pdf_positioned
+        from ragflow_core16_spark.operators.pdf_extract import \
+            pdf_deepdoc_sections
+        pdf = build_pdf_positioned([
+            [(72, 770, "Running Head"),
+             (72, 600, "first line of the paragraph continues and"),
+             (72, 582, "second line keeps going without a stop and"),
+             (72, 564, "the third line ends the paragraph."),
+             (280, 30, "1 / 2")],
+            [(72, 770, "Running Head"),
+             (72, 600, "second page continues a new paragraph and"),
+             (72, 582, "finishes here.")],
+        ])
+        secs, tbls = pdf_deepdoc_sections(pdf)
+        joined = " ".join(secs)
+        assert "Running Head" not in joined      # header band dropped
+        assert "1 / 2" not in joined             # garbage regex popped
+        assert "first line of the paragraph" in joined
+        assert "finishes here." in joined
+        # body lines merged into blocks, none lost
+        for frag in ["continues and", "without a stop and",
+                     "ends the paragraph."]:
+            assert frag in joined
+        assert tbls == []
+        assert 1 <= len(secs) <= 4
+
+    def test_empty_pdf(self):
+        from ragflow_core16_spark.operators.pdf_extract import \
+            pdf_deepdoc_sections
+        assert pdf_deepdoc_sections(b"%PDF-1.4\n%%EOF") == ([], [])
+
+
 class TestLayoutsRecE2E:
     def test_two_page_doc(self):
         head = "running head 7"
