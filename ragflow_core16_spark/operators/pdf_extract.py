@@ -51,6 +51,15 @@ PDF_CHUNKS_SCHEMA = StructType([
 ])
 
 
+def _page_stats(boxes: list[dict], n_pages: int) -> tuple[list, list]:
+    """Per-page median line height and per-char width lists — the
+    mean-height convention every merge stage keys its thresholds on."""
+    import statistics as _st
+    heights = [b["bottom"] - b["top"] for b in boxes]
+    widths = [(b["x1"] - b["x0"]) / max(len(b["text"]), 1) for b in boxes]
+    return ([_st.median(heights)] * n_pages, [_st.median(widths)] * n_pages)
+
+
 def pdf_to_sections(pdf: bytes, is_english: bool = True,
                     merge: str = "naive") -> tuple[list[str], int, int]:
     """→ (sections, n_pages, n_boxes): reader → vertical merge → TOC filter.
@@ -64,10 +73,7 @@ def pdf_to_sections(pdf: bytes, is_english: bool = True,
         return [], 0, 0
     n_boxes = len(boxes)
     pages = max(b["page_number"] for b in boxes)
-    heights = [b["bottom"] - b["top"] for b in boxes]
-    mean_h = [statistics.median(heights)] * pages
-    widths = [(b["x1"] - b["x0"]) / max(len(b["text"]), 1) for b in boxes]
-    mean_w = [statistics.median(widths)] * pages
+    mean_h, mean_w = _page_stats(boxes, pages)
     if merge == "concat":
         from ..pdf.concat import concat_downward
         for b in boxes:
@@ -76,7 +82,7 @@ def pdf_to_sections(pdf: bytes, is_english: bool = True,
         boxes = concat_downward(boxes, mean_h, mean_w)
     else:
         boxes = naive_vertical_merge(boxes, mean_h, mean_w, is_english,
-                                     statistics.median(heights))
+                                     mean_h[0])
     boxes = filter_forpages(boxes, pages)
     return [b["text"] for b in boxes if b["text"].strip()], pages, n_boxes
 
@@ -691,6 +697,7 @@ def pdf_deepdoc_sections(pdf: bytes) -> tuple[list[str], list[dict]]:
 
     from ..pdf.boxops import filter_forpages, text_merge
     from ..pdf.concat import concat_downward
+    from ..pdf.geometry import sort_Y_firstly
     from ..pdf.layout import layouts_rec
     from ..pdf.plain import PAGE_HEIGHT
     from ..pdf.tablefig import extract_table_figure
@@ -699,16 +706,18 @@ def pdf_deepdoc_sections(pdf: bytes) -> tuple[list[str], list[dict]]:
     if not raw:
         return [], []
     n_pages = max(b["page_number"] for b in raw)
+    # reading-order sort per page BEFORE tagging: content streams may
+    # emit lines in any order (the reference sorts OCR boxes the same
+    # way before _layouts_rec); downstream merges walk list order
+    med_h = statistics.median(b["bottom"] - b["top"] for b in raw)
     pages = [[] for _ in range(n_pages)]
     for b in raw:
         pages[b["page_number"] - 1].append(b)
+    pages = [sort_Y_firstly(p, med_h / 2) for p in pages]
     boxes, _lts = layouts_rec(pages, 612.0, PAGE_HEIGHT)
     if not boxes:
         return [], []
-    heights = [b["bottom"] - b["top"] for b in boxes]
-    mean_h = [statistics.median(heights)] * n_pages
-    widths = [(b["x1"] - b["x0"]) / max(len(b["text"]), 1) for b in boxes]
-    mean_w = [statistics.median(widths)] * n_pages
+    mean_h, mean_w = _page_stats(boxes, n_pages)
     boxes = text_merge(boxes, mean_h)
     boxes = concat_downward(boxes, mean_h, mean_w)
     boxes = filter_forpages(boxes, n_pages)

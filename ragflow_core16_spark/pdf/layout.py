@@ -83,6 +83,7 @@ def tag_layouts(page_boxes, page_layouts, page_heights,
     page_layout = []
     for pn, (bxs, lts_in) in enumerate(zip(page_boxes, page_layouts)):
         page_h = page_heights[pn]
+        page_box_src = list(bxs)  # pre-pop snapshot (placeholder page_no)
         # low-score garbage regions are dropped; other types survive any
         # score (layout_recognizer.py:79-84)
         lts = [{"type": lt["type"], "score": float(lt.get("score", 1.0)),
@@ -135,7 +136,13 @@ def tag_layouts(page_boxes, page_layouts, page_heights,
             find_layout(ty)
 
         # figure/equation regions with no text box → empty placeholder
-        # (layout_recognizer.py:133-143)
+        # (layout_recognizer.py:133-143).  Divergence from the reference:
+        # the placeholder's page_number follows the PAGE'S BOX convention
+        # (1-based in this repo) instead of the region's 0-based page
+        # index — the reference keeps the 0-based index, which mis-keys
+        # the placeholder in downstream per-page grouping.
+        page_no = next((b["page_number"] for b in page_box_src
+                        if "page_number" in b), pn + 1)
         for i, lt in enumerate([lt for lt in lts
                                 if lt["type"] in ("figure", "equation")]):
             if lt.get("visited"):
@@ -144,6 +151,7 @@ def tag_layouts(page_boxes, page_layouts, page_heights,
             ph["text"] = ""
             ph["layout_type"] = "figure"
             ph["layoutno"] = f"figure-{i}"
+            ph["page_number"] = page_no
             bxs.append(ph)
         boxes.extend(bxs)
 

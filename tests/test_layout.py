@@ -83,6 +83,23 @@ class TestTagLayouts:
         assert ph[0]["layout_type"] == "figure"
         assert ph[0]["layoutno"] == "figure-0"
 
+    def test_placeholder_inherits_page_number_convention(self):
+        # real boxes carry 1-based page_number; the placeholder must key
+        # into the SAME per-page grouping downstream (documented
+        # divergence from the reference's 0-based region index)
+        b1 = dict(box(72, 100, 300, 112, "body"), page_number=2)
+        lts = [region("text", 70, 98, 302, 114),
+               region("figure", 70, 300, 302, 400)]
+        boxes, _ = tag_layouts([[b1]], [lts], [H])
+        ph = [b for b in boxes if b["text"] == ""][0]
+        assert ph["page_number"] == 2
+        # pages with no page_number key fall back to 1-based index
+        boxes2, _ = tag_layouts([[box(72, 100, 300, 112, "x")]],
+                                [[region("figure", 70, 300, 302, 400)]],
+                                [H])
+        ph2 = [b for b in boxes2 if b["text"] == ""][0]
+        assert ph2["page_number"] == 1
+
     def test_garbage_regex_pops_before_assignment(self):
         bxs = [box(72, 100, 300, 112, "2 / 9")]
         lts = [region("text", 70, 98, 302, 114)]
@@ -267,6 +284,21 @@ class TestDeepdocSections:
             assert frag in joined
         assert tbls == []
         assert 1 <= len(secs) <= 4
+
+    def test_scrambled_content_stream_order(self):
+        # content streams may draw lines bottom-up or interleaved; the
+        # route must sort into reading order before tagging/merging
+        from ragflow_core16_spark.pdf.plain import build_pdf_positioned
+        from ragflow_core16_spark.operators.pdf_extract import \
+            pdf_deepdoc_sections
+        lines = [(72, 600, "first line of the paragraph continues and"),
+                 (72, 582, "second line keeps going without a stop and"),
+                 (72, 564, "the third line ends the paragraph.")]
+        fwd = build_pdf_positioned([list(lines)])
+        rev = build_pdf_positioned([list(reversed(lines))])
+        assert pdf_deepdoc_sections(fwd) == pdf_deepdoc_sections(rev)
+        joined = " ".join(pdf_deepdoc_sections(rev)[0])
+        assert joined.index("first line") < joined.index("third line")
 
     def test_empty_pdf(self):
         from ragflow_core16_spark.operators.pdf_extract import \
