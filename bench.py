@@ -37,7 +37,8 @@ BENCH_QUERIES = [
     "pdf_layout_table_e2e", "email_template",
     "c4_line_filter", "pii_redact", "paragraph_dedup", "bpe_train",
     "substring_dedup_spans", "dsir_affinity",
-    "hll_distinct", "quantile_sketch", "semantic_dedup", "range_join_events",
+    "hll_distinct", "quantile_sketch", "bloom_url_filter", "semantic_dedup",
+    "range_join_events",
     "latest_capture_extract",
     "pagerank",
     "cms_heavy_hitters", "order_count_histogram", "supplier_part_variety",

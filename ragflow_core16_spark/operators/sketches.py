@@ -405,8 +405,107 @@ ORDER BY event_type
 """
 
 
+# ----------------------------------------------------------- Bloom filter
+#
+# Mergeable seen-URL membership sketch for incremental crawls: yesterday's
+# corpus compresses to an m-bit array (here 2 KiB; GBs at 10^12 urls —
+# still a broadcast or a 512-row bucket join, vs shuffling the full url
+# set for an anti-join).  Words merge with bit_or, so partial blooms from
+# any partitioning — batches, days, executors — combine losslessly, the
+# same contract as the HLL registers above.  No false negatives by
+# construction (property-tested); false positives are DETERMINISTIC given
+# the hash family, so the whole probe table is oracle-checkable.
+# 32-bit words keep every mask in the portable positive-int range (a
+# 1<<63 mask would overflow DuckDB's signed shift).
+BLOOM_BITS = 1 << 14
+BLOOM_WORD = 32
+BLOOM_K = 4
+
+
+def _bloom_url(doc_id):
+    return F.concat(F.lit("https://example.com/doc/"),
+                    F.col(doc_id).cast("string"))
+
+
+def _bloom_pos(url: Column, k: int) -> Column:
+    return (F.conv(F.substring(F.md5(F.concat(url, F.lit(f"#{k}"))), 1, 15),
+                   16, 10).cast("bigint") % BLOOM_BITS)
+
+
+def bloom_build(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """(word, bits): the filter as a 512-row relation — bit_or-mergeable."""
+    pos = urls.select(F.explode(F.array(
+        *[_bloom_pos(F.col(url_col), k) for k in range(BLOOM_K)]))
+        .alias("pos"))
+    return (pos.select(F.expr(f"pos div {BLOOM_WORD}").alias("word"),
+                       F.expr(f"shiftleft(1L, CAST(pos % {BLOOM_WORD} "
+                              f"AS INT))").alias("mask"))
+            .groupBy("word").agg(F.expr("bit_or(mask)").alias("bits")))
+
+
+def bloom_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe today's batch against yesterday's Bloom: yesterday = docs
+    with even doc_id, batch = doc_id % 3 == 0 (overlapping thirds).
+    Output per batch url: sketch verdict, ground truth, false-positive
+    flag.  Plan: build is one 4·|yesterday|-row groupBy collapsing to 512
+    words; probe is a BROADCAST join of those words + a per-url bool_and
+    (4 rows/url, map-side partial agg)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", _bloom_url("doc_id").alias("url"))
+    bloom = bloom_build(d.filter(F.col("doc_id") % 2 == 0))
+    batch = d.filter(F.col("doc_id") % 3 == 0)
+    probe = (batch.select("doc_id", F.explode(F.array(
+        *[_bloom_pos(F.col("url"), k) for k in range(BLOOM_K)]))
+        .alias("pos"))
+        .select("doc_id",
+                F.expr(f"pos div {BLOOM_WORD}").alias("word"),
+                F.expr(f"shiftleft(1L, CAST(pos % {BLOOM_WORD} AS INT))")
+                .alias("mask")))
+    hit = (probe.join(F.broadcast(bloom), "word", "left")
+           .select("doc_id",
+                   (F.coalesce(F.col("bits"), F.lit(0))
+                    .bitwiseAND(F.col("mask")) != 0).alias("bit_set")))
+    return (hit.groupBy("doc_id")
+            .agg(F.expr("bool_and(bit_set)").alias("in_bloom"))
+            .withColumn("seen", F.col("doc_id") % 2 == 0)
+            .withColumn("false_positive",
+                        F.col("in_bloom") & ~F.col("seen"))
+            .orderBy("doc_id"))
+
+
+def _bloom_sql() -> str:
+    def pos(url: str, k: int) -> str:
+        return (f"(('0x' || substr(md5({url} || '#{k}'), 1, 15))::BIGINT "
+                f"% {BLOOM_BITS})")
+
+    url = "'https://example.com/doc/' || CAST(doc_id AS VARCHAR)"
+    pos_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {pos(url, k)} AS pos FROM documents"
+        for k in range(BLOOM_K))
+    return f"""
+WITH pos AS ({pos_rows}),
+bloom AS (
+  SELECT pos // {BLOOM_WORD} AS word,
+         bit_or(1::BIGINT << (pos % {BLOOM_WORD})::INT) AS bits
+  FROM pos WHERE doc_id % 2 = 0 GROUP BY 1),
+probe AS (
+  SELECT p.doc_id, p.pos // {BLOOM_WORD} AS word,
+         1::BIGINT << (p.pos % {BLOOM_WORD})::INT AS mask
+  FROM pos p WHERE p.doc_id % 3 = 0),
+hits AS (
+  SELECT pr.doc_id,
+         bool_and((COALESCE(b.bits, 0) & pr.mask) != 0) AS in_bloom
+  FROM probe pr LEFT JOIN bloom b ON b.word = pr.word
+  GROUP BY pr.doc_id)
+SELECT doc_id, in_bloom, doc_id % 2 = 0 AS seen,
+       in_bloom AND NOT (doc_id % 2 = 0) AS false_positive
+FROM hits ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "hll_distinct": (hll_distinct, _hll_sql()),
     "cms_heavy_hitters": (cms_heavy_hitters, _cms_sql()),
     "quantile_sketch": (quantile_sketch, _quantile_sql()),
+    "bloom_url_filter": (bloom_url_filter, _bloom_sql()),
 }

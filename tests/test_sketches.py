@@ -40,3 +40,35 @@ class TestQuantileBucketsMerge:
                 # ex lies in the bucket [sk, sk + width) whose width is
                 # 2^(e-3) ≤ sk/8 (exact buckets below the 4th octave)
                 assert ex < sk + max(sk // 8, 1) + 1, (p, sk, ex)
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_fp_rate(self, spark):
+        """Every url actually in yesterday's set must probe TRUE (Bloom
+        guarantee); false positives exist but stay under a loose bound
+        for m=16384, k=4, n≈|docs|/2."""
+        import __spark_entry__ as E
+        rows = E._registry()["bloom_url_filter"][0](spark, SF).collect()
+        assert rows, "no batch urls"
+        seen = [r for r in rows if r["seen"]]
+        assert seen and all(r["in_bloom"] for r in seen)
+        probed_unseen = [r for r in rows if not r["seen"]]
+        fps = sum(1 for r in probed_unseen if r["false_positive"])
+        if probed_unseen:
+            assert fps / len(probed_unseen) < 0.2
+
+    def test_partial_blooms_merge_losslessly(self, spark):
+        """bit_or of two half-corpus blooms equals the single-pass bloom:
+        the word relation is the mergeable sketch state."""
+        from ragflow_core16_spark.operators.sketches import (_bloom_url,
+                                                             bloom_build)
+        d = (spark.read.parquet(f"{SF}/documents.parquet")
+             .select("doc_id", _bloom_url("doc_id").alias("url")))
+        full = bloom_build(d)
+        a = bloom_build(d.filter("doc_id % 2 = 0"))
+        b = bloom_build(d.filter("doc_id % 2 = 1"))
+        merged = (a.unionByName(b).groupBy("word")
+                  .agg(F.expr("bit_or(bits)").alias("bits")))
+        got = sorted(tuple(r) for r in merged.collect())
+        want = sorted(tuple(r) for r in full.collect())
+        assert got == want
