@@ -92,3 +92,47 @@ def run_hll_stream(spark: SparkSession, input_dir: str, sink_dir: str,
      .trigger(availableNow=True)
      .start()
      .awaitTermination())
+
+
+# ---------------------------------------------------------- streaming Bloom
+#
+# Same contract as the HLL registers, for MEMBERSHIP: each micro-batch
+# appends its bloom word PARTIALS; bit_or at finalize merges them
+# losslessly, and a replayed append is idempotent (re-OR-ing the same
+# bits).  At 10^12 urls this is the incremental-crawl "seen" index built
+# as crawl drops land, with no state store and no full-corpus rebuild.
+
+DOCS_SCHEMA = ("doc_id bigint, text string, lang string, source string, "
+               "n_chars bigint")
+
+
+def run_bloom_stream(spark: SparkSession, input_dir: str, sink_dir: str,
+                     checkpoint_dir: str,
+                     max_files_per_trigger: int = 2) -> None:
+    """Drain document drops into a parquet bloom-word sink (append-only
+    partials; exactly-once by the foreachBatch replay contract plus
+    bit_or idempotence)."""
+    from ..operators.sketches import _bloom_url, bloom_build
+
+    stream = (spark.readStream
+              .schema(DOCS_SCHEMA)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(input_dir))
+
+    def emit(batch_df: DataFrame, _batch_id: int) -> None:
+        urls = batch_df.select(_bloom_url("doc_id").alias("url"))
+        bloom_build(urls).write.mode("append").parquet(sink_dir)
+
+    (stream.writeStream
+     .foreachBatch(emit)
+     .option("checkpointLocation", checkpoint_dir)
+     .trigger(availableNow=True)
+     .start()
+     .awaitTermination())
+
+
+def finalize_bloom_sink(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """(word, bits) after re-merging all appended partials with bit_or —
+    byte-identical to one batch ``bloom_build`` over the union of drops."""
+    return (spark.read.parquet(sink_dir)
+            .groupBy("word").agg(F.expr("bit_or(bits)").alias("bits")))

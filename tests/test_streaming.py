@@ -197,3 +197,49 @@ class TestHllStream:
         partial.write.mode("append").parquet(sink)  # replay
         twice = [tuple(r) for r in finalize_register_sink(spark, sink).collect()]
         assert once == twice
+
+
+class TestBloomStream:
+    def test_streaming_partials_equal_batch_bloom(self, spark, tmp_path):
+        """Bloom words appended per micro-batch must bit_or-finalize to the
+        single-pass batch bloom over the same documents."""
+        from ragflow_core16_spark.operators.sketches import (_bloom_url,
+                                                             bloom_build)
+        from ragflow_core16_spark.streaming.sketches_stream import (
+            finalize_bloom_sink, run_bloom_stream)
+
+        inp, sink, ckpt = (str(tmp_path / d) for d in ("in", "sink", "ck"))
+        docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                .repartition(6))  # ≥3 micro-batches at 2 files/trigger
+        docs.write.parquet(inp)
+
+        run_bloom_stream(spark, inp, sink, ckpt)
+
+        # multiple partial rows per word must exist (the merge is real)
+        raw = spark.read.parquet(sink)
+        assert raw.count() > raw.select("word").distinct().count()
+
+        got = sorted(tuple(r) for r in finalize_bloom_sink(spark, sink)
+                     .collect())
+        want = sorted(tuple(r) for r in bloom_build(
+            docs.select(_bloom_url("doc_id").alias("url"))).collect())
+        assert got == want
+
+    def test_replayed_drop_is_idempotent(self, spark, tmp_path):
+        """Re-appending the same micro-batch's word partials (foreachBatch
+        replay) must not flip a single bit."""
+        from ragflow_core16_spark.operators.sketches import (_bloom_url,
+                                                             bloom_build)
+        from ragflow_core16_spark.streaming.sketches_stream import \
+            finalize_bloom_sink
+
+        sink = str(tmp_path / "sink")
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        part = bloom_build(docs.select(_bloom_url("doc_id").alias("url")))
+        part.write.mode("append").parquet(sink)
+        once = sorted(tuple(r) for r in finalize_bloom_sink(spark, sink)
+                      .collect())
+        part.write.mode("append").parquet(sink)
+        twice = sorted(tuple(r) for r in finalize_bloom_sink(spark, sink)
+                       .collect())
+        assert once == twice
