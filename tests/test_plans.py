@@ -324,3 +324,17 @@ def test_latest_capture_collapse_is_agg_not_window_sort(spark):
     plan = _formatted(latest)
     assert "partial_max_by" in plan
     assert "Window" not in plan
+
+
+def test_bloom_probe_broadcasts_and_partially_aggregates(spark):
+    """Bloom membership: the word relation must BROADCAST to the probe
+    (no shuffle of the url stream for the join), the bloom build must
+    partially bit_or map-side, and the per-url verdict must partially
+    aggregate before its shuffle.  No sort-merge join anywhere."""
+    plan = _formatted(E._registry()["bloom_url_filter"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_bit_or" in plan
+    # bool_and compiles to min over booleans; partial_min is the
+    # map-side combine of the per-url verdict
+    assert "partial_min" in plan or "partial_bool_and" in plan
