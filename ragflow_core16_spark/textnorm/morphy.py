@@ -206,6 +206,115 @@ watch water wave way wealth weather web website wedding week weekend
 weight west wheel while wife win wind window wine wing winner winter
 wire wish woman wood word work worker workshop world worry wrap
 writer writing yard year youth zone
+""".split() + """
+acre actress airplane alley almond ambulance anchor ankle ant antenna
+apartment apology appetite apricot apron aquarium arch archer arena
+arrow ash asset astronomer athlete atom attic auction audit aunt
+avenue axe axis bacon badge bag bakery balcony balloon bamboo banana
+banner barn barrel basement bat bay beam bean beard beast bee beef
+beet beetle bell berry bicycle billboard biography biology birch
+biscuit blade blanket blizzard blossom blouse blueberry boar bolt
+bomb bone bonnet border bowl bracelet brake brass bravery breeze
+bride bridge broccoli bronze broom bubble bud buffalo bulb bull
+bullet bumper bun bundle bunker burden bureau burglar bush butter
+butterfly buttonhole cabbage cabin cabinet cactus cafe cage
+calculator calf camel canal candle candy cannon canoe canvas canyon
+captive caramel caravan carbon cardboard cardinal carnival carpenter
+carriage carrot cart cartoon cascade cashier casserole castle cat
+caterpillar cathedral cattle cauliflower cave celery cellar cello
+cement cemetery chain chalk chamber chandelier chapel chariot charm
+chart cheek cheetah cherry chess chestnut chimney chin china chip
+chocolate choir chord chorus cider cinema cinnamon circus clam
+clarinet clay cliff clinic cloak closet clover clown club clue coal
+coat cobweb cockpit cocoa coconut cod coffin coin collar colony
+comb comedy comet compass concrete cone constellation continent
+copper coral cord corduroy cork corn corpse corridor cottage cotton
+couch cougar courtyard crab cradle crane crater crayon cream creek
+cricket crocodile crow crown crumb crust crystal cub cube cucumber
+cupboard curb curtain cushion cypress dagger dairy daisy dam dancer
+dandelion dart dashboard dawn deck deed delta demon den denim dessert
+dew diamond diary dice dictionary dime dinosaur diploma dipper ditch
+dock doctrine dolphin dome donkey donor dough dove dragon dragonfly
+drain drawbridge drill drought drum duck duckling duke dune dusk
+eagle earthquake easel eclipse eel elbow elder elephant elm embassy
+ember emerald emperor empire engine envelope equator ermine escort
+essence estuary ether eyebrow eyelash fabric falcon fang fawn feast
+feather fern ferry fever fiber fiddle fig filament fin firefly
+fireplace firework fist flame flamingo flannel flask fleet flesh
+flint flock flood flour flu flute foam fog foil folk forehead
+forge fort fountain fox fraction freckle freezer freight frog frost
+frown fudge fume funnel fur furnace galleon gallery gallon galoshes
+gander garland garlic garment gazelle gem general geranium giant
+ginger giraffe glacier glade gland glider globe glove glue goat
+goggles goldfish gondola gong gorilla gown granite grape grapefruit
+grasshopper gravel gravy grease greenhouse grenade greyhound grill
+grove guardian gull gum gutter gymnasium hail hamburger hammer
+hammock hamper hamster handkerchief handlebar hare harmonica harness
+harp harvest hatch hawk hay hazel heater hedge hedgehog heel heir
+helicopter helmet hen herb herd hermit heron hickory hinge hive hog
+honeycomb hood hoof horizon horn hornet hose hound hurricane hut
+hyena iceberg icicle idol igloo incense infant ink inlet inn insect
+iris ivory ivy jacket jade jaguar jam jar jaw jelly jellyfish jewel
+jug jungle kangaroo kayak keel keg kettle kettledrum kingdom kite
+kitten knapsack knight knob knot koala lace ladle ladybug lagoon
+lair lamb lantern lapel larch lard lark lava lavender lawn lead
+leash ledge leek lemon lemonade lens leopard leotard lettuce lever
+lighthouse lilac lily lime limestone limousine linen lint lion
+liver lizard llama lobster locket locomotive locust lodge loft
+lumber lynx mackerel magnet magnolia mahogany maid mane mango
+mansion mantel maple marble mare marigold marsh mask mast mat
+mattress meadow melon mermaid meteor midst mildew mill millet
+miner mink mint missile mist mitten moat mole monastery monk
+monkey monster monument moon moonlight morsel mosaic mosquito
+moss moth motorcycle mound mule mushroom musket mustache mustard
+myth nail napkin nectar needle nest nettle nickel nightingale
+noodle nostril nugget nursery nut nutmeg nylon oak oar oasis oat
+oatmeal ocean octopus offspring ointment olive omelet onion opal
+opera orchard orchestra orchid ore organ oriole ostrich otter
+outline outpost owl oxcart oyster paddle padlock pail palace palm
+pancake panda pansy panther pantry parachute parade parakeet parcel
+parlor parrot parsley parsnip pasture patio paw peach peacock
+peanut pear pearl peasant pebble pecan pedal pelican pendulum
+penguin peninsula penny pepper perch perfume petal petticoat pew
+pheasant pickle pier pigeon pike pillar pillow pilot pine pineapple
+pistol pit pitcher plank plateau platter plow plum plumber plume
+pocket pod pony poppy porch porcupine porridge porter postcard
+poster pouch poultry prairie prune pudding puddle pulley pump
+pumpkin puppet puppy pyramid quail quarry quart quartz quill quilt
+rabbit raccoon raft rag raisin rake ranch raspberry rat raven
+ravine razor reef reindeer reptile rhubarb rib ribbon riddle ridge
+rifle rim rind rink ripple robe robin rocket rod rooster rosebud
+rudder rug ruler rust rye saddle sage sail sailor salmon saloon
+sandal sandwich sap sapphire sardine satchel satin sauce saucer
+sausage saw scaffold scallop scalp scar scarecrow scarf schooner
+scooter scorpion scroll scythe seal seam seaweed sedan seesaw
+serpent shack shale shamrock shark shawl shed shepherd sheriff
+shield shin shingle shovel shrimp shrub shutter sickle silk sill
+siren skate skeleton ski skillet skirt skull skunk sled sleeve
+sleigh slipper slope sloth smock snail snake snout snowflake sofa
+sole sparrow spear sphere spider spinach spine spiral spire sponge
+spool spoon spout sprout spruce spur squadron squid squirrel
+stable stadium stagecoach stair stake stallion stamp starch
+starfish statue steam steamboat steeple stem stew stilt sting
+stork stove strait strap straw strawberry stream stump sturgeon
+submarine suburb sulfur sundial sunflower surf swallow swamp swan
+sweater swing sword sycamore syrup tablet tadpole taffy talon
+tambourine tangerine tapestry tar tarp tassel tavern teapot
+telescope tent tentacle termite terrace thermometer thicket thigh
+thimble thistle thorn thread throne thunder tiara tide tiger tile
+timber tin toad toadstool toast toe tomato tomb tonic torch
+tornado torpedo tortoise tote tourniquet trail trailer tram
+trampoline trapeze tray treasure trench triangle tribe tributary
+trolley trombone trout trowel trumpet trunk tub tuba tulip tundra
+tunnel turban turkey turnip turret turtle tusk tutor tweed twig
+twine udder umbrella umpire unicorn urn vacuum vale valley valve
+van vane vanilla vapor vase vault veal veil vein velvet vendor
+vine vinegar viola violet violin vise vowel voyage vulture waffle
+wagon waist walnut walrus wand wardrobe warehouse wart wasp weasel
+weed well whale wharf wheat whisker whistle wick wig wigwam willow
+wilt wince windmill windshield wink wolf wombat wool workbench
+worm wreath wren wrench wrist yacht yak yarn yeast yoke yolk zebra
+zephyr zinc zipper
 """.split()
 
 
