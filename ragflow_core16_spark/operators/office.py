@@ -457,7 +457,11 @@ blines AS (
          sum({_cost('CASE WHEN (wi-1) % 14 = 0 THEN length(w) ELSE length(w)+1 END')}) + 1 AS tok
   FROM words GROUP BY doc_id, (wi-1) // 14),
 secs AS (
-  SELECT doc_id, 0 AS seq, 'Document ' || doc_id AS txt, 3 AS tok
+  -- heading tok = 2 ('Document') + ceil(digits/3) id pieces: the
+  -- pre-tokenizer splits digit runs into <=3-digit pieces, so 4-digit
+  -- doc_ids (sf0.1+) cost one more token than the sf0.01 constant
+  SELECT doc_id, 0 AS seq, 'Document ' || doc_id AS txt,
+         2 + (length(CAST(doc_id AS VARCHAR)) + 2) // 3 AS tok
   FROM toklists
   UNION ALL
   SELECT doc_id, 1 + bl + bl // 4 AS seq, txt, tok FROM blines

@@ -612,7 +612,13 @@ s1 AS (
            WHEN 3 THEN 'MIME-Version: 1.0'
            WHEN 4 THEN 'Content-Type: multipart/alternative'
            ELSE ' boundary="B"' END AS txt,
-         h.tok
+         -- seq 0 and 2 carry the doc_id digit run: the pre-tokenizer
+         -- splits it into ceil(digits/3) pieces, so the sf0.01-fitted
+         -- constants gain one token per extra 3-digit group (4+ digit
+         -- ids at sf0.1+)
+         h.tok + CASE WHEN h.seq IN (0, 2)
+                      THEN (length(CAST(d.doc_id AS VARCHAR)) + 2) // 3 - 1
+                      ELSE 0 END AS tok
   FROM (SELECT DISTINCT doc_id FROM toklists) d,
        (VALUES (0, 11), (1, 9), (2, 7), (3, 8), (4, 12), (5, 6)) h(seq, tok)
   UNION ALL
@@ -638,7 +644,8 @@ hparas AS (
 s2raw AS (
   SELECT doc_id, 0 AS ph, cseq AS k, txt, tok FROM c1
   UNION ALL
-  SELECT doc_id, 1 AS ph, 0 AS k, 'Doc ' || doc_id AS txt, 2 AS tok
+  SELECT doc_id, 1 AS ph, 0 AS k, 'Doc ' || doc_id AS txt,
+         1 + (length(CAST(doc_id AS VARCHAR)) + 2) // 3 AS tok
   FROM toklists
   UNION ALL
   SELECT doc_id, 2 AS ph, ln AS k, txt, tok FROM hparas),

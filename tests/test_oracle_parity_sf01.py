@@ -32,3 +32,18 @@ def test_driver_scale_parity(spark, name):
     assert r["cols_match"], f"cols {r['spark_cols']} != {r['duck_cols']}"
     assert r["rows_match"], f"rows {r['n_spark']} != {r['n_duck']}"
     assert r["values_match"], f"first diff: {r['first_diff']}"
+
+
+# doc_id digit-run sensitivity: sf0.1 is the first scale with 4-digit ids,
+# where 'Document <id>' / 'sender-<id>@' headers cost ceil(digits/3) token
+# pieces instead of the sf0.01-fitted single piece — these two oracles
+# carry that correction and are pinned at sf0.1 here (regression for the
+# r2 fix; the rest of the registry was sweep-verified digit-insensitive)
+DIGIT_SENSITIVE = ["docx_template", "email_template"]
+
+
+@pytest.mark.parametrize("name", DIGIT_SENSITIVE)
+def test_four_digit_id_parity(spark, name):
+    fn, sql = _REG[name]
+    r = compare(spark, "/root/testdata/sf0.1", name, fn, sql)
+    assert r["cols_match"] and r["rows_match"] and r["values_match"], r
