@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the training-data curation pipeline.
+
+Runs the composed corpus materialization (`operators/webclean.corpus_keep`:
+Gopher repetition gate ∧ C4 line survival ∧ dedup-cluster survivorship ∧
+benchmark decontamination, eval split excluded) over a documents table and
+materializes BOTH the per-document decision table and the kept corpus:
+
+    zip -r ragflow_core16_spark.zip ragflow_core16_spark
+    spark-submit --py-files ragflow_core16_spark.zip \
+        jobs/curate_job.py \
+        --input  <dir containing documents.parquet> \
+        --output <warehouse dir for keep/ corpus/> \
+        [--no-corpus] [--run-id r42]
+
+Master/executor topology comes from spark-submit, like the extraction
+job; the same invocation runs at N and 4N executors.  The write order is
+transactional in the same sense as the extraction pipeline: the kept
+corpus lands first and the decision table (the thing downstream reads to
+trust a run) lands LAST, so a crashed run leaves no authoritative
+decision table and a rerun simply overwrites.
+
+Prints ONE JSON line: rows, kept, kept_pct, wall_sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="documents → keep decisions + kept corpus")
+    ap.add_argument("--input", required=True,
+                    help="dir containing documents.parquet")
+    ap.add_argument("--output", required=True,
+                    help="output warehouse dir (keep/ corpus/)")
+    ap.add_argument("--no-corpus", action="store_true",
+                    help="write only the decision table, skip the kept-doc copy")
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession, functions as F
+    spark = (SparkSession.builder.appName("ragflow_core16_spark.curate")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+
+    from ragflow_core16_spark.operators.webclean import corpus_keep
+
+    t0 = time.time()
+    decisions = corpus_keep(spark, args.input.rstrip("/"))
+    if not args.no_corpus:
+        docs = spark.read.parquet(f"{args.input.rstrip('/')}/documents.parquet")
+        kept = (docs.join(decisions.filter(F.col("corpus_keep"))
+                          .select("doc_id"), "doc_id"))
+        kept.write.mode("overwrite").parquet(f"{args.output}/corpus")
+    # decision table last — its presence certifies a complete run
+    decisions.write.mode("overwrite").parquet(f"{args.output}/keep")
+
+    persisted = spark.read.parquet(f"{args.output}/keep")
+    rows = persisted.count()
+    kept_n = persisted.filter(F.col("corpus_keep")).count()
+    summary = {
+        "run_id": args.run_id,
+        "rows": rows,
+        "kept": kept_n,
+        "kept_pct": round(100.0 * kept_n / rows, 2) if rows else 0.0,
+        "wall_sec": round(time.time() - t0, 2),
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -48,3 +48,38 @@ def test_spark_submit_pyfiles_and_resume(tmp_path, spark):
     # rerun resumes from lineage: nothing left to extract
     second = submit()
     assert second["rows"] == 0
+
+
+@pytest.mark.slow
+def test_spark_submit_curate_job(tmp_path, spark):
+    """Deployment path for the curation pipeline: spark-submit --py-files
+    + jobs/curate_job.py over a documents dir; the kept corpus must equal
+    the decision table's keep set."""
+    zip_path = tmp_path / "ragflow_core16_spark.zip"
+    pkg = os.path.join(REPO, "ragflow_core16_spark")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+
+    out = subprocess.run(
+        ["spark-submit", "--master", "local[2]",
+         "--py-files", str(zip_path),
+         os.path.join(REPO, "jobs", "curate_job.py"),
+         "--input", "/root/testdata/sf0.001",
+         "--output", str(tmp_path / "out")],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["rows"] > 0
+    assert 0 < summary["kept"] <= summary["rows"]
+
+    keep = spark.read.parquet(str(tmp_path / "out" / "keep"))
+    corpus = spark.read.parquet(str(tmp_path / "out" / "corpus"))
+    kept_ids = {r.doc_id for r in
+                keep.filter("corpus_keep").select("doc_id").collect()}
+    corpus_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert corpus_ids == kept_ids
