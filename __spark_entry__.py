@@ -46,11 +46,12 @@ def _registry():
                                                 retrieval, similarity,
                                                 sketches, templates,
                                                 textstats, training,
-                                                webclean)
+                                                warc_e2e, webclean)
     reg: dict[str, tuple] = {}
     for mod in (textstats, dedup, similarity, retrieval, relational,
                 templates, pdf_extract, multimodal, office, embed,
-                training, webclean, sketches, graph, extract_e2e):
+                training, webclean, sketches, graph, extract_e2e,
+                warc_e2e):
         for name, (fn, sql) in mod.QUERIES.items():
             reg[name] = (fn, sql)
     return reg

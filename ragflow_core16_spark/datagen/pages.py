@@ -194,6 +194,36 @@ def doc_page_fields(doc_id: int, text: str, seed: int = 42):
     return url, ts, title, paras
 
 
+def document_page(doc_id: int, text: str, seed: int = 42):
+    """One synthetic page for a documents.parquet row: ``(url, ts,
+    html_bytes)``.  Shared by ``pages_from_documents`` and the WARC writer
+    (``sources/warc.py``) so both containers carry byte-identical pages.
+    Every output-reaching choice is md5-derived (``doc_page_fields``);
+    boilerplate that readability strips (nav/ads/footer) may stay rng."""
+    url, ts, title, paras = doc_page_fields(doc_id, text or "", seed)
+    rng = random.Random(seed ^ (doc_id * 7919))  # boilerplate only
+    nav = "".join(f'<a href="/{w}">{w}</a> ' for w in
+                  rng.sample(_EN_WORDS, rng.randint(8, 20)))
+    ads = "".join(
+        f'<div class="ad">Sale! <a href="/buy{i}">buy now</a></div>'
+        for i in range(rng.randint(1, 3)))
+    footer = ('<div class="footer">Copyright 2024 '
+              '<a href="/privacy">Privacy</a> '
+              '<a href="/terms">Terms</a></div>')
+    body = "".join(f"<p>{p}</p>" for p in paras)
+    mal = _md5i(f"{seed}:mal:{doc_id}") % 100
+    content_open = '<div class="content">'
+    tail = f"{footer}</body></html>"
+    if mal < 10 and mal % 3 == 1:
+        tail = f"{footer}</div></p>"          # truncated close
+    elif mal < 10 and mal % 3 == 2:
+        content_open = "<div class=content><p>"  # unquoted + stray
+    html_s = (f"<html><head><title>{title}</title></head><body>"
+              f'<div class="nav">{nav}</div>{ads}'
+              f"{content_open}{body}</div>{tail}")
+    return url, ts, html_s.encode("utf-8")
+
+
 def pages_from_documents(spark: SparkSession, sf_dir: str,
                          seed: int = 42) -> DataFrame:
     """Build pages keyed 1:1 to the driver's documents.parquet doc_ids, with
@@ -209,29 +239,8 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
         for pdf in batches:
             out = []
             for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
-                doc_id = int(doc_id)
-                url, ts, title, paras = doc_page_fields(doc_id, text or "", seed)
-                rng = random.Random(seed ^ (doc_id * 7919))  # boilerplate only
-                nav = "".join(f'<a href="/{w}">{w}</a> ' for w in
-                              rng.sample(_EN_WORDS, rng.randint(8, 20)))
-                ads = "".join(
-                    f'<div class="ad">Sale! <a href="/buy{i}">buy now</a></div>'
-                    for i in range(rng.randint(1, 3)))
-                footer = ('<div class="footer">Copyright 2024 '
-                          '<a href="/privacy">Privacy</a> '
-                          '<a href="/terms">Terms</a></div>')
-                body = "".join(f"<p>{p}</p>" for p in paras)
-                mal = _md5i(f"{seed}:mal:{doc_id}") % 100
-                content_open = '<div class="content">'
-                tail = f"{footer}</body></html>"
-                if mal < 10 and mal % 3 == 1:
-                    tail = f"{footer}</div></p>"          # truncated close
-                elif mal < 10 and mal % 3 == 2:
-                    content_open = "<div class=content><p>"  # unquoted + stray
-                html_s = (f"<html><head><title>{title}</title></head><body>"
-                          f'<div class="nav">{nav}</div>{ads}'
-                          f"{content_open}{body}</div>{tail}")
-                out.append((url, ts, html_s.encode("utf-8"), text, lang))
+                url, ts, html = document_page(int(doc_id), text, seed)
+                out.append((url, ts, html, text, lang))
             yield pd.DataFrame(out, columns=["url", "warc_ts", "html", "text", "lang"])
 
     return docs.select("doc_id", "text", "lang").mapInPandas(gen, PAGES_SCHEMA)

@@ -1,0 +1,97 @@
+"""WARC-source e2e queries with DuckDB oracles.
+
+The corpus is the same md5-derivable page set as ``pages_from_documents``,
+re-containered as member-gzip WARC files (``sources/warc.py``).  Two
+checks:
+
+  * ``warc_records`` — record-level framing parse: per response record the
+    target URI, the WARC-Date (re-derived from the header STRING, proving
+    the header was parsed, not passed through), the HTTP status and the
+    shard/sequence position.  The oracle replays the sharding
+    (``file_id = doc_id % 32``, records in doc_id order) and the
+    md5-derived url/ts relationally.
+  * ``warc_extract_e2e`` — the full chain: WARC bytes → gzip-member walk →
+    HTTP payload → decode → readability → sections → naive_merge.  Its
+    oracle is the pages-route extraction oracle (minus the lang column a
+    crawl doesn't carry): matching it proves the WARC container round-trip
+    is byte-exact, because one flipped payload byte changes extracted text,
+    token costs and the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import ordered as _ordered
+from .extract_e2e import _PREFIX, _SEED, _md5i, _tune
+
+_N_FILES = 32
+
+
+def _files(spark: SparkSession, sf_dir: str):
+    from ..sources.warc import warc_files_from_documents
+    return warc_files_from_documents(spark, sf_dir, seed=_SEED,
+                                     n_files=_N_FILES)
+
+
+def q_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.warc import warc_records_df
+    _tune(spark)
+    return (warc_records_df(_files(spark, sf_dir))
+            .select("file_id", "rec_seq", "url", "ts_micros", "http_status",
+                    "content_type")
+            .transform(_ordered("url")))
+
+
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.extract import extract_pages
+    from ..sources.warc import pages_from_warc
+    _tune(spark)
+    return (extract_pages(pages_from_warc(_files(spark, sf_dir)))
+            .select("url", "status", "title", "n_sections", "n_chunks",
+                    "n_tokens")
+            .transform(_ordered("url")))
+
+
+WARC_RECORDS_SQL = f"""
+WITH meta AS (
+  SELECT doc_id,
+    'https://host' ||
+      lpad(CAST({_md5i(f"'{_SEED}:url:' || doc_id")} % 500 AS VARCHAR),
+           4, '0') ||
+      '.example.' ||
+      (['com','org','net','cn'])[
+        CAST({_md5i(f"'{_SEED}:tld:' || doc_id")} % 4 AS INTEGER) + 1] ||
+      '/' ||
+      (['news','blog','docs','wiki'])[
+        CAST({_md5i(f"'{_SEED}:sec:' || doc_id")} % 4 AS INTEGER) + 1] ||
+      '/' || doc_id AS url,
+    {_md5i(f"'{_SEED}:ts:' || doc_id")} % (730::BIGINT * 86400 * 1000000)
+      AS ts_micros
+  FROM documents)
+SELECT CAST(doc_id % {_N_FILES} AS INTEGER) AS file_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % {_N_FILES}
+                               ORDER BY doc_id) - 1 AS INTEGER) AS rec_seq,
+       url, ts_micros,
+       200 AS http_status,
+       'text/html' AS content_type
+FROM meta
+ORDER BY url
+"""
+
+WARC_EXTRACT_SQL = _PREFIX + """
+SELECT m.url, 'ok' AS status, t.title,
+       CAST(d.n_sections AS INTEGER) AS n_sections,
+       CAST(d.n_chunks AS INTEGER) AS n_chunks,
+       CAST(d.tot AS INTEGER) AS n_tokens
+FROM perdoc d
+JOIN meta m USING (doc_id)
+JOIN title t USING (doc_id)
+ORDER BY m.url
+"""
+
+QUERIES = {
+    "warc_records": (q_warc_records, WARC_RECORDS_SQL),
+    "warc_extract_e2e": (q_warc_extract, WARC_EXTRACT_SQL),
+}

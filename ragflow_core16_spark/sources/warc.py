@@ -1,0 +1,265 @@
+"""Native WARC/1.0 source connector (the Common-Crawl container format).
+
+The reference fetches document blobs from object storage one file at a time
+(``rag/svr/task_executor.py:217-240`` STORAGE_IMPL.get); a Common-Crawl-style
+corpus arrives instead as WARC files (ISO 28500): a sequence of records,
+each its own gzip member, where ``response`` records wrap an HTTP/1.1
+response whose body is the page html.  This module implements the container
+natively — stdlib ``gzip``/``zlib`` only — with
+
+  * a deterministic writer (``build_response_record`` / ``build_warc_gz``)
+    used to synthesize test corpora from ``documents.parquet``, and
+  * a streaming parser (``iter_warc_records``) run Spark-side via
+    ``mapInPandas`` to turn WARC files into the ``pages`` table shape.
+
+Scale design (10^12 pages): one WARC file (~1 GB gzipped in Common Crawl)
+is one input row / one task; gzip members force sequential parsing WITHIN a
+file but files parse embarrassingly parallel ACROSS the fleet — exactly how
+CC-MAIN jobs shard.  The parser walks one gzip member at a time via
+``zlib.decompressobj(...).unused_data`` so it never holds more than one
+record's payload; malformed records yield an ``error`` row, never a task
+abort.  On a real cluster the file list comes from a
+``spark.read.format("binaryFile")`` scan (or an Iceberg manifest of blob
+pointers); here the files themselves are synthesized deterministically.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from ..datagen.pages import PAGES_SCHEMA, document_page
+
+_CRLF = b"\r\n"
+_EPOCH = pd.Timestamp("2024-01-01")
+
+
+def _warc_date(ts: pd.Timestamp) -> str:
+    # WARC 1.1 allows fractional seconds; keep microseconds for parity with
+    # the generator's microsecond-resolution warc_ts.
+    return ts.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+
+
+def _parse_warc_date(s: str) -> pd.Timestamp:
+    return pd.Timestamp(s.rstrip("Z"))
+
+
+def build_response_record(url: str, ts: pd.Timestamp, html: bytes,
+                          status: int = 200,
+                          content_type: str = "text/html") -> bytes:
+    """One WARC/1.0 ``response`` record wrapping an HTTP/1.1 response."""
+    http = (f"HTTP/1.1 {status} OK\r\n"
+            f"Content-Type: {content_type}\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n").encode("ascii") + html
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: response\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {_warc_date(ts)}\r\n"
+            f"Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n").encode("ascii")
+    return head + http + _CRLF + _CRLF
+
+
+def build_warcinfo(filename: str) -> bytes:
+    body = b"software: ragflow_core16_spark\r\nformat: WARC File Format 1.0\r\n"
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: warcinfo\r\n"
+            f"WARC-Filename: {filename}\r\n"
+            f"WARC-Date: {_warc_date(_EPOCH)}\r\n"
+            f"Content-Type: application/warc-fields\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode("ascii")
+    return head + body + _CRLF + _CRLF
+
+
+def build_warc_gz(records: list[bytes]) -> bytes:
+    """Concatenated per-record gzip members (the Common Crawl convention:
+    record offsets in the CDX index point at member starts).  mtime=0 keeps
+    the bytes a pure function of the records."""
+    return b"".join(gzip.compress(r, mtime=0) for r in records)
+
+
+def _iter_members(data: bytes):
+    """Yield decompressed gzip members one at a time (streaming: at most one
+    member's bytes live at once).  Non-gzip input is one plain 'member'."""
+    if data[:2] != b"\x1f\x8b":
+        yield bytes(data)
+        return
+    rest = bytes(data)
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        yield d.decompress(rest)
+        rest = d.unused_data
+    if rest:
+        yield rest  # trailing plain bytes: surface to the header parser
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for line in block.split(_CRLF):
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            out[k.decode("ascii", "replace").strip().lower()] = \
+                v.decode("ascii", "replace").strip()
+    return out
+
+
+def iter_warc_records(data: bytes):
+    """Parse a WARC file (plain or member-gzip).  Yields one dict per
+    record: ``{type, url, ts, http_status, content_type, payload, error}``.
+    A record that fails to frame yields ``type='error'`` and parsing moves
+    to the next gzip member (one bad record must not kill the file)."""
+    for member in _iter_members(data):
+        off = 0
+        while off < len(member):
+            # skip inter-record blank lines
+            while member[off:off + 2] == _CRLF:
+                off += 2
+            if off >= len(member):
+                break
+            try:
+                hdr_end = member.index(_CRLF + _CRLF, off)
+            except ValueError:
+                yield {"type": "error", "url": None, "ts": None,
+                       "http_status": None, "content_type": None,
+                       "payload": None, "error": "unterminated header"}
+                break
+            head = member[off:hdr_end]
+            if not head.startswith(b"WARC/"):
+                yield {"type": "error", "url": None, "ts": None,
+                       "http_status": None, "content_type": None,
+                       "payload": None, "error": "bad magic"}
+                break
+            h = _parse_headers(head)
+            try:
+                clen = int(h.get("content-length", ""))
+            except ValueError:
+                yield {"type": "error", "url": h.get("warc-target-uri"),
+                       "ts": None, "http_status": None, "content_type": None,
+                       "payload": None, "error": "bad content-length"}
+                break
+            block = member[hdr_end + 4:hdr_end + 4 + clen]
+            off = hdr_end + 4 + clen
+            rtype = h.get("warc-type", "")
+            if rtype != "response":
+                yield {"type": rtype, "url": h.get("warc-target-uri"),
+                       "ts": None, "http_status": None, "content_type": None,
+                       "payload": None, "error": None}
+                continue
+            url = h.get("warc-target-uri")
+            try:
+                ts = _parse_warc_date(h.get("warc-date", ""))
+            except ValueError:
+                ts = None
+            status, ctype, payload, err = None, None, None, None
+            try:
+                he = block.index(_CRLF + _CRLF)
+                status_line = block[:block.index(_CRLF)]
+                status = int(status_line.split(b" ")[1])
+                hh = _parse_headers(block[:he])
+                ctype = hh.get("content-type")
+                payload = block[he + 4:]
+                want = hh.get("content-length")
+                if want is not None and len(payload) != int(want):
+                    err = "http length mismatch"
+            except (ValueError, IndexError):
+                err = "bad http framing"
+            yield {"type": "response", "url": url, "ts": ts,
+                   "http_status": status, "content_type": ctype,
+                   "payload": payload, "error": err}
+
+
+# ------------------------------------------------------------- Spark side
+
+N_FILES = 32  # synthetic shard count; oracle replays file_id = doc_id % 32
+
+WARC_FILES_SCHEMA = StructType([
+    StructField("file_id", IntegerType(), False),
+    StructField("n_records", IntegerType(), False),
+    StructField("data", BinaryType(), False),
+])
+
+WARC_RECORDS_SCHEMA = StructType([
+    StructField("file_id", IntegerType(), False),
+    StructField("rec_seq", IntegerType(), False),
+    StructField("url", StringType(), True),
+    StructField("ts_micros", LongType(), True),
+    StructField("http_status", IntegerType(), True),
+    StructField("content_type", StringType(), True),
+    StructField("payload_len", LongType(), True),
+])
+
+
+def warc_files_from_documents(spark: SparkSession, sf_dir: str,
+                              seed: int = 42,
+                              n_files: int = N_FILES) -> DataFrame:
+    """Synthesize a deterministic WARC corpus: documents sharded into
+    ``n_files`` files (``file_id = doc_id % n_files``), records in doc_id
+    order, pages byte-identical to ``pages_from_documents``.  One groupBy
+    shuffle keyed on file_id — the build is write-path tooling, the read
+    path (``pages_from_warc``) is the operator under test."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text")
+            .withColumn("file_id", (F.col("doc_id") % n_files).cast("int")))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        fid = int(pdf["file_id"].iloc[0])
+        recs = [build_warcinfo(f"crawl-{fid:05d}.warc.gz")]
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            url, ts, html = document_page(int(doc_id), text, seed)
+            recs.append(build_response_record(url, ts, html))
+        return pd.DataFrame([(fid, len(recs) - 1, build_warc_gz(recs))],
+                            columns=["file_id", "n_records", "data"])
+
+    return docs.groupBy("file_id").applyInPandas(build, WARC_FILES_SCHEMA)
+
+
+def warc_records_df(files: DataFrame) -> DataFrame:
+    """Record-level parse: framing fields per response record.  ts_micros is
+    re-derived from the parsed WARC-Date string (proves the header was read,
+    not passed through)."""
+    def parse(batches):
+        for pdf in batches:
+            out = []
+            for fid, data in zip(pdf["file_id"], pdf["data"]):
+                seq = 0
+                for r in iter_warc_records(bytes(data)):
+                    if r["type"] != "response":
+                        continue
+                    tsm = (None if r["ts"] is None else
+                           (r["ts"] - _EPOCH) // pd.Timedelta(microseconds=1))
+                    out.append((int(fid), seq, r["url"], tsm,
+                                r["http_status"], r["content_type"],
+                                None if r["payload"] is None
+                                else len(r["payload"])))
+                    seq += 1
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             WARC_RECORDS_SCHEMA.fields])
+
+    return files.mapInPandas(parse, WARC_RECORDS_SCHEMA)
+
+
+def pages_from_warc(files: DataFrame) -> DataFrame:
+    """WARC files → the ``pages`` table shape (url, warc_ts, html, text,
+    lang).  text/lang are NULL — a crawl carries neither; downstream
+    extraction derives them.  Non-response and errored records are dropped
+    here (the record-level view above surfaces them)."""
+    def parse(batches):
+        for pdf in batches:
+            out = []
+            for data in pdf["data"]:
+                for r in iter_warc_records(bytes(data)):
+                    if r["type"] != "response" or r["error"] is not None:
+                        continue
+                    out.append((r["url"], r["ts"], r["payload"], None, None))
+            yield pd.DataFrame(out, columns=["url", "warc_ts", "html",
+                                             "text", "lang"])
+
+    return files.mapInPandas(parse, PAGES_SCHEMA)

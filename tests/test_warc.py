@@ -1,0 +1,120 @@
+"""Native WARC container: writer/parser round trip and Spark source path."""
+
+import gzip
+
+import pandas as pd
+import pytest
+
+from ragflow_core16_spark.datagen.pages import document_page
+from ragflow_core16_spark.sources.warc import (build_response_record,
+                                               build_warc_gz, build_warcinfo,
+                                               iter_warc_records,
+                                               pages_from_warc,
+                                               warc_files_from_documents,
+                                               warc_records_df)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus(n=6):
+    recs = [build_warcinfo("test.warc.gz")]
+    pages = []
+    for i in range(n):
+        url, ts, html = document_page(i, "alpha beta gamma delta " * 40)
+        pages.append((url, ts, html))
+        recs.append(build_response_record(url, ts, html))
+    return pages, recs
+
+
+class TestRoundTrip:
+    def test_gzip_members_roundtrip(self):
+        pages, recs = _corpus()
+        out = list(iter_warc_records(build_warc_gz(recs)))
+        assert [r["type"] for r in out] == ["warcinfo"] + ["response"] * 6
+        for (url, ts, html), r in zip(pages, out[1:]):
+            assert r["url"] == url
+            assert r["ts"] == ts                 # microsecond-exact
+            assert r["payload"] == html          # byte-exact
+            assert r["http_status"] == 200
+            assert r["error"] is None
+
+    def test_plain_uncompressed_warc(self):
+        pages, recs = _corpus(3)
+        out = list(iter_warc_records(b"".join(recs)))
+        assert [r["type"] for r in out] == ["warcinfo"] + ["response"] * 3
+        assert out[-1]["payload"] == pages[-1][2]
+
+    def test_each_record_is_own_gzip_member(self):
+        # Common Crawl convention: CDX offsets point at member starts
+        _, recs = _corpus(2)
+        data = build_warc_gz(recs)
+        assert data.count(b"\x1f\x8b\x08") >= len(recs)
+        # first member alone decompresses to the warcinfo record
+        assert gzip.decompress(data).startswith(b"WARC/1.0\r\n")
+
+    def test_binary_payload_survives(self):
+        # non-utf8 bytes (gbk page, embedded NULs) must round-trip untouched
+        payload = "中文页面内容。".encode("gbk") + b"\x00\xff\x1f\x8b"
+        rec = build_response_record("https://x.example.com/1",
+                                    pd.Timestamp("2024-06-01T12:00:00"),
+                                    payload)
+        out = list(iter_warc_records(build_warc_gz([rec])))
+        assert out[0]["payload"] == payload
+
+    def test_trailing_garbage_yields_error_not_crash(self):
+        _, recs = _corpus(2)
+        out = list(iter_warc_records(build_warc_gz(recs) + b"not a record"))
+        assert [r["type"] for r in out[:-1]] == ["warcinfo", "response",
+                                                 "response"]
+        assert out[-1]["type"] == "error"
+
+    def test_truncated_http_block_flagged(self):
+        url, ts, html = document_page(0, "word " * 50)
+        rec = build_response_record(url, ts, html)
+        # chop 10 payload bytes but keep the WARC Content-Length header:
+        # framing fails forward with an explicit error
+        broken = rec[:-14]
+        out = list(iter_warc_records(broken))
+        assert out[0]["type"] == "response"
+        assert out[0]["error"] == "http length mismatch"
+
+    def test_non_response_records_typed(self):
+        rec = build_warcinfo("x.warc.gz")
+        out = list(iter_warc_records(rec))
+        assert out[0]["type"] == "warcinfo"
+        assert out[0]["payload"] is None
+
+
+class TestSparkSource:
+    def test_pages_from_warc_matches_pages_table(self, spark):
+        """The WARC route must reproduce pages_from_documents byte-for-byte
+        (url, warc_ts, html) — the north-rule invariant carrier."""
+        from ragflow_core16_spark.datagen.pages import pages_from_documents
+        files = warc_files_from_documents(spark, SF)
+        got = {r["url"]: r for r in pages_from_warc(files).collect()}
+        want = {r["url"]: r for r in
+                pages_from_documents(spark, SF).collect()}
+        assert set(got) == set(want)
+        for url, w in want.items():
+            g = got[url]
+            assert bytes(g["html"]) == bytes(w["html"])
+            assert g["warc_ts"] == w["warc_ts"]
+
+    def test_record_counts_per_file(self, spark):
+        files = warc_files_from_documents(spark, SF).collect()
+        assert sum(f["n_records"] for f in files) == 500
+        parsed = warc_records_df(
+            warc_files_from_documents(spark, SF)).collect()
+        assert len(parsed) == 500
+        assert all(p["http_status"] == 200 for p in parsed)
+
+    def test_rec_seq_is_doc_id_order(self, spark):
+        parsed = warc_records_df(
+            warc_files_from_documents(spark, SF)).collect()
+        by_file = {}
+        for p in sorted(parsed, key=lambda p: (p["file_id"], p["rec_seq"])):
+            doc_id = int(p["url"].rsplit("/", 1)[1])
+            assert doc_id % 32 == p["file_id"]
+            prev = by_file.get(p["file_id"], -1)
+            assert doc_id > prev
+            by_file[p["file_id"]] = doc_id
