@@ -91,7 +91,39 @@ JOIN title t USING (doc_id)
 ORDER BY m.url
 """
 
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC → extract → WET write → WET parse: the full crawl-curation
+    container loop.  The final text comes back out of the *re-parsed* WET
+    bytes, so a hash match against the relational section derivation proves
+    both containers (response and conversion records, member-gzip framing,
+    WARC-Date round-trip) are byte-exact end to end."""
+    from ..operators.extract import extract_pages
+    from ..sources.warc import (pages_from_warc, text_from_wet,
+                                wet_files_from_extracted)
+    _tune(spark)
+    ext = extract_pages(pages_from_warc(_files(spark, sf_dir)))
+    wet = wet_files_from_extracted(ext, n_files=_N_FILES)
+    return (text_from_wet(wet)
+            .select("url", "ts_micros", "wet_text")
+            .transform(_ordered("url")))
+
+
+# WET text = '\n'.join(sections) — exactly the sections CTE of the shared
+# extraction oracle, title first (sec 0), paragraphs in order.
+WET_ROUNDTRIP_SQL = _PREFIX + f"""
+, wet AS (
+  SELECT doc_id, string_agg(stext, chr(10) ORDER BY sec) AS wet_text
+  FROM sections GROUP BY doc_id)
+SELECT m.url,
+       {_md5i(f"'{_SEED}:ts:' || m.doc_id")}
+         % (730::BIGINT * 86400 * 1000000) AS ts_micros,
+       w.wet_text
+FROM wet w JOIN meta m USING (doc_id)
+ORDER BY m.url
+"""
+
 QUERIES = {
     "warc_records": (q_warc_records, WARC_RECORDS_SQL),
     "warc_extract_e2e": (q_warc_extract, WARC_EXTRACT_SQL),
+    "wet_roundtrip_e2e": (q_wet_roundtrip, WET_ROUNDTRIP_SQL),
 }

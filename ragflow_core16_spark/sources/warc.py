@@ -67,6 +67,19 @@ def build_response_record(url: str, ts: pd.Timestamp, html: bytes,
     return head + http + _CRLF + _CRLF
 
 
+def build_conversion_record(url: str, ts: pd.Timestamp, text: str) -> bytes:
+    """One WARC ``conversion`` record — the WET convention: extracted plain
+    text of a response record, utf-8, ``Content-Type: text/plain``."""
+    body = text.encode("utf-8")
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: conversion\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {_warc_date(ts)}\r\n"
+            f"Content-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode("ascii")
+    return head + body + _CRLF + _CRLF
+
+
 def build_warcinfo(filename: str) -> bytes:
     body = b"software: ragflow_core16_spark\r\nformat: WARC File Format 1.0\r\n"
     head = (f"WARC/1.0\r\n"
@@ -147,16 +160,18 @@ def iter_warc_records(data: bytes):
             block = member[hdr_end + 4:hdr_end + 4 + clen]
             off = hdr_end + 4 + clen
             rtype = h.get("warc-type", "")
-            if rtype != "response":
-                yield {"type": rtype, "url": h.get("warc-target-uri"),
-                       "ts": None, "http_status": None, "content_type": None,
-                       "payload": None, "error": None}
-                continue
             url = h.get("warc-target-uri")
             try:
                 ts = _parse_warc_date(h.get("warc-date", ""))
             except ValueError:
                 ts = None
+            if rtype != "response":
+                # conversion (WET) / warcinfo / …: the block IS the payload
+                yield {"type": rtype, "url": url, "ts": ts,
+                       "http_status": None,
+                       "content_type": h.get("content-type"),
+                       "payload": block, "error": None}
+                continue
             status, ctype, payload, err = None, None, None, None
             try:
                 he = block.index(_CRLF + _CRLF)
@@ -244,6 +259,62 @@ def warc_records_df(files: DataFrame) -> DataFrame:
                                              WARC_RECORDS_SCHEMA.fields])
 
     return files.mapInPandas(parse, WARC_RECORDS_SCHEMA)
+
+
+WET_TEXT_SCHEMA = StructType([
+    StructField("url", StringType(), True),
+    StructField("ts_micros", LongType(), True),
+    StructField("wet_text", StringType(), True),
+])
+
+
+def wet_files_from_extracted(extracted: DataFrame,
+                             n_files: int = N_FILES) -> DataFrame:
+    """Extraction output → WET shard files (the Common-Crawl *.warc.wet.gz
+    convention): one ``conversion`` record per successfully-extracted page
+    carrying its plain text, one gzip member per record.  Sharding is
+    ``crc32(url) % n_files`` — deterministic and key-balanced; records are
+    url-ordered within a shard so the file bytes are a pure function of the
+    extraction output.  One keyed shuffle (the groupBy), then the member
+    build streams a shard at a time."""
+    rows = (extracted
+            .where(F.col("status") == "ok")
+            .select("url", "warc_ts", "extracted_text")
+            .withColumn("file_id",
+                        (F.crc32(F.col("url")) % n_files).cast("int")))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("url")
+        fid = int(pdf["file_id"].iloc[0])
+        recs = [build_warcinfo(f"wet-{fid:05d}.warc.wet.gz")]
+        for url, ts, text in zip(pdf["url"], pdf["warc_ts"],
+                                 pdf["extracted_text"]):
+            recs.append(build_conversion_record(url, ts, text or ""))
+        return pd.DataFrame([(fid, len(recs) - 1, build_warc_gz(recs))],
+                            columns=["file_id", "n_records", "data"])
+
+    return rows.groupBy("file_id").applyInPandas(build, WARC_FILES_SCHEMA)
+
+
+def text_from_wet(files: DataFrame) -> DataFrame:
+    """WET files → (url, ts_micros, wet_text): the conversion-record read
+    path.  ts_micros is re-derived from the parsed WARC-Date header string;
+    the text block is the record payload verbatim (utf-8)."""
+    def parse(batches):
+        for pdf in batches:
+            out = []
+            for data in pdf["data"]:
+                for r in iter_warc_records(bytes(data)):
+                    if r["type"] != "conversion" or r["error"] is not None:
+                        continue
+                    tsm = (None if r["ts"] is None else
+                           (r["ts"] - _EPOCH) // pd.Timedelta(microseconds=1))
+                    out.append((r["url"], tsm,
+                                r["payload"].decode("utf-8")))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             WET_TEXT_SCHEMA.fields])
+
+    return files.mapInPandas(parse, WET_TEXT_SCHEMA)
 
 
 def pages_from_warc(files: DataFrame) -> DataFrame:

@@ -6,12 +6,15 @@ import pandas as pd
 import pytest
 
 from ragflow_core16_spark.datagen.pages import document_page
-from ragflow_core16_spark.sources.warc import (build_response_record,
+from ragflow_core16_spark.sources.warc import (build_conversion_record,
+                                               build_response_record,
                                                build_warc_gz, build_warcinfo,
                                                iter_warc_records,
                                                pages_from_warc,
+                                               text_from_wet,
                                                warc_files_from_documents,
-                                               warc_records_df)
+                                               warc_records_df,
+                                               wet_files_from_extracted)
 
 SF = "/root/testdata/sf0.001"
 
@@ -82,7 +85,19 @@ class TestRoundTrip:
         rec = build_warcinfo("x.warc.gz")
         out = list(iter_warc_records(rec))
         assert out[0]["type"] == "warcinfo"
-        assert out[0]["payload"] is None
+        # non-response: the record block IS the payload (warc-fields here)
+        assert out[0]["payload"].startswith(b"software: ")
+
+    def test_conversion_record_roundtrip(self):
+        ts = pd.Timestamp("2024-06-01T12:00:00.000123")
+        text = "Title line\npara one.\n中文段落。"
+        rec = build_conversion_record("https://x.example.com/9", ts, text)
+        out = list(iter_warc_records(build_warc_gz([rec])))
+        assert [r["type"] for r in out] == ["conversion"]
+        assert out[0]["url"] == "https://x.example.com/9"
+        assert out[0]["ts"] == ts
+        assert out[0]["content_type"] == "text/plain"
+        assert out[0]["payload"].decode("utf-8") == text
 
 
 class TestSparkSource:
@@ -107,6 +122,25 @@ class TestSparkSource:
             warc_files_from_documents(spark, SF)).collect()
         assert len(parsed) == 500
         assert all(p["http_status"] == 200 for p in parsed)
+
+    def test_wet_roundtrip_preserves_extracted_text(self, spark):
+        """extract → WET write → WET parse must hand back the exact
+        extracted_text and warc_ts of every ok page."""
+        from ragflow_core16_spark.operators.extract import extract_pages
+        ext = extract_pages(pages_from_warc(
+            warc_files_from_documents(spark, SF)))
+        want = {r["url"]: r for r in
+                ext.select("url", "warc_ts", "extracted_text").collect()}
+        wet = wet_files_from_extracted(ext)
+        got = {r["url"]: r for r in text_from_wet(wet).collect()}
+        assert set(got) == set(want)
+        epoch = pd.Timestamp("2024-01-01")
+        for url, w in want.items():
+            g = got[url]
+            assert g["wet_text"] == w["extracted_text"]
+            micros = (pd.Timestamp(w["warc_ts"]) - epoch) \
+                // pd.Timedelta(microseconds=1)
+            assert g["ts_micros"] == micros
 
     def test_rec_seq_is_doc_id_order(self, spark):
         parsed = warc_records_df(
