@@ -435,23 +435,33 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(node, label) after min-label propagation over the LSH pair edges;
     shared by ``dedup_clusters`` and ``dedup_keep``."""
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # localCheckpoint (eager) rather than cache: it TRUNCATES lineage, so
+    # every loop round plans over the tiny materialized edge relation, not
+    # the full LSH DAG that produced it (per-round planning cost would
+    # otherwise grow linearly with round number).  The edge list is
+    # ∝ collisions — a vanishing fraction of the corpus — so the
+    # materialization is cheap at any scale.
     edges = (pairs.union(pairs.select(F.col("doc_b").alias("doc_a"),
                                       F.col("doc_a").alias("doc_b")))
-             .distinct().cache())
+             .distinct().localCheckpoint())
     labels = (edges.select(F.col("doc_a").alias("node"))
               .distinct()
-              .withColumn("label", F.col("node")).cache())
+              .withColumn("label", F.col("node")).localCheckpoint())
     while True:
         neigh = (edges.join(labels, edges.doc_b == labels.node)
                  .groupBy(F.col("doc_a").alias("node"))
                  .agg(F.min("label").alias("nmin")))
-        new = (labels.join(neigh, "node", "left")
-               .select("node", F.least("label", F.coalesce("nmin", "label"))
-                       .alias("label")).cache())
-        changed = (new.alias("n").join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
-        labels.unpersist()
-        labels = new
+        # carry the previous label inline so convergence needs no second
+        # join against the old relation — one checkpoint job + one cheap
+        # count per round
+        new = (labels.withColumnRenamed("label", "old")
+               .join(neigh, "node", "left")
+               .select("node",
+                       F.least("old", F.coalesce("nmin", "old"))
+                       .alias("label"), "old")
+               .localCheckpoint())
+        changed = new.filter(F.col("label") != F.col("old")).count()
+        labels = new.drop("old")
         if changed == 0:
             break
     return labels

@@ -345,9 +345,90 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------- domain caps
+_CAP_K = 3          # max documents kept per host
+_CAP_SALTS = 8      # stage-1 fanout per host
+
+
+def _md5i_col(key):
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+
+
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps (the RefinedWeb / Dolma host-balancing
+    pass): keep at most K documents per host, chosen by a deterministic
+    priority (stand-in for a quality score), so no single crawler-trap or
+    SEO-farm domain dominates the training mix.
+
+    Skew design: a plain ``row_number() OVER (PARTITION BY host)`` funnels
+    every page of a hot host (millions at 100 TB) into ONE window
+    partition.  Instead the top-K is selected in two stages — stage 1
+    takes per-(host, salt) top-K (collect_list is bounded at K per salted
+    group before any hot key concentrates), stage 2 merges the ≤ K·SALTS
+    survivors per host.  The kept SET is provably identical to the window
+    formulation, which is exactly what the oracle checks.  Host totals
+    come from a separate count agg (map-side combinable)."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id"))
+    host = F.concat(
+        F.lit("host"),
+        F.lpad((_md5i_col(F.concat(F.lit("42:url:"),
+                                   F.col("doc_id").cast("string")))
+                % 500).cast("string"), 4, "0"),
+        F.lit(".example."),
+        F.element_at(F.array(F.lit("com"), F.lit("org"),
+                             F.lit("net"), F.lit("cn")),
+                     (_md5i_col(F.concat(F.lit("42:tld:"),
+                                         F.col("doc_id").cast("string")))
+                      % 4).cast("int") + 1))
+    prio = _md5i_col(F.concat(F.lit("42:prio:"),
+                              F.col("doc_id").cast("string")))
+    m = docs.select("doc_id", host.alias("host"), prio.alias("prio"))
+    stage1 = (m.withColumn("salt", (F.col("doc_id") % _CAP_SALTS))
+              .groupBy("host", "salt")
+              .agg(F.slice(F.sort_array(F.collect_list(
+                  F.struct("prio", "doc_id"))), 1, _CAP_K).alias("top")))
+    stage2 = (stage1.select("host", F.explode("top").alias("t"))
+              .groupBy("host")
+              .agg(F.slice(F.sort_array(F.collect_list("t")), 1, _CAP_K)
+                   .alias("top")))
+    kept = (stage2.select("host", F.posexplode("top").alias("r", "t"))
+            .select("host", (F.col("r") + 1).cast("int").alias("rank"),
+                    F.col("t.doc_id").alias("doc_id")))
+    totals = m.groupBy("host").agg(F.count(F.lit(1)).cast("int")
+                                   .alias("host_docs"))
+    return (kept.join(totals, "host")
+            .select("host", "host_docs", "rank", "doc_id")
+            .orderBy("host", "rank"))
+
+
+DOMAIN_CAP_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+    'host' || lpad(CAST(('0x' || substr(md5('42:url:' || doc_id), 1, 15))::BIGINT
+                        % 500 AS VARCHAR), 4, '0') ||
+    '.example.' ||
+    (['com','org','net','cn'])[
+      CAST(('0x' || substr(md5('42:tld:' || doc_id), 1, 15))::BIGINT % 4
+           AS INTEGER) + 1] AS host,
+    ('0x' || substr(md5('42:prio:' || doc_id), 1, 15))::BIGINT AS prio
+  FROM documents),
+r AS (
+  SELECT host, doc_id,
+         row_number() OVER (PARTITION BY host ORDER BY prio, doc_id) AS rank,
+         count(*) OVER (PARTITION BY host) AS host_docs
+  FROM m)
+SELECT host, CAST(host_docs AS INTEGER) AS host_docs,
+       CAST(rank AS INTEGER) AS rank, doc_id
+FROM r WHERE rank <= {_CAP_K}
+ORDER BY host, rank
+"""
+
+
 QUERIES = {
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),
     "paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
     "corpus_keep": (corpus_keep, _corpus_keep_sql()),
+    "domain_cap": (domain_cap, DOMAIN_CAP_SQL),
 }
