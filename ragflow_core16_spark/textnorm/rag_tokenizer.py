@@ -204,45 +204,57 @@ class RagTokenizer:
         return sorted(res, key=lambda x: x[1], reverse=True)
 
     # -- max match -------------------------------------------------------
+    # NOTE: maxForward_/maxBackward_/dfs_ are only ever called on text that
+    # tokenize() has already lowercased (and fine_grained_tokenize on
+    # tokenize()'s own output), so the probes below use the substring
+    # directly instead of key_()'s re-lower — one allocation per probe on
+    # the hottest loop in extraction.
     def maxForward_(self, line):
+        trie = self.trie_
+        has_pref = trie.has_keys_with_prefix
         res = []
         s = 0
-        while s < len(line):
+        n = len(line)
+        while s < n:
             e = s + 1
             t = line[s:e]
-            while e < len(line) and self.trie_.has_keys_with_prefix(self.key_(t)):
+            while e < n and has_pref(t):
                 e += 1
                 t = line[s:e]
-            while e - 1 > s and self.key_(t) not in self.trie_:
+            while e - 1 > s and t not in trie:
                 e -= 1
                 t = line[s:e]
-            if self.key_(t) in self.trie_:
-                res.append((t, self.trie_[self.key_(t)]))
+            if t in trie:
+                res.append((t, trie[t]))
             else:
                 res.append((t, (0, "")))
             s = e
         return self.score_(res)
 
     def maxBackward_(self, line):
+        trie = self.trie_
+        has_pref = trie.has_keys_with_prefix
         res = []
         s = len(line) - 1
         while s >= 0:
             e = s + 1
             t = line[s:e]
-            while s > 0 and self.trie_.has_keys_with_prefix(self.rkey_(t)):
+            while s > 0 and has_pref("DD" + t[::-1]):
                 s -= 1
                 t = line[s:e]
-            while s + 1 < e and self.key_(t) not in self.trie_:
+            while s + 1 < e and t not in trie:
                 s += 1
                 t = line[s:e]
-            if self.key_(t) in self.trie_:
-                res.append((t, self.trie_[self.key_(t)]))
+            if t in trie:
+                res.append((t, trie[t]))
             else:
                 res.append((t, (0, "")))
             s -= 1
         return self.score_(res[::-1])
 
     def dfs_(self, chars, s, preTks, tkslist):
+        trie = self.trie_
+        has_pref = trie.has_keys_with_prefix
         res = s
         if len(tkslist) >= 2048:
             return res
@@ -252,29 +264,26 @@ class RagTokenizer:
         S = s + 1
         if s + 2 <= len(chars):
             t1, t2 = "".join(chars[s:s + 1]), "".join(chars[s:s + 2])
-            if self.trie_.has_keys_with_prefix(self.key_(t1)) and \
-                    not self.trie_.has_keys_with_prefix(self.key_(t2)):
+            if has_pref(t1) and not has_pref(t2):
                 S = s + 2
         if len(preTks) > 2 and len(preTks[-1][0]) == 1 \
                 and len(preTks[-2][0]) == 1 and len(preTks[-3][0]) == 1:
             t1 = preTks[-1][0] + "".join(chars[s:s + 1])
-            if self.trie_.has_keys_with_prefix(self.key_(t1)):
+            if has_pref(t1):
                 S = s + 2
         for e in range(S, len(chars) + 1):
             t = "".join(chars[s:e])
-            k = self.key_(t)
-            if e > s + 1 and not self.trie_.has_keys_with_prefix(k):
+            if e > s + 1 and not has_pref(t):
                 break
-            if k in self.trie_:
+            if t in trie:
                 pretks = [list(x) for x in preTks]
-                pretks.append((t, self.trie_[k]))
+                pretks.append((t, trie[t]))
                 res = max(res, self.dfs_(chars, e, pretks, tkslist))
         if res > s:
             return res
         t = "".join(chars[s:s + 1])
-        k = self.key_(t)
-        if k in self.trie_:
-            preTks.append((t, self.trie_[k]))
+        if t in trie:
+            preTks.append((t, trie[t]))
         else:
             preTks.append((t, (-12, "")))
         return self.dfs_(chars, s + 1, preTks, tkslist)
