@@ -338,3 +338,35 @@ def test_bloom_probe_broadcasts_and_partially_aggregates(spark):
     # bool_and compiles to min over booleans; partial_min is the
     # map-side combine of the per-url verdict
     assert "partial_min" in plan or "partial_bool_and" in plan
+
+
+def test_domain_cap_is_salted_topk_not_window(spark):
+    """Per-domain caps must select top-K via the salted two-stage
+    collect_list/slice aggregation — a hot host is absorbed by the salt
+    fanout and map-side partials — never a row_number window (which
+    funnels every page of a hot host into one task).  Host totals must
+    also partially aggregate."""
+    plan = _formatted(E._registry()["domain_cap"][0](spark, SF))
+    assert "Window" not in plan
+    assert "partial_collect_list" in plan
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_wet_chain_one_shuffle_per_container_build(spark):
+    """WARC→extract→WET: the only shuffles in the whole chain are the two
+    keyed groupBys that assemble container files (file_id sharding for the
+    WARC corpus build and the WET sink).  Parsing and extraction stages
+    are embarrassingly parallel mapInPandas — zero extra Exchange."""
+    from ragflow_core16_spark.operators.extract import extract_pages
+    from ragflow_core16_spark.sources.warc import (
+        pages_from_warc, warc_files_from_documents, wet_files_from_extracted,
+        text_from_wet)
+    files = warc_files_from_documents(spark, SF)
+    ext = extract_pages(pages_from_warc(files))
+    wet = text_from_wet(wet_files_from_extracted(ext))
+    plan = _formatted(wet)
+    # formatted mode prints each node once in the tree and once in the
+    # node list — count the node-list entries
+    assert plan.count(") Exchange") == 2
+    assert "SortMergeJoin" not in plan
