@@ -6,9 +6,15 @@ Deployment (north-rule run mode):
     zip -r ragflow_core16_spark.zip ragflow_core16_spark
     spark-submit --py-files ragflow_core16_spark.zip \
         jobs/extract_job.py \
-        --input  <pages parquet dir | iceberg table> \
+        --input  <pages parquet dir | iceberg table | WARC dir> \
         --output <warehouse dir for extracted/chunks/metrics/lineage> \
+        [--input-format warc] [--wet-output <dir> [--wet-shards 256]] \
         [--lang en] [--chunk-tokens 128] [--no-resume] [--run-id r42]
+
+``--input-format warc`` ingests a directory of ``*.warc.gz`` crawl files
+(one file = one task); ``--wet-output`` additionally materializes
+``*.warc.wet.gz`` shards of the extracted text from the committed
+``extracted/`` table — rerunnable on its own without re-extracting.
 
 The script takes master/executor topology from the spark-submit command
 line (no hardcoded master); on a cluster the same invocation runs at N and
@@ -29,7 +35,18 @@ import sys
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="pages → extracted+chunks")
     ap.add_argument("--input", required=True,
-                    help="pages source: parquet path, or iceberg:<table>")
+                    help="pages source: parquet path, iceberg:<table>, or "
+                         "(with --input-format warc) a dir of *.warc.gz")
+    ap.add_argument("--input-format", choices=["pages", "warc"],
+                    default="pages",
+                    help="'pages' = parquet/iceberg table of "
+                         "(url, warc_ts, html, text, lang); "
+                         "'warc' = directory of WARC files (one file = "
+                         "one task)")
+    ap.add_argument("--wet-output", default=None,
+                    help="also write *.warc.wet.gz shards of the extracted "
+                         "text (from the committed extracted/ table)")
+    ap.add_argument("--wet-shards", type=int, default=256)
     ap.add_argument("--output", required=True,
                     help="output warehouse dir (extracted/ chunks/ metrics/ lineage/)")
     ap.add_argument("--lang", default=None,
@@ -56,7 +73,10 @@ def main(argv=None) -> int:
     from ragflow_core16_spark.pipeline.run import (run_extraction,
                                                    run_extraction_snapshotted)
 
-    if args.input.startswith("iceberg:"):
+    if args.input_format == "warc":
+        from ragflow_core16_spark.sources.warc import pages_from_warc_dir
+        pages = pages_from_warc_dir(spark, args.input)
+    elif args.input.startswith("iceberg:"):
         pages = spark.read.table(args.input[len("iceberg:"):])
     else:
         pages = spark.read.parquet(args.input)
@@ -74,6 +94,25 @@ def main(argv=None) -> int:
         target_partition_bytes=args.target_partition_mb * 1024 * 1024)
     summary["docs_per_sec"] = round(
         summary["rows"] / summary["wall_sec"], 1) if summary["wall_sec"] else 0.0
+
+    if args.wet_output:
+        # WET sink reads the COMMITTED extracted table (no recompute) —
+        # a rerun with --wet-output alone re-emits shards without
+        # re-extracting anything
+        from pyspark.sql import functions as F2
+        from ragflow_core16_spark.sources.warc import write_wet_files
+        ext = (spark.read.parquet(f"{args.output}/extracted")
+               .where(F2.col("status") == "ok"))
+        manifest = write_wet_files(ext, args.wet_output,
+                                   n_files=args.wet_shards)
+        agg = manifest.agg(
+            F2.count(F2.lit(1)).alias("files"),
+            F2.sum("n_records").alias("records"),
+            F2.sum("bytes").alias("bytes")).collect()[0]
+        summary["wet"] = {"files": int(agg["files"] or 0),
+                          "records": int(agg["records"] or 0),
+                          "bytes": int(agg["bytes"] or 0)}
+
     print(json.dumps(summary))
     spark.stop()
     return 0

@@ -99,18 +99,26 @@ def build_warc_gz(records: list[bytes]) -> bytes:
 
 
 def _iter_members(data: bytes):
-    """Yield decompressed gzip members one at a time (streaming: at most one
-    member's bytes live at once).  Non-gzip input is one plain 'member'."""
+    """Yield ``(member_bytes, error)`` one gzip member at a time (streaming:
+    at most one member's bytes live at once).  Non-gzip input is one plain
+    'member'.  A corrupt member yields an error tuple and STOPS — a damaged
+    deflate stream cannot be resynced reliably — but never raises: one bad
+    file region must cost its tail, not the whole task."""
     if data[:2] != b"\x1f\x8b":
-        yield bytes(data)
+        yield bytes(data), None
         return
     rest = bytes(data)
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
-        yield d.decompress(rest)
+        try:
+            member = d.decompress(rest)
+        except zlib.error as e:
+            yield b"", f"gzip member corrupt: {e}"
+            return
+        yield member, None
         rest = d.unused_data
     if rest:
-        yield rest  # trailing plain bytes: surface to the header parser
+        yield rest, None  # trailing plain bytes: surface to header parser
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -128,7 +136,12 @@ def iter_warc_records(data: bytes):
     record: ``{type, url, ts, http_status, content_type, payload, error}``.
     A record that fails to frame yields ``type='error'`` and parsing moves
     to the next gzip member (one bad record must not kill the file)."""
-    for member in _iter_members(data):
+    for member, merr in _iter_members(data):
+        if merr is not None:
+            yield {"type": "error", "url": None, "ts": None,
+                   "http_status": None, "content_type": None,
+                   "payload": None, "error": merr}
+            continue
         off = 0
         while off < len(member):
             # skip inter-record blank lines
@@ -315,6 +328,63 @@ def text_from_wet(files: DataFrame) -> DataFrame:
                                              WET_TEXT_SCHEMA.fields])
 
     return files.mapInPandas(parse, WET_TEXT_SCHEMA)
+
+
+def pages_from_warc_dir(spark: SparkSession, path: str,
+                        glob: str = "*.warc.gz") -> DataFrame:
+    """Crawl ingestion from a directory/bucket of WARC files via the
+    binaryFile source: one file = one row = one task (the Common-Crawl
+    sharding unit; CC-MAIN files are ~1 GB gzipped, so executor memory
+    must cover one file per task — the standard sizing for WARC jobs).
+    At larger file sizes, front with a manifest table of byte-range
+    pointers instead."""
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", glob).load(path)
+             .select(F.lit(0).cast("int").alias("file_id"),
+                     F.lit(0).cast("int").alias("n_records"),
+                     F.col("content").alias("data")))
+    return pages_from_warc(files)
+
+
+WET_MANIFEST_SCHEMA = StructType([
+    StructField("file_id", IntegerType(), False),
+    StructField("n_records", IntegerType(), False),
+    StructField("path", StringType(), False),
+    StructField("bytes", LongType(), False),
+])
+
+
+def write_wet_files(extracted: DataFrame, out_dir: str,
+                    n_files: int = N_FILES) -> DataFrame:
+    """Materialize real ``*.warc.wet.gz`` shard files from extraction
+    output and return the manifest (file_id, n_records, path, bytes).
+    Each shard is written by the executor that assembled it — no driver
+    funnel; ``out_dir`` must be a filesystem every executor can reach
+    (shared FS locally, a fuse/NFS mount or posix-mapped object store on
+    a cluster — an HDFS/S3A deployment would swap the open() for the
+    Hadoop FS API at this one seam)."""
+    import os
+
+    wet = wet_files_from_extracted(extracted, n_files)
+
+    def dump(batches):
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            rows = []
+            for fid, n, data in zip(pdf["file_id"], pdf["n_records"],
+                                    pdf["data"]):
+                p = os.path.join(out_dir, f"wet-{int(fid):05d}.warc.wet.gz")
+                tmp = p + ".inprogress"
+                with open(tmp, "wb") as f:
+                    f.write(bytes(data))
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, p)          # atomic publish per shard
+                rows.append((int(fid), int(n), p, len(data)))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              WET_MANIFEST_SCHEMA.fields])
+
+    return wet.mapInPandas(dump, WET_MANIFEST_SCHEMA)
 
 
 def pages_from_warc(files: DataFrame) -> DataFrame:

@@ -83,3 +83,54 @@ def test_spark_submit_curate_job(tmp_path, spark):
                 keep.filter("corpus_keep").select("doc_id").collect()}
     corpus_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
     assert corpus_ids == kept_ids
+
+
+@pytest.mark.slow
+def test_spark_submit_warc_in_wet_out(tmp_path, spark):
+    """Crawl-shaped deployment: --input-format warc over a dir of
+    *.warc.gz, --wet-output materializing *.warc.wet.gz shards; every
+    record must survive the full container loop."""
+    zip_path = tmp_path / "ragflow_core16_spark.zip"
+    pkg = os.path.join(REPO, "ragflow_core16_spark")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+
+    from ragflow_core16_spark.datagen.pages import generate_page
+    from ragflow_core16_spark.sources.warc import (build_response_record,
+                                                   build_warc_gz,
+                                                   build_warcinfo,
+                                                   iter_warc_records)
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    for fid in range(4):
+        recs = [build_warcinfo(f"crawl-{fid}.warc.gz")]
+        for i in range(fid, 40, 4):
+            url, ts, html, _text, _lang = generate_page(i, 42)
+            recs.append(build_response_record(url, ts, html))
+        (warc_dir / f"crawl-{fid:05d}.warc.gz").write_bytes(
+            build_warc_gz(recs))
+
+    out = subprocess.run(
+        ["spark-submit", "--master", "local[2]",
+         "--py-files", str(zip_path),
+         os.path.join(REPO, "jobs", "extract_job.py"),
+         "--input", str(warc_dir), "--input-format", "warc",
+         "--output", str(tmp_path / "out"),
+         "--wet-output", str(tmp_path / "wet"), "--wet-shards", "8"],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=420)
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads([ln for ln in out.stdout.splitlines()
+                          if ln.startswith("{")][-1])
+    assert summary["rows"] == 40 and summary["ok"] == 40
+    assert summary["wet"]["files"] == 8
+    assert summary["wet"]["records"] == 40
+    conv = 0
+    for p in sorted((tmp_path / "wet").glob("*.warc.wet.gz")):
+        recs = list(iter_warc_records(p.read_bytes()))
+        assert all(r["error"] is None for r in recs)
+        conv += sum(1 for r in recs if r["type"] == "conversion")
+    assert conv == 40

@@ -152,3 +152,53 @@ class TestSparkSource:
             prev = by_file.get(p["file_id"], -1)
             assert doc_id > prev
             by_file[p["file_id"]] = doc_id
+
+
+class TestFuzz:
+    """A 10^12-page crawl WILL contain every corruption; the parser must
+    never raise and never lose the records before the damage."""
+
+    def test_random_truncation_never_raises(self):
+        _, recs = _corpus(4)
+        data = build_warc_gz(recs)
+        import random
+        rng = random.Random(1234)
+        for _ in range(60):
+            cut = rng.randrange(0, len(data))
+            out = list(iter_warc_records(data[:cut]))
+            # every yielded record is a complete dict with the full keys
+            for r in out:
+                assert set(r) == {"type", "url", "ts", "http_status",
+                                  "content_type", "payload", "error"}
+
+    def test_random_byte_flips_never_raise(self):
+        _, recs = _corpus(3)
+        data = bytearray(build_warc_gz(recs))
+        import random
+        rng = random.Random(99)
+        for _ in range(60):
+            mutated = bytearray(data)
+            for _k in range(rng.randrange(1, 6)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+            out = list(iter_warc_records(bytes(mutated)))  # must not raise
+            for r in out:
+                assert r["type"] in ("warcinfo", "response", "conversion",
+                                     "error") or isinstance(r["type"], str)
+
+    def test_clean_prefix_survives_corrupt_tail(self):
+        pages, recs = _corpus(5)
+        data = build_warc_gz(recs)
+        # corrupt only the LAST gzip member: all prior records must parse
+        member_starts = []
+        i = 0
+        while True:
+            j = data.find(b"\x1f\x8b\x08", i + 1)
+            if j < 0:
+                break
+            member_starts.append(j)
+            i = j
+        corrupted = data[:member_starts[-1]] + b"\xff" * 16
+        out = [r for r in iter_warc_records(corrupted)]
+        ok = [r for r in out if r["type"] == "response" and r["error"] is None]
+        assert len(ok) >= 4
+        assert ok[0]["payload"] == pages[0][2]
