@@ -282,7 +282,8 @@ WET_TEXT_SCHEMA = StructType([
 
 
 def wet_files_from_extracted(extracted: DataFrame,
-                             n_files: int = N_FILES) -> DataFrame:
+                             n_files: int = N_FILES,
+                             prefix: str = "wet") -> DataFrame:
     """Extraction output → WET shard files (the Common-Crawl *.warc.wet.gz
     convention): one ``conversion`` record per successfully-extracted page
     carrying its plain text, one gzip member per record.  Sharding is
@@ -299,7 +300,7 @@ def wet_files_from_extracted(extracted: DataFrame,
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("url")
         fid = int(pdf["file_id"].iloc[0])
-        recs = [build_warcinfo(f"wet-{fid:05d}.warc.wet.gz")]
+        recs = [build_warcinfo(f"{prefix}-{fid:05d}.warc.wet.gz")]
         for url, ts, text in zip(pdf["url"], pdf["warc_ts"],
                                  pdf["extracted_text"]):
             recs.append(build_conversion_record(url, ts, text or ""))
@@ -355,7 +356,8 @@ WET_MANIFEST_SCHEMA = StructType([
 
 
 def write_wet_files(extracted: DataFrame, out_dir: str,
-                    n_files: int = N_FILES) -> DataFrame:
+                    n_files: int = N_FILES,
+                    prefix: str = "wet") -> DataFrame:
     """Materialize real ``*.warc.wet.gz`` shard files from extraction
     output and return the manifest (file_id, n_records, path, bytes).
     Each shard is written by the executor that assembled it — no driver
@@ -365,7 +367,7 @@ def write_wet_files(extracted: DataFrame, out_dir: str,
     Hadoop FS API at this one seam)."""
     import os
 
-    wet = wet_files_from_extracted(extracted, n_files)
+    wet = wet_files_from_extracted(extracted, n_files, prefix)
 
     def dump(batches):
         os.makedirs(out_dir, exist_ok=True)
@@ -373,7 +375,8 @@ def write_wet_files(extracted: DataFrame, out_dir: str,
             rows = []
             for fid, n, data in zip(pdf["file_id"], pdf["n_records"],
                                     pdf["data"]):
-                p = os.path.join(out_dir, f"wet-{int(fid):05d}.warc.wet.gz")
+                p = os.path.join(out_dir,
+                                 f"{prefix}-{int(fid):05d}.warc.wet.gz")
                 tmp = p + ".inprogress"
                 with open(tmp, "wb") as f:
                     f.write(bytes(data))

@@ -1,0 +1,92 @@
+"""Streaming WARC landing-zone ingest: batch/stream parity, exactly-once
+resume across drops, and the foreachBatch WET sink's idempotent shards."""
+
+from pyspark.sql import functions as F
+
+from ragflow_core16_spark.datagen.pages import document_page
+from ragflow_core16_spark.operators.extract import extract_pages
+from ragflow_core16_spark.sources.warc import (build_response_record,
+                                               build_warc_gz, build_warcinfo,
+                                               pages_from_warc_dir,
+                                               text_from_wet)
+from ragflow_core16_spark.streaming.warc_stream import (
+    read_warc_stream, run_warc_extract_stream, run_warc_to_wet_stream)
+
+
+def _drop_warc(path, name, doc_ids):
+    recs = [build_warcinfo(name)]
+    for i in doc_ids:
+        url, ts, html = document_page(i, f"alpha beta gamma doc {i} " * 30)
+        recs.append(build_response_record(url, ts, html))
+    path.mkdir(parents=True, exist_ok=True)
+    (path / name).write_bytes(build_warc_gz(recs))
+
+
+class TestWarcStream:
+    def test_stream_is_streaming_pages_shape(self, spark, tmp_path):
+        inp = tmp_path / "in"
+        _drop_warc(inp, "a.warc.gz", range(3))
+        df = read_warc_stream(spark, str(inp))
+        assert df.isStreaming
+        assert [f.name for f in df.schema.fields] == [
+            "url", "warc_ts", "html", "text", "lang"]
+
+    def test_drain_matches_batch_extraction(self, spark, tmp_path):
+        inp, out, ckpt = (tmp_path / d for d in ("in", "out", "ckpt"))
+        _drop_warc(inp, "a.warc.gz", range(4))
+        _drop_warc(inp, "b.warc.gz", range(4, 7))
+        q = run_warc_extract_stream(spark, str(inp), str(out), str(ckpt))
+        q.awaitTermination(120)
+        got = {(r.url, r.extracted_text)
+               for r in spark.read.parquet(str(out))
+               .select("url", "extracted_text").collect()}
+        want = {(r.url, r.extracted_text)
+                for r in extract_pages(pages_from_warc_dir(spark, str(inp)))
+                .select("url", "extracted_text").collect()}
+        assert got == want and len(got) == 7
+
+    def test_checkpoint_resume_no_duplicates(self, spark, tmp_path):
+        inp, out, ckpt = (tmp_path / d for d in ("in", "out", "ckpt"))
+        _drop_warc(inp, "a.warc.gz", range(5))
+        q = run_warc_extract_stream(spark, str(inp), str(out), str(ckpt))
+        q.awaitTermination(120)
+        assert spark.read.parquet(str(out)).count() == 5
+        # a crawler finishes another file; only it is processed on restart
+        _drop_warc(inp, "b.warc.gz", range(5, 9))
+        q2 = run_warc_extract_stream(spark, str(inp), str(out), str(ckpt))
+        q2.awaitTermination(120)
+        res = spark.read.parquet(str(out))
+        assert res.count() == 9
+        assert res.select("url").distinct().count() == 9
+
+    def test_wet_sink_roundtrip(self, spark, tmp_path):
+        inp, wet, ckpt = (tmp_path / d for d in ("in", "wet", "ckpt"))
+        _drop_warc(inp, "a.warc.gz", range(6))
+        q = run_warc_to_wet_stream(spark, str(inp), str(wet), str(ckpt),
+                                   n_shards=2)
+        q.awaitTermination(120)
+        shards = sorted(p.name for p in wet.glob("*.warc.wet.gz"))
+        assert shards and all(s.startswith("wet-b") for s in shards)
+        files = (spark.read.format("binaryFile").load(str(wet))
+                 .select(F.lit(0).cast("int").alias("file_id"),
+                         F.lit(0).cast("int").alias("n_records"),
+                         F.col("content").alias("data")))
+        got = {(r.url, r.wet_text) for r in text_from_wet(files)
+               .select("url", "wet_text").collect()}
+        want = {(r.url, r.extracted_text or "")
+                for r in extract_pages(pages_from_warc_dir(spark, str(inp)))
+                .filter(F.col("status") == "ok")
+                .select("url", "extracted_text").collect()}
+        assert got == want and len(got) == 6
+
+    def test_wet_sink_batch_scoped_names_across_drops(self, spark, tmp_path):
+        inp, wet, ckpt = (tmp_path / d for d in ("in", "wet", "ckpt"))
+        _drop_warc(inp, "a.warc.gz", range(3))
+        run_warc_to_wet_stream(spark, str(inp), str(wet), str(ckpt),
+                               n_shards=1).awaitTermination(120)
+        _drop_warc(inp, "b.warc.gz", range(3, 5))
+        run_warc_to_wet_stream(spark, str(inp), str(wet), str(ckpt),
+                               n_shards=1).awaitTermination(120)
+        # each micro-batch published its own shard set; nothing overwritten
+        prefixes = {p.name.split("-0")[0] for p in wet.glob("*.warc.wet.gz")}
+        assert len(prefixes) == 2
