@@ -41,7 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _registry():
     from ragflow_core16_spark.operators import (dedup, embed, extract_e2e,
-                                                graph, multimodal, office,
+                                                graph, ir_metrics,
+                                                multimodal, office,
                                                 pdf_extract, relational,
                                                 retrieval, similarity,
                                                 sketches, templates,
@@ -51,7 +52,7 @@ def _registry():
     for mod in (textstats, dedup, similarity, retrieval, relational,
                 templates, pdf_extract, multimodal, office, embed,
                 training, webclean, sketches, graph, extract_e2e,
-                warc_e2e):
+                warc_e2e, ir_metrics):
         for name, (fn, sql) in mod.QUERIES.items():
             reg[name] = (fn, sql)
     return reg

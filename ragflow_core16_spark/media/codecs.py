@@ -110,6 +110,42 @@ def decode_png(data: bytes) -> dict:
     return {"w": w, "h": h, "channels": channels, "pixels": bytes(out)}
 
 
+def vconcat_images(png_a: bytes | None, png_b: bytes | None) -> bytes | None:
+    """Vertical image concatenation with the reference's ``concat_img``
+    semantics (rag/nlp/__init__.py:557-573): None passthrough when either
+    side is missing; otherwise a new RGB canvas of (max width, summed
+    height) with each image pasted at x=0 and the remainder black.
+
+    Greyscale inputs are replicated into RGB on paste (PIL's RGB-canvas
+    paste does the same conversion).  Pure stdlib: decode → byte-level
+    row blit → encode."""
+    if png_a and not png_b:
+        return png_a
+    if not png_a and png_b:
+        return png_b
+    if not png_a and not png_b:
+        return None
+    a, b = decode_png(png_a), decode_png(png_b)
+    w = max(a["w"], b["w"])
+    h = a["h"] + b["h"]
+    canvas = bytearray(w * h * 3)
+    y0 = 0
+    for img in (a, b):
+        iw, ic, px = img["w"], img["channels"], img["pixels"]
+        for y in range(img["h"]):
+            dst = ((y0 + y) * w) * 3
+            src = y * iw * ic
+            if ic == 3:
+                canvas[dst:dst + iw * 3] = px[src:src + iw * 3]
+            else:
+                for x in range(iw):
+                    v = px[src + x]
+                    o = dst + 3 * x
+                    canvas[o] = canvas[o + 1] = canvas[o + 2] = v
+        y0 += img["h"]
+    return encode_png(bytes(canvas), w, h, channels=3)
+
+
 # ------------------------------------------------------------------- WAV
 def encode_wav(samples: list[int], rate: int = 8000,
                channels: int = 1) -> bytes:

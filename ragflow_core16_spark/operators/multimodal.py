@@ -229,6 +229,74 @@ def media_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(_ordered("media_id")))
 
 
+CONCAT_SCHEMA = StructType([
+    StructField("group_id", LongType(), False),
+    StructField("n_imgs", IntegerType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("n_bytes", IntegerType(), False),
+    StructField("content_sum", LongType(), False),
+])
+
+
+def media_concat(media: DataFrame) -> DataFrame:
+    """The reference's ``concat_img`` chunk-image accumulation
+    (rag/nlp/__init__.py:557-573, reduced over a chunk's images in
+    naive.py:213) as a grouped Arrow stage: images are bucketed into
+    chunk-sized groups and vertically stacked left-aligned on an RGB
+    canvas (max width, summed height, black fill) via the native PNG
+    codec; features come from a REAL decode of the stacked result, so
+    the whole encode→stack→encode→decode chain is exercised.
+
+    Scale: one shuffle keyed by group — the reduce is per-chunk-local in
+    production (images of one chunk land in one task), never a global
+    collect."""
+    from functools import reduce
+
+    from ..media.codecs import vconcat_images
+
+    imgs = (media.filter(F.col("kind") == "image")
+            .withColumn("group_id",
+                        F.floor(F.col("media_id") / F.lit(12)).cast("long")))
+
+    def stack(pdf):
+        pdf = pdf.sort_values("media_id")
+        out = reduce(vconcat_images, [bytes(p) for p in pdf["payload"]], None)
+        img = decode_media(out)
+        body = img["body"]
+        return pd.DataFrame(
+            [(int(pdf["group_id"].iloc[0]), len(pdf), img["w"], img["h"],
+              len(body), int(sum(body)))],
+            columns=[f.name for f in CONCAT_SCHEMA])
+
+    return (imgs.select("group_id", "media_id", "payload")
+            .groupBy("group_id").applyInPandas(stack, CONCAT_SCHEMA))
+
+
+def media_concat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_concat(media_df(spark, 60)).transform(_ordered("group_id"))
+
+
+MEDIA_CONCAT_SQL = r"""
+WITH dims AS (
+  SELECT id, id // 12 AS group_id,
+         8 + (id*7) % 56 AS w, 8 + (id*11) % 56 AS h
+  FROM (SELECT unnest(generate_series(0, 59)) AS id) WHERE id % 3 = 0),
+img AS (
+  SELECT group_id, w, h,
+         (SELECT CAST(sum((id + 3*i) % 256) AS BIGINT)
+          FROM unnest(generate_series(0, w*h - 1)) AS t(i)) AS psum
+  FROM dims)
+SELECT group_id,
+       CAST(count(*) AS INTEGER) AS n_imgs,
+       CAST(max(w) AS INTEGER) AS width,
+       CAST(sum(h) AS INTEGER) AS height,
+       CAST(3 * max(w) * sum(h) AS INTEGER) AS n_bytes,
+       CAST(3 * sum(psum) AS BIGINT) AS content_sum
+FROM img GROUP BY group_id ORDER BY group_id
+"""
+
+
 MEDIA_FEATURES_SQL = r"""
 WITH m AS (SELECT unnest(generate_series(0, 59)) AS id),
 img AS (
@@ -278,4 +346,5 @@ ORDER BY media_id
 QUERIES = {
     "media_features": (media_features_q, MEDIA_FEATURES_SQL),
     "media_frames": (media_frames_q, MEDIA_FRAMES_SQL),
+    "media_concat": (media_concat_q, MEDIA_CONCAT_SQL),
 }

@@ -266,3 +266,39 @@ class TestMp4PropertyFuzz:
                 == frames[::every_k]
 
         run()
+
+
+class TestVconcatImages:
+    """concat_img parity (rag/nlp/__init__.py:557-573): None passthrough,
+    RGB canvas of (max width, summed height), left paste, black fill."""
+
+    def test_none_passthrough(self):
+        from ragflow_core16_spark.media.codecs import encode_png, vconcat_images
+        png = encode_png(bytes(range(12)), 4, 3, channels=1)
+        assert vconcat_images(png, None) == png
+        assert vconcat_images(None, png) == png
+        assert vconcat_images(None, None) is None
+
+    def test_stack_mixed_width_grey(self):
+        from ragflow_core16_spark.media.codecs import (decode_png, encode_png,
+                                                       vconcat_images)
+        a = encode_png(bytes([10] * 6), 3, 2, channels=1)   # 3x2
+        b = encode_png(bytes([20] * 10), 5, 2, channels=1)  # 5x2
+        out = decode_png(vconcat_images(a, b))
+        assert (out["w"], out["h"], out["channels"]) == (5, 4, 3)
+        px = out["pixels"]
+        # row 0: 3 grey-10 pixels replicated to RGB, then black fill
+        assert px[0:9] == bytes([10] * 9) and px[9:15] == bytes(6)
+        # row 2 (first of b): full-width grey-20
+        assert px[2 * 5 * 3:3 * 5 * 3] == bytes([20] * 15)
+        # content sum = 3*(sum a + sum b), fill contributes 0
+        assert sum(px) == 3 * (10 * 6 + 20 * 10)
+
+    def test_rgb_inputs_kept_verbatim(self):
+        from ragflow_core16_spark.media.codecs import (decode_png, encode_png,
+                                                       vconcat_images)
+        rgb = bytes(range(2 * 2 * 3))
+        a = encode_png(rgb, 2, 2, channels=3)
+        out = decode_png(vconcat_images(a, a))
+        assert (out["w"], out["h"]) == (2, 4)
+        assert out["pixels"] == rgb + rgb
