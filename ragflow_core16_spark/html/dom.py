@@ -68,17 +68,42 @@ class Node:
 
     def iter(self):
         """Depth-first over element nodes (self included).  Iterative —
-        the generator-per-level form dominated the extraction profile."""
+        the generator-per-level form dominated the extraction profile.
+        (``type(c) is Node`` instead of isinstance: Node is final, and this
+        loop is the hottest line of the whole extraction UDF.)"""
         stack = [self]
         while stack:
             n = stack.pop()
             yield n
-            stack.extend(c for c in reversed(n.children)
-                         if isinstance(c, Node))
+            for c in reversed(n.children):
+                if type(c) is Node:
+                    stack.append(c)
 
     def find_all(self, *tags):
-        tags = set(tags)
-        return [n for n in self.iter() if n.tag in tags]
+        """Non-generator DFS: one flat loop, no per-node genexpr frames."""
+        out = []
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            if n.tag in tags:
+                out.append(n)
+            for c in reversed(n.children):
+                if type(c) is Node:
+                    stack.append(c)
+        return out
+
+    def count_tags(self, counts: dict) -> dict:
+        """Increment ``counts[tag]`` for every descendant (self included)
+        whose tag is a key — the 5-tag sanitize census in ONE traversal."""
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            if n.tag in counts:
+                counts[n.tag] += 1
+            for c in n.children:
+                if type(c) is Node:
+                    stack.append(c)
+        return counts
 
     def find(self, tag):
         for n in self.iter():
@@ -141,15 +166,16 @@ class _DomBuilder(HTMLParser):
             # we keep the node so cleaners can drop it subtree-wise.
             pass
         self._close_implicit(tag)
-        node = Node(tag, attrs, self.top)
-        self.top.append(node)
+        top = self.stack[-1]
+        node = Node(tag, attrs, top)
+        top.children.append(node)   # parent already set by the constructor
         if tag not in VOID_TAGS and len(self.stack) < MAX_DEPTH:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
         tag = tag.lower()
-        node = Node(tag, attrs, self.top)
-        self.top.append(node)
+        top = self.stack[-1]
+        top.children.append(Node(tag, attrs, top))
 
     def handle_endtag(self, tag):
         tag = tag.lower()
@@ -163,7 +189,7 @@ class _DomBuilder(HTMLParser):
 
     def handle_data(self, data):
         if data:
-            self.top.append(data)
+            self.stack[-1].children.append(data)
 
     def error(self, message):  # pragma: no cover - py<3.10 compat hook
         pass

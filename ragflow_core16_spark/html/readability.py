@@ -59,6 +59,18 @@ NEGATIVE_RE = re.compile(
 DIV_TO_P_RE = re.compile(r"<(a|blockquote|dl|div|img|ol|p|pre|table|ul)",
                          re.I)
 
+# tag → does DIV_TO_P_RE match "<tag"?  The tag vocabulary of a corpus is
+# tiny, so memoizing keeps the exact 0.8.1 PREFIX semantics ("<address"
+# matches the "a" alternative) without re-running the regex per descendant.
+_DIV_TO_P_CACHE: dict[str, bool] = {}
+
+
+def _is_div_to_p_blocker(tag: str) -> bool:
+    v = _DIV_TO_P_CACHE.get(tag)
+    if v is None:
+        v = _DIV_TO_P_CACHE[tag] = DIV_TO_P_RE.match("<" + tag) is not None
+    return v
+
 MIN_TEXT_LEN = 25
 
 
@@ -187,7 +199,7 @@ class Document:
             # contain a literal '<' post-parse, so the descendant tag
             # openings are exactly what the regex can match; any() stops at
             # the first block descendant
-            if not any(DIV_TO_P_RE.match(f"<{c.tag}")
+            if not any(_is_div_to_p_blocker(c.tag)
                        for c in n.iter() if c is not n):
                 n.tag = "p"
         # pass 2 (0.8.1): wrap stray div text/tails into <p>, drop <br>s
@@ -300,8 +312,8 @@ class Document:
             text = _norm_text(n)
             if text.count(",") >= 10:
                 continue
-            counts = {t: len(n.find_all(t))
-                      for t in ("p", "img", "li", "input", "embed")}
+            counts = n.count_tags(
+                {"p": 0, "img": 0, "li": 0, "input": 0, "embed": 0})
             counts["li"] -= 100
             content_length = len(text)
             ld = _link_density(n)
