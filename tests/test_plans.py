@@ -370,3 +370,15 @@ def test_wet_chain_one_shuffle_per_container_build(spark):
     # node list — count the node-list entries
     assert plan.count(") Exchange") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_retrieval_quality_single_corpus_pass_topk_limited(spark):
+    """IR-metrics benchmark: the corpus token-explode subtree must run
+    ONCE (the scored relation is checkpointed before fanning into the
+    run and ideal branches — zero parquet scans in the final plan), the
+    query-term lists must broadcast, and the top-30 run cut must be a
+    WindowGroupLimit (map-side rank cutoff), not a full sort+filter."""
+    plan = _formatted(E._registry()["retrieval_quality"][0](spark, SF))
+    assert "Scan parquet" not in plan          # checkpointed scored relation
+    assert "WindowGroupLimit" in plan          # rank <= 30 pushed to map side
+    assert "SortMergeJoin Inner" not in plan   # qt joins are broadcast
