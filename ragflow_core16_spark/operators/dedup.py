@@ -276,10 +276,23 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection count is a (doc_a, shingle)⋈(doc_b, shingle) join whose
     key includes the shingle, and the candidate set is LSH-pruned."""
     sh = _shingles_cached(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    cand = _lsh_candidates(_signature_wide(spark, sf_dir))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # materialize the candidate list once (it is tiny — LSH collisions),
+    # then broadcast its doc-id sets to PRUNE the shingle relation before
+    # any shuffle: only candidate docs' shingles move.  Without this the
+    # (doc_b, shingle) join shuffles the ENTIRE corpus shingle relation —
+    # the difference between "collisions × shingles/doc" and "100 TB of
+    # shingles" at scale.
+    cand = (_lsh_candidates(_signature_wide(spark, sf_dir))
+            .localCheckpoint(eager=False))
+    docs_a = cand.select(F.col("doc_a").alias("doc_id")).distinct()
+    docs_b = cand.select(F.col("doc_b").alias("doc_id")).distinct()
+    docs_any = docs_a.unionByName(docs_b).distinct()
+    sizes = (sh.join(F.broadcast(docs_any), "doc_id")
+             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")))
+    sa = (sh.join(F.broadcast(docs_a), "doc_id")
+          .select(F.col("doc_id").alias("doc_a"), "shingle"))
+    sb = (sh.join(F.broadcast(docs_b), "doc_id")
+          .select(F.col("doc_id").alias("doc_b"), "shingle"))
     inter = (cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
              .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("n_inter")))

@@ -382,3 +382,15 @@ def test_retrieval_quality_single_corpus_pass_topk_limited(spark):
     assert "Scan parquet" not in plan          # checkpointed scored relation
     assert "WindowGroupLimit" in plan          # rank <= 30 pushed to map side
     assert "SortMergeJoin Inner" not in plan   # qt joins are broadcast
+
+
+def test_ngram_jaccard_prunes_shingles_to_candidates(spark):
+    """The jaccard verify stage must semi-join the shingle relation down to
+    LSH-candidate docs (broadcast of the tiny candidate doc-id set) BEFORE
+    the (doc, shingle) shuffle — only candidate docs' shingles move, never
+    the whole corpus shingle relation."""
+    import ragflow_core16_spark.operators.dedup as D
+    D._MEMO.clear()
+    plan = _formatted(D.ngram_jaccard(spark, SF))
+    # three broadcast pruning joins (docs_a, docs_b, docs_any)
+    assert plan.count("BroadcastHashJoin") >= 3
