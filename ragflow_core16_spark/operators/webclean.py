@@ -425,8 +425,92 @@ ORDER BY host, rank
 """
 
 
+# ------------------------------------------------------------- mojibake
+def mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage repair (the ftfy ``fix_text`` pass every web corpus
+    runs): recover UTF-8 text that was mis-decoded with a legacy
+    single-byte codec upstream.  The repair core is
+    ``textnorm/mojibake.py::fix_mojibake`` — sloppy-cp1252 re-encode +
+    strict UTF-8 round trip, iterated for double-encoding.
+
+    Oracle by construction: the corpus text is enriched with deterministic
+    non-ASCII markers (word i gains "é€" when (doc_id·31+i) % 7 = 0 —
+    JVM-columnar, replayed relationally in the oracle), then DAMAGED
+    in-operator per doc_id % 3 (latin-1 misdecode / cp1252 misdecode /
+    left clean), then repaired.  The driver compares the repaired text
+    against the relationally derived enriched original — any repair miss
+    is a hash mismatch.
+
+    Scale: enrichment/mode are scan-side column expressions; damage+repair
+    is one Arrow-batched stage with no shuffle — a free rider on any
+    corpus pass, exactly how the pass deploys at 100 TB."""
+    import pandas as pd
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType, BooleanType)
+
+    from ..textnorm.mojibake import fix_mojibake
+
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    enriched = F.concat_ws(" ", F.transform(
+        words, lambda w, i: F.when(
+            (F.col("doc_id") * 31 + i + 1) % 7 == 0,
+            F.concat(w, F.lit("é€"))).otherwise(w)))
+    mode = (F.col("doc_id") % 3).cast("int")
+    src = d.select("doc_id", mode.alias("m"), enriched.alias("enriched"))
+
+    out_schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("mode", StringType(), False),
+        StructField("changed", BooleanType(), False),
+        StructField("repaired", StringType(), False),
+    ])
+    mode_names = {0: "latin1", 1: "cp1252", 2: "clean"}
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, m, s in zip(pdf["doc_id"], pdf["m"],
+                                    pdf["enriched"]):
+                m = int(m)
+                if m == 0:
+                    damaged = s.encode("utf-8").decode("latin-1")
+                elif m == 1:
+                    damaged = s.encode("utf-8").decode("cp1252")
+                else:
+                    damaged = s
+                repaired = fix_mojibake(damaged)
+                rows.append((int(doc_id), mode_names[m],
+                             repaired != damaged, repaired))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in out_schema])
+
+    from ..session import ordered as _ordered
+    return src.mapInPandas(run, out_schema).transform(_ordered("doc_id"))
+
+
+MOJIBAKE_REPAIR_SQL = r"""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'latin1' WHEN 1 THEN 'cp1252'
+            ELSE 'clean' END AS mode,
+       (doc_id % 3 != 2) AND (repaired != text) AS changed,
+       repaired
+FROM (
+  SELECT doc_id, text,
+         array_to_string(
+           list_transform(string_split(text, ' '),
+                          (w, i) -> CASE WHEN (doc_id*31 + i) % 7 = 0
+                                         THEN w || 'é€' ELSE w END),
+           ' ') AS repaired
+  FROM documents)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
+    "mojibake_repair": (mojibake_repair, MOJIBAKE_REPAIR_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),
     "paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
     "corpus_keep": (corpus_keep, _corpus_keep_sql()),

@@ -252,3 +252,52 @@ class TestAsofAndRollup:
         per_type = sum(r["n_events"] for r in rows
                        if r["event_type"] is not None and r["hh"] is None)
         assert per_type == leaf
+
+
+class TestMojibake:
+    """fix_mojibake: sloppy-cp1252 re-encode + strict UTF-8 round trip."""
+
+    def test_latin1_misdecode_repairs(self):
+        from ragflow_core16_spark.textnorm.mojibake import fix_mojibake
+        orig = "café “smart” — naïve € größe"
+        assert fix_mojibake(orig.encode("utf-8").decode("latin-1")) == orig
+
+    def test_cp1252_misdecode_repairs(self):
+        from ragflow_core16_spark.textnorm.mojibake import fix_mojibake
+        orig = "café € naïve"
+        assert fix_mojibake(orig.encode("utf-8").decode("cp1252")) == orig
+
+    def test_double_encoding_repairs(self):
+        from ragflow_core16_spark.textnorm.mojibake import fix_mojibake
+        orig = "café — größe"
+        dbl = (orig.encode("utf-8").decode("latin-1")
+               .encode("utf-8").decode("latin-1"))
+        assert fix_mojibake(dbl) == orig
+
+    def test_legit_text_untouched(self):
+        from ragflow_core16_spark.textnorm.mojibake import fix_mojibake
+        for s in ("plain ascii", "un café naïve", "中文 text é",
+                  "emoji 🙂 stays", ""):
+            assert fix_mojibake(s) == s
+
+    def test_fuzz_roundtrip_and_totality(self):
+        from hypothesis import given, settings, strategies as st
+        from ragflow_core16_spark.textnorm.mojibake import fix_mojibake
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+                       max_size=120))
+        def run(s):
+            fix_mojibake(s)                      # total: never raises
+            try:
+                damaged = s.encode("utf-8").decode("latin-1")
+            except Exception:
+                return
+            if damaged != s and "�" not in s:
+                repaired = fix_mojibake(damaged)
+                # repair either inverts the damage or (for strings that
+                # themselves look like deeper mojibake) keeps decoding —
+                # it must never produce a third, unrelated string
+                assert repaired == s or repaired == fix_mojibake(s)
+
+        run()
