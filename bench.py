@@ -256,7 +256,12 @@ def scaling_groups() -> None:
     env = {**os.environ}
     env.setdefault("SPARK_GRAFT_BENCH_DOCS", "90000")
     env.setdefault("SPARK_GRAFT_BENCH_PASSES", "2")
-    group_cores = 8
+    # group geometry: SPARK_GRAFT_GROUP_CORES cores per pinned JVM,
+    # level B = SPARK_GRAFT_GROUPS_B concurrent groups (2 → the
+    # add-an-executor pair; 4 with 4-core groups → the north rule's
+    # literal N vs 4N executors on one 32-core box)
+    group_cores = int(os.environ.get("SPARK_GRAFT_GROUP_CORES", "8"))
+    groups_b = int(os.environ.get("SPARK_GRAFT_GROUPS_B", "2"))
 
     def launch(core_lo: int) -> subprocess.Popen:
         cmd = [sys.executable, __file__, "--one-run", str(group_cores)]
@@ -272,27 +277,27 @@ def scaling_groups() -> None:
                     if l.startswith("ONE_RUN_JSON:"))
         return json.loads(line[len("ONE_RUN_JSON:"):])
 
-    # level A: one pinned 8-core group
+    # level A: one pinned group
     a = collect(launch(0))
-    # level B: two pinned 8-core groups, concurrent, disjoint cores
+    # level B: groups_b pinned groups, concurrent, disjoint cores
     t0 = time.time()
-    procs = [launch(0), launch(8)]
+    procs = [launch(g * group_cores) for g in range(groups_b)]
     results = [collect(p) for p in procs]
     wall_b = time.time() - t0
     # throughput basis: per-group timed extraction walls (the concurrent
     # window includes per-JVM startup; the timed extraction passes overlap)
     tp_b = sum(r["docs_per_sec"] for r in results)
-    eff = tp_b / (2 * a["docs_per_sec"])
+    eff = tp_b / (groups_b * a["docs_per_sec"])
     hashes = {a["output_hash"]} | {r["output_hash"] for r in results}
     md = f"""
 
-## Executor-group scaling (2×8 concurrent pinned JVMs)
+## Executor-group scaling ({groups_b}×{group_cores} concurrent pinned JVMs)
 
-One "executor group" = a pinned 8-core JVM with its own Arrow pools/GC.
-Level A: 1 group; level B: 2 groups running CONCURRENTLY on disjoint core
-sets (cores 0-7 and 8-15), {a['docs']} docs per group.
+One "executor group" = a pinned {group_cores}-core JVM with its own Arrow
+pools/GC.  Level A: 1 group; level B: {groups_b} groups running
+CONCURRENTLY on disjoint core sets, {a['docs']} docs per group.
 
-| metric | 1 group | 2 groups | efficiency |
+| metric | 1 group | {groups_b} groups | efficiency |
 |---|---|---|---|
 | docs/sec (sum of groups) | {a['docs_per_sec']} | {round(tp_b, 1)} | {eff:.3f} |
 | per-group docs/sec | {a['docs_per_sec']} | {', '.join(str(r['docs_per_sec']) for r in results)} | — |
