@@ -508,9 +508,97 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------- NFC normalize
+# Decomposed / compatibility-singleton markers the enrichment injects;
+# index arithmetic is replayed verbatim in the oracle.  Each NFC-composes
+# to a strictly shorter string, covering the distinct composition paths:
+# combining-mark compose, ring compose, Hangul LV+T compose, and the
+# U+212B singleton (Angstrom sign -> U+00C5).
+_NFC_MARKERS = ["é", "Å", "각", "Å"]
+
+
+def nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization pass (ftfy's
+    ``fix_text`` ends with it) every web corpus runs so that visually
+    identical strings hash/dedup identically regardless of how the
+    source page encoded them (combining marks vs precomposed, Hangul
+    jamo vs syllables, compatibility singletons).
+
+    Oracle by construction: the corpus text is enriched with
+    deterministic DECOMPOSED markers (word i gains marker
+    ``(doc_id+i) % 4`` when (doc_id·31+i) % 5 = 0 — JVM-columnar,
+    replayed relationally), then normalized in one Arrow-batched stage
+    (``unicodedata.normalize("NFC", ...)``); the oracle runs DuckDB's
+    ``nfc_normalize`` over the identical enrichment.  Two independent
+    NFC engines (CPython's unicodedata vs utf8proc) must agree on every
+    byte — NFC is stable for assigned codepoints by the Unicode
+    composition-stability guarantee.
+
+    Scale: enrichment is scan-side; normalization is a stateless
+    mapInPandas with no shuffle — at 100 TB it rides any corpus pass,
+    exactly like the mojibake repair above."""
+    import pandas as pd
+    import unicodedata
+
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+
+    d = _docs(spark, sf_dir)
+    markers = F.array(*[F.lit(m) for m in _NFC_MARKERS])
+    words = F.split("text", " ")
+    enriched = F.concat_ws(" ", F.transform(
+        words, lambda w, i: F.when(
+            (F.col("doc_id") * 31 + i + 1) % 5 == 0,
+            F.concat(w, F.element_at(
+                markers,
+                ((F.col("doc_id") + i + 1) % 4 + 1).cast("int"))))
+        .otherwise(w)))
+    src = d.select("doc_id", enriched.alias("enriched"))
+
+    out_schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("n_composed", IntegerType(), False),
+        StructField("normalized", StringType(), False),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, s in zip(pdf["doc_id"], pdf["enriched"]):
+                n = unicodedata.normalize("NFC", s)
+                rows.append((int(doc_id), len(s) - len(n), n))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in out_schema])
+
+    from ..session import ordered as _ordered
+    return src.mapInPandas(run, out_schema).transform(_ordered("doc_id"))
+
+
+NFC_NORMALIZE_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(string_split(text, ' '),
+             (w, i) -> CASE WHEN (doc_id*31 + i) % 5 = 0
+               THEN w || (['e' || chr(769), 'A' || chr(778),
+                           chr(4352) || chr(4449) || chr(4520),
+                           chr(8491)])[CAST((doc_id + i) % 4 AS INTEGER) + 1]
+               ELSE w END),
+           ' ') AS enriched
+  FROM documents)
+SELECT doc_id,
+       CAST(length(enriched) - length(nfc_normalize(enriched)) AS INTEGER)
+         AS n_composed,
+       nfc_normalize(enriched) AS normalized
+FROM m
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "mojibake_repair": (mojibake_repair, MOJIBAKE_REPAIR_SQL),
+    "nfc_normalize": (nfc_normalize, NFC_NORMALIZE_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),
     "paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
     "corpus_keep": (corpus_keep, _corpus_keep_sql()),

