@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "pagerank",
     "cms_heavy_hitters", "order_count_histogram", "supplier_part_variety",
     "warc_extract_e2e", "domain_cap", "retrieval_quality",
+    "wat_outlinks", "host_outdegree",
 ]
 
 

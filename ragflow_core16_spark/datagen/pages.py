@@ -194,6 +194,30 @@ def doc_page_fields(doc_id: int, text: str, seed: int = 42):
     return url, ts, title, paras
 
 
+def related_links_html(doc_id: int, seed: int = 42) -> str:
+    """Outlink boilerplate: 0-3 ABSOLUTE cross-host links, every field
+    md5-derived so the WAT-style outlink queries admit DuckDB oracles
+    (`operators/warc_e2e.py::wat_outlinks`).  The block is all-link
+    boilerplate (link density 1.0) so readability strips it exactly like
+    the nav — extracted text is unchanged by its presence.  Absolute
+    scheme distinguishes these from the rng nav/ad/footer links, which
+    stay relative; an href-scheme filter therefore selects exactly the
+    derivable set."""
+    nl = _md5i(f"{seed}:nl:{doc_id}") % 4
+    links = []
+    for j in range(nl):
+        lh = _md5i(f"{seed}:lh:{doc_id}:{j}") % _N_HOSTS
+        lt = _TLDS[_md5i(f"{seed}:lt:{doc_id}:{j}") % len(_TLDS)]
+        ls = _SECTIONS[_md5i(f"{seed}:ls:{doc_id}:{j}") % len(_SECTIONS)]
+        ld = _md5i(f"{seed}:ld:{doc_id}:{j}") % 100000
+        links.append(
+            f'<a href="https://host{lh:04d}.example.{lt}/{ls}/{ld}">'
+            f"related {j}</a>")
+    if not links:
+        return ""
+    return f'<div class="related">{" ".join(links)}</div>'
+
+
 def document_page(doc_id: int, text: str, seed: int = 42):
     """One synthetic page for a documents.parquet row: ``(url, ts,
     html_bytes)``.  Shared by ``pages_from_documents`` and the WARC writer
@@ -207,6 +231,7 @@ def document_page(doc_id: int, text: str, seed: int = 42):
     ads = "".join(
         f'<div class="ad">Sale! <a href="/buy{i}">buy now</a></div>'
         for i in range(rng.randint(1, 3)))
+    related = related_links_html(doc_id, seed)
     footer = ('<div class="footer">Copyright 2024 '
               '<a href="/privacy">Privacy</a> '
               '<a href="/terms">Terms</a></div>')
@@ -219,7 +244,7 @@ def document_page(doc_id: int, text: str, seed: int = 42):
     elif mal < 10 and mal % 3 == 2:
         content_open = "<div class=content><p>"  # unquoted + stray
     html_s = (f"<html><head><title>{title}</title></head><body>"
-              f'<div class="nav">{nav}</div>{ads}'
+              f'<div class="nav">{nav}</div>{ads}{related}'
               f"{content_open}{body}</div>{tail}")
     return url, ts, html_s.encode("utf-8")
 

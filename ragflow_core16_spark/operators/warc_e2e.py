@@ -122,8 +122,107 @@ FROM wet w JOIN meta m USING (doc_id)
 ORDER BY m.url
 """
 
+def _outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded absolute outlinks from the raw page html — the WAT
+    metadata product (Common Crawl's third container besides WARC/WET):
+    per page, every absolute ``href`` in document order.  Entirely
+    JVM-columnar: decode → ``regexp_extract_all`` → ``posexplode`` — the
+    link harvest rides the scan with zero Python stages and zero
+    shuffles, exactly how a WAT pass deploys at crawl scale.
+
+    The generator plants 0-3 md5-derived absolute cross-host links per
+    page (``datagen/pages.py::related_links_html``); rng boilerplate
+    links (nav/ads/footer) are all relative, so the absolute-scheme
+    filter selects exactly the oracle-derivable set."""
+    from ..datagen.pages import pages_from_documents
+    _tune(spark)
+    p = pages_from_documents(spark, sf_dir, seed=_SEED)
+    links = F.regexp_extract_all(
+        F.col("html").cast("string"),
+        F.lit(r'href="(https?://[^"]+)"'), F.lit(1))
+    return (p.select(
+                F.regexp_extract("url", r"/(\d+)$", 1)
+                 .cast("long").alias("doc_id"),
+                F.regexp_extract("url", r"^https://([^/]+)/", 1)
+                 .alias("src_host"),
+                F.posexplode(links).alias("link_seq", "target_url"))
+            .withColumn("target_host",
+                        F.regexp_extract("target_url",
+                                         r"^https://([^/]+)/", 1)))
+
+
+def q_wat_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_outlinks(spark, sf_dir)
+            .select("doc_id", "link_seq", "target_url", "target_host")
+            .transform(_ordered("doc_id", "link_seq")))
+
+
+def q_host_outdegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph rollup over the harvested outlinks: one
+    groupBy (map-side combinable count + distinct) — the seed
+    aggregation for webgraph ranking jobs."""
+    return (_outlinks(spark, sf_dir)
+            .groupBy("src_host")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_links"),
+                 F.countDistinct("target_host").cast("int")
+                  .alias("n_target_hosts"))
+            .transform(_ordered("src_host")))
+
+
+def _links_cte() -> str:
+    """Shared oracle derivation of the planted absolute links."""
+    lh = _md5i(f"'{_SEED}:lh:' || doc_id || ':' || j")
+    lt = _md5i(f"'{_SEED}:lt:' || doc_id || ':' || j")
+    ls = _md5i(f"'{_SEED}:ls:' || doc_id || ':' || j")
+    ld = _md5i(f"'{_SEED}:ld:' || doc_id || ':' || j")
+    return f"""
+nl AS (
+  SELECT doc_id, CAST({_md5i(f"'{_SEED}:nl:' || doc_id")} % 4 AS INTEGER)
+           AS n
+  FROM documents),
+links AS (
+  SELECT doc_id, CAST(j AS INTEGER) AS link_seq,
+    'host' || lpad(CAST({lh} % 500 AS VARCHAR), 4, '0') || '.example.' ||
+      (['com','org','net','cn'])[CAST({lt} % 4 AS INTEGER) + 1]
+      AS target_host,
+    '/' || (['news','blog','docs','wiki'])[CAST({ls} % 4 AS INTEGER) + 1]
+      || '/' || CAST({ld} % 100000 AS VARCHAR) AS target_path
+  FROM nl, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS j) u
+  WHERE n > 0)
+"""
+
+
+WAT_OUTLINKS_SQL = f"""
+WITH {_links_cte()}
+SELECT doc_id, link_seq,
+       'https://' || target_host || target_path AS target_url,
+       target_host
+FROM links
+ORDER BY doc_id, link_seq
+"""
+
+HOST_OUTDEGREE_SQL = f"""
+WITH {_links_cte()},
+src AS (
+  SELECT l.doc_id, l.target_host,
+    'host' || lpad(CAST({_md5i(f"'{_SEED}:url:' || l.doc_id")} % 500
+                        AS VARCHAR), 4, '0') || '.example.' ||
+      (['com','org','net','cn'])[
+        CAST({_md5i(f"'{_SEED}:tld:' || l.doc_id")} % 4 AS INTEGER) + 1]
+      AS src_host
+  FROM links l)
+SELECT src_host, CAST(count(*) AS INTEGER) AS n_links,
+       CAST(count(DISTINCT target_host) AS INTEGER) AS n_target_hosts
+FROM src
+GROUP BY src_host
+ORDER BY src_host
+"""
+
+
 QUERIES = {
     "warc_records": (q_warc_records, WARC_RECORDS_SQL),
     "warc_extract_e2e": (q_warc_extract, WARC_EXTRACT_SQL),
     "wet_roundtrip_e2e": (q_wet_roundtrip, WET_ROUNDTRIP_SQL),
+    "wat_outlinks": (q_wat_outlinks, WAT_OUTLINKS_SQL),
+    "host_outdegree": (q_host_outdegree, HOST_OUTDEGREE_SQL),
 }

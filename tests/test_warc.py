@@ -202,3 +202,59 @@ class TestFuzz:
         ok = [r for r in out if r["type"] == "response" and r["error"] is None]
         assert len(ok) >= 4
         assert ok[0]["payload"] == pages[0][2]
+
+
+class TestWatOutlinks:
+    """WAT-style absolute-outlink harvest (operators/warc_e2e.py)."""
+
+    def test_related_block_is_derivable_and_absolute(self):
+        from ragflow_core16_spark.datagen.pages import (related_links_html,
+                                                        _md5i)
+        import re
+        for doc_id in range(40):
+            block = related_links_html(doc_id)
+            nl = _md5i(f"42:nl:{doc_id}") % 4
+            hrefs = re.findall(r'href="([^"]+)"', block)
+            assert len(hrefs) == nl
+            assert all(h.startswith("https://host") for h in hrefs)
+
+    def test_related_block_does_not_change_extraction(self, spark):
+        """The outlink block is boilerplate: readability must strip it, so
+        extracted text ignores its presence entirely."""
+        from ragflow_core16_spark.datagen.pages import document_page
+        from ragflow_core16_spark.html.parser import html_sections
+        import ragflow_core16_spark.datagen.pages as P
+        # pick doc_ids with nl>0 so the block is actually present
+        planted = [d for d in range(60) if P._md5i(f"42:nl:{d}") % 4 > 0]
+        assert planted
+        for doc_id in planted[:8]:
+            _url, _ts, html = document_page(doc_id, "alpha beta gamma "
+                                            "delta epsilon zeta eta theta")
+            secs = html_sections(html)
+            joined = "\n".join(s[0] if isinstance(s, tuple) else s
+                               for s in secs)
+            assert "related" not in joined
+
+    def test_outlinks_jvm_only_no_extra_shuffle(self, spark):
+        from ragflow_core16_spark.operators.warc_e2e import q_wat_outlinks
+        df = q_wat_outlinks(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # one MapInPandas (page synthesis — at deployment the pages are a
+        # table scan); link harvest itself adds no Exchange beyond the
+        # presentation sort
+        assert plan.count("Exchange") <= 1
+
+    def test_host_outdegree_counts(self, spark):
+        from ragflow_core16_spark.operators.warc_e2e import (
+            q_host_outdegree, _outlinks)
+        links = _outlinks(spark, "/root/testdata/sf0.001").collect()
+        deg = {r["src_host"]: r for r in
+               q_host_outdegree(spark, "/root/testdata/sf0.001").collect()}
+        from collections import Counter
+        per_host = Counter(r["src_host"] for r in links)
+        assert per_host, "corpus must plant some absolute links"
+        for host, n in per_host.items():
+            assert deg[host]["n_links"] == n
+            assert deg[host]["n_target_hosts"] == len(
+                {r["target_host"] for r in links
+                 if r["src_host"] == host})
