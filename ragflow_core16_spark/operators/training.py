@@ -251,12 +251,69 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 # lineage is truncated per round with an eager localCheckpoint so R
 # rounds never stack R nested folds into one plan.
 #
-# Data-dependent per-round argmax makes this genuinely non-SQL-
-# expressible (a recursive CTE cannot aggregate over its own recursive
-# term), so it registers WITHOUT a DuckDB oracle; instead
-# tests/test_bpe_train.py pins the full merge list against an independent
-# pure-Python reference trainer at sf0.001.
+# The data-dependent per-round argmax cannot ride a recursive CTE (it
+# would aggregate over its own recursive term), but the round count is a
+# fixed constant, so the oracle UNROLLS: ``_bpe_oracle_sql`` chains one
+# (pair-count → one-row argmax → list_reduce merge fold) CTE stage per
+# round.  The fold keeps each word's symbol sequence as a
+# chr(31)-delimited string whose leading empty split element doubles as
+# the reduce accumulator seed; a merge is then literally ``acc || x``
+# (the accumulator already ends with sep||left, appending right rewrites
+# the last symbol to the merged token in place).
+# tests/test_bpe_train.py additionally pins the full merge list against
+# an independent pure-Python reference trainer at sf0.001.
 BPE_MERGES = 16
+
+
+def _bpe_oracle_sql(rounds: int = BPE_MERGES) -> str:
+    """Unrolled DuckDB equivalent of ``bpe_train`` — one
+    (pair-count → argmax → list_reduce fold) CTE stage per merge round.
+
+    Words ride as chr(31)-delimited symbol strings; every multi-referenced
+    CTE is MATERIALIZED so the 16-stage chain evaluates linearly instead
+    of re-inlining the whole prefix at each reference.  If pairs ever dry
+    up mid-chain the argmax CTE goes empty and the CROSS JOIN empties all
+    later stages — exactly the Spark loop's ``break``."""
+    sep = "chr(31)"
+    parts = [
+        "WITH words AS MATERIALIZED (\n"
+        "  SELECT word, CAST(count(*) AS BIGINT) AS freq\n"
+        "  FROM (SELECT unnest(string_split(text, ' ')) AS word\n"
+        "        FROM documents WHERE length(trim(text)) > 0)\n"
+        "  WHERE length(word) > 0 GROUP BY word)",
+        "w0 AS MATERIALIZED (\n"
+        f"  SELECT freq, {sep} || array_to_string(string_split(word, ''),"
+        f" {sep}) AS s\n"
+        "  FROM words)",
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"p{k} AS (\n"
+            "  SELECT lst[i] AS l, lst[i+1] AS r,"
+            " CAST(sum(freq) AS BIGINT) AS cnt\n"
+            f"  FROM (SELECT freq, string_split(s, {sep}) AS lst"
+            f" FROM w{k}) t,\n"
+            "       LATERAL (SELECT unnest(generate_series(2, len(lst)"
+            " - 1)) AS i) u\n"
+            "  GROUP BY 1, 2)")
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT l, r, cnt FROM p{k}"
+            " ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)")
+        if k + 1 < rounds:
+            parts.append(
+                f"w{k + 1} AS MATERIALIZED (\n"
+                f"  SELECT freq, list_reduce(string_split(s, {sep}),"
+                " (acc, x) ->\n"
+                f"    CASE WHEN ends_with(acc, {sep} || m.l) AND x = m.r"
+                " THEN acc || x\n"
+                f"         ELSE acc || {sep} || x END) AS s\n"
+                f"  FROM w{k} CROSS JOIN m{k} m)")
+    selects = "\n  UNION ALL\n".join(
+        f"  SELECT CAST({k} AS INTEGER) AS rank, l AS \"left\","
+        f" r AS \"right\", l || r AS merged, cnt AS pair_freq FROM m{k}"
+        for k in range(rounds))
+    return (",\n".join(parts)
+            + "\nSELECT * FROM (\n" + selects + "\n) ORDER BY rank")
 
 
 def _bpe_merge_expr(left: str, right: str) -> str:
@@ -423,8 +480,6 @@ QUERIES = {
     "sequence_pack": (sequence_pack, SEQUENCE_PACK_SQL),
     "repetition_quality": (repetition_quality, REPETITION_QUALITY_SQL),
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
-    # iterative data-dependent argmax per round — no SQL oracle; pinned
-    # against a pure-Python reference trainer in tests instead
-    "bpe_train": (bpe_train_q, None),
+    "bpe_train": (bpe_train_q, _bpe_oracle_sql()),
     "dsir_affinity": (dsir_affinity, DSIR_AFFINITY_SQL),
 }

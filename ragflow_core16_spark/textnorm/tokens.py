@@ -32,9 +32,13 @@ _PIECE = re.compile(
     r"'(?:[sdmt]|ll|ve|re)"          # English contractions
     r"| ?[^\W\d_]+"                   # optional space + letter run
     r"| ?\d{1,3}"                     # optional space + up to 3 digits
-    r"| ?[^\s\w]+[\r\n]*"             # optional space + punctuation run
+    # optional space + punctuation run — cl100k's class is
+    # [^\s\p{L}\p{N}], which INCLUDES '_' (and Pc connectors); stdlib
+    # [^\s\w] alone would drop them since '_' is \w
+    r"| ?(?:[^\s\w]|_)+[\r\n]*"
     r"|\s*[\r\n]+"                    # newlines
-    r"|\s+",                          # other whitespace
+    r"|\s+"                           # other whitespace
+    r"|\S",                           # totality: BPE encodes every byte
     re.UNICODE,
 )
 

@@ -75,9 +75,12 @@ def test_word_histogram_combines_map_side(spark):
     assert "partial_count" in simple
 
 
-def test_registered_rows_only():
+def test_registered_with_unrolled_oracle():
     assert "bpe_train" in E._registry()
-    assert "bpe_train" not in E.oracle_sql()
+    # the fixed round count lets the oracle unroll one CTE stage per
+    # merge — bpe_train is oracle-backed despite the iterative argmax
+    sql = E.oracle_sql()["bpe_train"]
+    assert f"m{BPE_MERGES - 1} " in sql and "list_reduce" in sql
 
 
 def test_trained_vocab_roundtrip_through_encoder(spark, tmp_path):
