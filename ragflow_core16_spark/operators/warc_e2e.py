@@ -219,8 +219,67 @@ ORDER BY src_host
 """
 
 
+# micros from the synthetic corpus epoch (2024-01-01, sources/warc._EPOCH)
+# to the Unix epoch — ts_micros columns count from the former, timestamp
+# rendering needs the latter.
+_EPOCH_2024_MICROS = 1_704_067_200_000_000
+
+
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX(J) capture index (sources/cdx.py): the SURT-sorted per-capture
+    table Common Crawl ships beside every WARC shard set.  The oracle
+    re-derives the SURT key directly from the generator's url COMPONENTS
+    (``tld,example,hostNNNN)/sec/doc_id``) — independent of the Spark
+    side's generic url→SURT expression, so a parse bug in either direction
+    breaks the hash.  offset/length/digest are the non-relational random-
+    access fields; they are proven by seek-and-reparse unit tests
+    (tests/test_warc.py) rather than the SQL oracle."""
+    from ..sources.cdx import cdx_entries_df, surt_expr
+    _tune(spark)
+    e = cdx_entries_df(_files(spark, sf_dir))
+    return (e.select(
+                surt_expr(F.col("url")).alias("surt"),
+                F.date_format(
+                    F.timestamp_micros(F.col("ts_micros")
+                                       + F.lit(_EPOCH_2024_MICROS)),
+                    "yyyyMMddHHmmss").alias("ts14"),
+                "url",
+                F.col("content_type").alias("mime"),
+                "http_status", "file_id", "rec_seq")
+            .transform(_ordered("surt", "ts14", "url")))
+
+
+CDX_INDEX_SQL = f"""
+WITH meta AS (
+  SELECT doc_id,
+    lpad(CAST({_md5i(f"'{_SEED}:url:' || doc_id")} % 500 AS VARCHAR),
+         4, '0') AS h4,
+    (['com','org','net','cn'])[
+      CAST({_md5i(f"'{_SEED}:tld:' || doc_id")} % 4 AS INTEGER) + 1] AS tld,
+    (['news','blog','docs','wiki'])[
+      CAST({_md5i(f"'{_SEED}:sec:' || doc_id")} % 4 AS INTEGER) + 1] AS sec,
+    {_md5i(f"'{_SEED}:ts:' || doc_id")} % (730::BIGINT * 86400 * 1000000)
+      AS ts_micros
+  FROM documents)
+SELECT tld || ',example,host' || h4 || ')/' || sec || '/' || doc_id AS surt,
+       strftime(TIMESTAMP '2024-01-01'
+                + to_microseconds(CAST(ts_micros AS BIGINT)),
+                '%Y%m%d%H%M%S') AS ts14,
+       'https://host' || h4 || '.example.' || tld || '/' || sec || '/'
+         || doc_id AS url,
+       'text/html' AS mime,
+       200 AS http_status,
+       CAST(doc_id % {_N_FILES} AS INTEGER) AS file_id,
+       CAST(row_number() OVER (PARTITION BY doc_id % {_N_FILES}
+                               ORDER BY doc_id) - 1 AS INTEGER) AS rec_seq
+FROM meta
+ORDER BY surt, ts14, url
+"""
+
+
 QUERIES = {
     "warc_records": (q_warc_records, WARC_RECORDS_SQL),
+    "cdx_index": (q_cdx_index, CDX_INDEX_SQL),
     "warc_extract_e2e": (q_warc_extract, WARC_EXTRACT_SQL),
     "wet_roundtrip_e2e": (q_wet_roundtrip, WET_ROUNDTRIP_SQL),
     "wat_outlinks": (q_wat_outlinks, WAT_OUTLINKS_SQL),

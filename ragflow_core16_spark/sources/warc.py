@@ -99,26 +99,32 @@ def build_warc_gz(records: list[bytes]) -> bytes:
 
 
 def _iter_members(data: bytes):
-    """Yield ``(member_bytes, error)`` one gzip member at a time (streaming:
-    at most one member's bytes live at once).  Non-gzip input is one plain
-    'member'.  A corrupt member yields an error tuple and STOPS — a damaged
-    deflate stream cannot be resynced reliably — but never raises: one bad
-    file region must cost its tail, not the whole task."""
+    """Yield ``(member_bytes, error, offset, comp_len)`` one gzip member at
+    a time (streaming: at most one member's bytes live at once), where
+    ``offset``/``comp_len`` locate the COMPRESSED member inside ``data`` —
+    the (offset, length) pair a CDX index records for random access.
+    Non-gzip input is one plain 'member'.  A corrupt member yields an error
+    tuple and STOPS — a damaged deflate stream cannot be resynced reliably —
+    but never raises: one bad file region must cost its tail, not the whole
+    task."""
     if data[:2] != b"\x1f\x8b":
-        yield bytes(data), None
+        yield bytes(data), None, 0, len(data)
         return
     rest = bytes(data)
+    pos = 0
     while rest[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
         try:
             member = d.decompress(rest)
         except zlib.error as e:
-            yield b"", f"gzip member corrupt: {e}"
+            yield b"", f"gzip member corrupt: {e}", pos, len(rest)
             return
-        yield member, None
+        comp_len = len(rest) - len(d.unused_data)
+        yield member, None, pos, comp_len
+        pos += comp_len
         rest = d.unused_data
     if rest:
-        yield rest, None  # trailing plain bytes: surface to header parser
+        yield rest, None, pos, len(rest)  # trailing plain bytes: surface
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -136,7 +142,7 @@ def iter_warc_records(data: bytes):
     record: ``{type, url, ts, http_status, content_type, payload, error}``.
     A record that fails to frame yields ``type='error'`` and parsing moves
     to the next gzip member (one bad record must not kill the file)."""
-    for member, merr in _iter_members(data):
+    for member, merr, _off, _clen in _iter_members(data):
         if merr is not None:
             yield {"type": "error", "url": None, "ts": None,
                    "http_status": None, "content_type": None,
