@@ -42,7 +42,8 @@ BENCH_QUERIES = [
     "latest_capture_extract",
     "pagerank",
     "cms_heavy_hitters", "order_count_histogram", "supplier_part_variety",
-    "warc_extract_e2e", "cdx_index", "domain_cap", "retrieval_quality",
+    "warc_extract_e2e", "cdx_index", "domain_cap", "robots_filter",
+    "retrieval_quality",
     "wat_outlinks", "host_outdegree",
 ]
 

@@ -425,6 +425,156 @@ ORDER BY host, rank
 """
 
 
+# ------------------------------------------------------------ robots.txt
+# RFC 9309 (Robots Exclusion Protocol) politeness filter — the gate every
+# Common-Crawl-derived corpus applies before training on a capture.  The
+# deterministic robots corpus is synthesized per host (each section path
+# may carry a Disallow, optionally softened by a longer Allow exception),
+# then the Spark side PARSES the robots.txt text generically and applies
+# the real longest-match rule: most-specific (longest) matching path wins,
+# Allow beating Disallow on length ties.  The oracle re-derives the
+# decision arithmetically from the generator parameters — it never sees
+# the robots text — so a parser or precedence bug on the Spark side breaks
+# the hash.
+#
+# Scale design: the rules relation is |hosts|·O(1) rows and BROADCASTS;
+# rule parsing happens once per host as higher-order array expressions
+# (split → transform → filter), and the per-page decision is a lambda
+# filter + sort over that tiny array INSIDE the row — after the broadcast
+# hash join there is no |pages|-sized shuffle at all (the presentation
+# sort is driver-compare only).
+_ROBOTS_SECS = ["news", "blog", "docs", "wiki"]
+_ROBOTS_RX = r"^(Allow|Disallow): (/\S*)$"
+
+
+def _host_col():
+    return F.concat(
+        F.lit("host"),
+        F.lpad((_md5i_col(F.concat(F.lit("42:url:"),
+                                   F.col("doc_id").cast("string")))
+                % 500).cast("string"), 4, "0"),
+        F.lit(".example."),
+        F.element_at(F.array(F.lit("com"), F.lit("org"),
+                             F.lit("net"), F.lit("cn")),
+                     (_md5i_col(F.concat(F.lit("42:tld:"),
+                                         F.col("doc_id").cast("string")))
+                      % 4).cast("int") + 1))
+
+
+def _robots_txt_col(host):
+    """Deterministic per-host robots.txt: per section, a 1/3-probability
+    ``Disallow: /sec/`` line, half of those softened by a one-digit-longer
+    ``Allow: /sec/D`` exception (the RFC's longest-match subtlety:
+    ``/sec/3`` re-admits /sec/3, /sec/31, /sec/312…)."""
+    parts = [F.lit("User-agent: *\n")]
+    for sec in _ROBOTS_SECS:
+        dis = (_md5i_col(F.concat(F.lit("42:rb:"), host,
+                                  F.lit(f":{sec}"))) % 3 == 0)
+        has_allow = (_md5i_col(F.concat(F.lit("42:rx:"), host,
+                                        F.lit(f":{sec}"))) % 2 == 0)
+        digit = (_md5i_col(F.concat(F.lit("42:ra:"), host,
+                                    F.lit(f":{sec}"))) % 10).cast("string")
+        parts.append(
+            F.when(dis, F.concat(
+                F.lit(f"Disallow: /{sec}/\n"),
+                F.when(has_allow,
+                       F.concat(F.lit(f"Allow: /{sec}/"), digit,
+                                F.lit("\n"))).otherwise(F.lit(""))))
+             .otherwise(F.lit("")))
+    return F.concat(*parts)
+
+
+def robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision relation before presentation ordering (plan-audited
+    directly: the ``_ordered`` checkpoint would hide the join shape)."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id"))
+    sec = F.element_at(
+        F.array(*[F.lit(s) for s in _ROBOTS_SECS]),
+        (_md5i_col(F.concat(F.lit("42:sec:"),
+                            F.col("doc_id").cast("string")))
+         % 4).cast("int") + 1)
+    pages = docs.select(
+        "doc_id", _host_col().alias("host"),
+        F.concat(F.lit("/"), sec, F.lit("/"),
+                 F.col("doc_id").cast("string")).alias("path"))
+
+    # one robots.txt per distinct host, parsed to a rule array in-row
+    def parse_line(ln):
+        t = F.lower(F.regexp_extract(ln, _ROBOTS_RX, 1))
+        p = F.regexp_extract(ln, _ROBOTS_RX, 2)
+        return F.struct(F.length(p).alias("l"),
+                        (t == "allow").cast("int").alias("a"),
+                        t.alias("t"), p.alias("p"))
+
+    hosts = pages.select("host").distinct()
+    robots = hosts.select(
+        "host",
+        F.filter(F.transform(F.split(_robots_txt_col(F.col("host")), "\n"),
+                             parse_line),
+                 lambda r: r["t"] != "").alias("rules"))
+
+    j = pages.join(F.broadcast(robots), "host")
+    matching = F.filter(F.col("rules"),
+                        lambda r: F.col("path").startswith(r["p"]))
+    win = F.when(F.size(matching) > 0,
+                 F.element_at(F.sort_array(matching, asc=False), 1))
+    return j.select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.col("host"),
+                 F.col("path")).alias("url"),
+        F.coalesce(win["a"] == 1, F.lit(True)).alias("allowed"),
+        win["t"].alias("rule_type"),
+        win["p"].alias("rule_path"))
+
+
+def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ordered as _ordered
+    return robots_decisions(spark, sf_dir).transform(_ordered("doc_id"))
+
+
+def _robots_sql_md5i(key: str) -> str:
+    return f"('0x' || substr(md5({key}), 1, 15))::BIGINT"
+
+
+def _robots_filter_sql() -> str:
+    h = ("'host' || lpad(CAST(" + _robots_sql_md5i("'42:url:' || doc_id")
+         + " % 500 AS VARCHAR), 4, '0') || '.example.' || "
+         "(['com','org','net','cn'])[CAST("
+         + _robots_sql_md5i("'42:tld:' || doc_id")
+         + " % 4 AS INTEGER) + 1]")
+    s = ("(['news','blog','docs','wiki'])[CAST("
+         + _robots_sql_md5i("'42:sec:' || doc_id")
+         + " % 4 AS INTEGER) + 1]")
+    return f"""
+WITH m AS (
+  SELECT doc_id, {h} AS host, {s} AS sec FROM documents),
+r AS (
+  SELECT doc_id, host, sec,
+    {_robots_sql_md5i("'42:rb:' || host || ':' || sec")} % 3 = 0 AS dis,
+    {_robots_sql_md5i("'42:rx:' || host || ':' || sec")} % 2 = 0 AS hasal,
+    CAST({_robots_sql_md5i("'42:ra:' || host || ':' || sec")} % 10
+         AS VARCHAR) AS adigit
+  FROM m),
+d AS (
+  SELECT doc_id, host, sec, dis,
+         dis AND hasal AND starts_with(CAST(doc_id AS VARCHAR), adigit)
+           AS allowed_by_exception,
+         adigit
+  FROM r)
+SELECT doc_id,
+       'https://' || host || '/' || sec || '/' || doc_id AS url,
+       (NOT dis) OR allowed_by_exception AS allowed,
+       CASE WHEN NOT dis THEN NULL
+            WHEN allowed_by_exception THEN 'allow'
+            ELSE 'disallow' END AS rule_type,
+       CASE WHEN NOT dis THEN NULL
+            WHEN allowed_by_exception THEN '/' || sec || '/' || adigit
+            ELSE '/' || sec || '/' END AS rule_path
+FROM d ORDER BY doc_id
+"""
+
+
 # ------------------------------------------------------------- mojibake
 def mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-damage repair (the ftfy ``fix_text`` pass every web corpus
@@ -603,4 +753,5 @@ QUERIES = {
     "paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
     "corpus_keep": (corpus_keep, _corpus_keep_sql()),
     "domain_cap": (domain_cap, DOMAIN_CAP_SQL),
+    "robots_filter": (robots_filter, _robots_filter_sql()),
 }

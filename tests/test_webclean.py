@@ -351,3 +351,75 @@ class TestNfcNormalize:
         # checkpoint boundary (plan shows only the checkpoint scan +
         # sort, i.e. the Python stage ran inside one scan pipeline)
         assert "ExistingRDD" in plan or "MapInPandas" in plan
+
+
+class TestRobotsFilter:
+    """RFC 9309 politeness gate: decisions re-checked by an independent
+    pure-Python REP evaluator run over the PARSED robots.txt text, plus
+    the broadcast/no-shuffle plan shape."""
+
+    def _eval_rep(self, rules, path):
+        """Reference longest-match: most specific rule wins, Allow wins
+        length ties; no match → allowed."""
+        best = None
+        for t, p in rules:
+            if path.startswith(p):
+                k = (len(p), 1 if t == "allow" else 0)
+                if best is None or k > best[0]:
+                    best = (k, t, p)
+        if best is None:
+            return True, None, None
+        return best[1] == "allow", best[1], best[2]
+
+    def test_decisions_match_python_rep(self, spark):
+        import pyspark.sql.functions as F
+        from ragflow_core16_spark.operators.webclean import (
+            _host_col, _robots_txt_col, robots_filter)
+        docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+        robots = {r["host"]: r["txt"] for r in
+                  docs.select(_host_col().alias("host")).distinct()
+                      .select("host", _robots_txt_col(F.col("host"))
+                              .alias("txt")).collect()}
+        # parse independently (not via the Spark expressions)
+        parsed = {}
+        for host, txt in robots.items():
+            rules = []
+            for ln in txt.split("\n"):
+                for kw in ("Allow", "Disallow"):
+                    if ln.startswith(kw + ": "):
+                        rules.append((kw.lower(), ln[len(kw) + 2:]))
+            parsed[host] = rules
+        got = robots_filter(spark, SF).collect()
+        assert len(got) == docs.count()
+        seen = {"no_rule": 0, "disallow": 0, "allow": 0}
+        for r in got:
+            host = r["url"].split("/")[2]
+            path = "/" + r["url"].split("/", 3)[3]
+            want = self._eval_rep(parsed[host], path)
+            assert (r["allowed"], r["rule_type"], r["rule_path"]) == want, \
+                (r["url"], parsed[host])
+            seen[r["rule_type"] or "no_rule"] += 1
+        # the synthetic corpus must exercise every decision branch
+        assert all(v > 0 for v in seen.values()), seen
+
+    def test_allow_exception_is_longest_match(self, spark):
+        """Some page must be re-admitted by an Allow longer than the
+        Disallow that would have dropped it (the RFC subtlety)."""
+        from ragflow_core16_spark.operators.webclean import robots_filter
+        rows = robots_filter(spark, SF).collect()
+        readmitted = [r for r in rows
+                      if r["allowed"] and r["rule_type"] == "allow"]
+        assert readmitted
+        for r in readmitted:
+            assert r["rule_path"][-1].isdigit()
+
+    def test_plan_broadcast_no_page_shuffle(self, spark):
+        from ragflow_core16_spark.operators.webclean import robots_decisions
+        plan = _formatted(robots_decisions(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # the only shuffle Exchange allowed is the hosts-distinct hash agg
+        # (tiny relation); the build side broadcasts and the pages side
+        # must reach the join shuffle-free
+        assert plan.count(") Exchange") <= 1
+        assert plan.count(") BroadcastExchange") == 1
