@@ -44,7 +44,7 @@ BENCH_QUERIES = [
     "cms_heavy_hitters", "order_count_histogram", "supplier_part_variety",
     "warc_extract_e2e", "cdx_index", "domain_cap", "robots_filter",
     "retrieval_quality",
-    "wat_outlinks", "host_outdegree",
+    "wat_outlinks", "host_outdegree", "anchor_texts",
 ]
 
 

@@ -169,6 +169,34 @@ def q_host_outdegree(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(_ordered("src_host")))
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TARGET inlink aggregation — the anchor-text signal web search
+    has indexed since the webgraph era (inlink counts + the words other
+    pages use to describe a target).  The Spark side parses (href, text)
+    PAIRS out of the raw html with one ``regexp_extract_all`` over the
+    full anchor element plus a ``transform`` re-extract per element (all
+    JVM; the oracle never parses html, it derives both fields from the
+    generator parameters).  Aggregation is ONE map-side-combinable
+    groupBy(target_url); the anchor-term set is bounded per target, so a
+    popular target (millions of inlinks at crawl scale) partial-aggs
+    safely — no skewed unbounded collect."""
+    from ..datagen.pages import pages_from_documents
+    _tune(spark)
+    p = pages_from_documents(spark, sf_dir, seed=_SEED)
+    rx = r'<a href="(https?://[^"]+)">([^<]*)</a>'
+    full = F.regexp_extract_all(F.col("html").cast("string"),
+                                F.lit(rx), F.lit(0))
+    pairs = F.transform(full, lambda a: F.struct(
+        F.regexp_extract(a, rx, 1).alias("href"),
+        F.regexp_extract(a, rx, 2).alias("text")))
+    return (p.select(F.explode(pairs).alias("l"))
+            .groupBy(F.col("l.href").alias("target_url"))
+            .agg(F.count(F.lit(1)).cast("int").alias("n_inlinks"),
+                 F.array_join(F.array_sort(F.collect_set("l.text")), "|")
+                  .alias("anchor_terms"))
+            .transform(_ordered("target_url")))
+
+
 def _links_cte() -> str:
     """Shared oracle derivation of the planted absolute links."""
     lh = _md5i(f"'{_SEED}:lh:' || doc_id || ':' || j")
@@ -199,6 +227,20 @@ SELECT doc_id, link_seq,
        target_host
 FROM links
 ORDER BY doc_id, link_seq
+"""
+
+# anchor text is 'related {j}' at link position j (datagen/pages.py::
+# related_links_html) — the oracle derives it from the position, never
+# from the markup the Spark side parses
+ANCHOR_TEXTS_SQL = f"""
+WITH {_links_cte()}
+SELECT 'https://' || target_host || target_path AS target_url,
+       CAST(count(*) AS INTEGER) AS n_inlinks,
+       array_to_string(list_sort(list_distinct(
+           list('related ' || link_seq))), '|') AS anchor_terms
+FROM links
+GROUP BY target_url
+ORDER BY target_url
 """
 
 HOST_OUTDEGREE_SQL = f"""
@@ -284,4 +326,5 @@ QUERIES = {
     "wet_roundtrip_e2e": (q_wet_roundtrip, WET_ROUNDTRIP_SQL),
     "wat_outlinks": (q_wat_outlinks, WAT_OUTLINKS_SQL),
     "host_outdegree": (q_host_outdegree, HOST_OUTDEGREE_SQL),
+    "anchor_texts": (q_anchor_texts, ANCHOR_TEXTS_SQL),
 }
