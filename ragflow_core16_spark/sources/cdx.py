@@ -117,6 +117,36 @@ def surt_expr(url: Column) -> Column:
                      .otherwise(F.concat(F.lit("?"), qsorted)))
 
 
+import re as _re
+
+_AUTH_RX = _re.compile(r"^[a-z][a-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#]*)")
+_PATH_RX = _re.compile(r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)")
+_QUERY_RX = _re.compile(r"\?([^#]*)")
+
+
+def surt(url: str) -> str:
+    """Pure-Python twin of ``surt_expr`` — the differential-fuzz reference
+    (tests/test_warc.py): both implementations must agree on every url the
+    generator grammar can produce."""
+    u = url.lower()
+    m = _AUTH_RX.match(u)
+    auth = m.group(1) if m else ""
+    pm = _re.search(r":(\d+)$", auth)
+    port = pm.group(1) if pm else ""
+    host = _re.sub(r":\d+$", "", auth)
+    host = _re.sub(r"^www\.", "", host)
+    revhost = ",".join(reversed(host.split(".")))
+    if port and port not in ("80", "443"):
+        revhost += ":" + port
+    m = _PATH_RX.match(u)
+    path = (m.group(1) if m else "") or "/"
+    m = _QUERY_RX.search(u)
+    query = m.group(1) if m else ""
+    if query:
+        return revhost + ")" + path + "?" + "&".join(sorted(query.split("&")))
+    return revhost + ")" + path
+
+
 def read_capture(data: bytes, offset: int, length: int) -> dict:
     """Random access: decompress exactly one member at (offset, length) and
     return its single parsed record — the consumer side of the CDX contract

@@ -322,3 +322,36 @@ class TestCdxIndex:
                 assert a["offset"] + a["length"] == b["offset"]
             last = rows[-1]
             assert last["offset"] + last["length"] == len(raw[fid])
+
+    def test_surt_differential_fuzz(self, spark):
+        """400 grammar-generated urls (schemes, www, ports incl. defaults,
+        userinfo, multi-label hosts, queries in shuffled order, fragments):
+        the JVM column expression and the pure-Python twin must agree on
+        every one."""
+        import random
+        import pyspark.sql.functions as F
+        from ragflow_core16_spark.sources.cdx import surt, surt_expr
+        rng = random.Random(4242)
+        urls = []
+        for _ in range(400):
+            scheme = rng.choice(["http", "https"])
+            labels = [rng.choice(["Alpha", "beta", "c7", "www", "x-y"])
+                      for _ in range(rng.randint(1, 3))]
+            host = ".".join((["www"] if rng.random() < 0.3 else [])
+                            + labels + [rng.choice(["com", "org", "net"])])
+            port = rng.choice(["", "", ":80", ":443", ":8080", ":9"])
+            user = rng.choice(["", "", "u@", "u:P-w@"])
+            path = rng.choice(["", "/", "/A/b", "/x/y/z.html", "/p%20q"])
+            q = ""
+            if rng.random() < 0.5:
+                parts = rng.sample(["z=1", "a=2", "m=x&n", "b="],
+                                   rng.randint(1, 3))
+                q = "?" + "&".join(parts)
+            frag = rng.choice(["", "#Frag", "#a?b=1"])
+            urls.append(f"{scheme}://{user}{host}{port}{path}{q}{frag}")
+        got = {r["url"]: r["surt"] for r in
+               spark.createDataFrame([(u,) for u in urls], "url string")
+                    .select("url", surt_expr(F.col("url")).alias("surt"))
+                    .collect()}
+        for u in urls:
+            assert got[u] == surt(u), (u, got[u], surt(u))
