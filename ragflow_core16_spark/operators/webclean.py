@@ -575,6 +575,98 @@ FROM d ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------- sitemaps
+# Sitemap ingestion + crawl-coverage reconciliation: every crawl operation
+# consumes per-host sitemap.xml files to find uncaptured urls and to
+# measure how much of what it captured the host actually declares.  The
+# sitemap corpus is synthesized per host (each page is listed with
+# probability 4/5; some pages also contribute a GHOST entry — a declared
+# url the crawl never captured), the XML is then parsed with Spark's
+# JVM-side ``xpath`` built-in (no Python), and a FULL OUTER join against
+# the capture set produces the per-host coverage rollup.  The oracle
+# derives every count arithmetically from the generator gates — it never
+# sees the XML — so an xpath/namespace/join bug breaks the hash.
+#
+# Scale design: sitemap assembly is one groupBy(host) over |pages| rows
+# (map-side combinable collect bounded per host by the generator); the
+# reconciliation join is keyed on url — co-partitioned hash join, the
+# honest shape when both sides are crawl-sized; the rollup is one
+# map-side-combinable groupBy(host).
+def sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ordered as _ordered
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id"))
+    sec = F.element_at(
+        F.array(*[F.lit(s) for s in _ROBOTS_SECS]),
+        (_md5i_col(F.concat(F.lit("42:sec:"),
+                            F.col("doc_id").cast("string")))
+         % 4).cast("int") + 1)
+    m = docs.select(
+        "doc_id", _host_col().alias("host"),
+        F.concat(F.lit("https://"), _host_col(), F.lit("/"), sec,
+                 F.lit("/"), F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("https://"), _host_col(), F.lit("/"), sec, F.lit("/"),
+                 (F.col("doc_id") + 100000).cast("string")).alias("ghost_url"),
+        (_md5i_col(F.concat(F.lit("42:sm:"),
+                            F.col("doc_id").cast("string"))) % 5 != 0)
+            .alias("listed"),
+        (_md5i_col(F.concat(F.lit("42:gh:"),
+                            F.col("doc_id").cast("string"))) % 7 == 0)
+            .alias("ghost"))
+    entries = (m.filter("listed").select("host", F.col("url").alias("loc"))
+               .unionAll(m.filter("ghost")
+                          .select("host", F.col("ghost_url").alias("loc"))))
+    xml = (entries
+           .groupBy("host")
+           .agg(F.concat(
+               F.lit('<?xml version="1.0"?><urlset>'),
+               F.array_join(F.array_sort(F.collect_list(
+                   F.concat(F.lit("<url><loc>"), F.col("loc"),
+                            F.lit("</loc></url>")))), ""),
+               F.lit("</urlset>")).alias("xml")))
+    locs = (xml.select("host", F.explode(
+                F.expr("xpath(xml, '//url/loc/text()')")).alias("loc")))
+    captures = m.select(F.col("host").alias("c_host"),
+                        F.col("url").alias("c_url"))
+    j = captures.join(locs, captures["c_url"] == locs["loc"], "full_outer")
+    return (j.groupBy(F.coalesce("c_host", "host").alias("host"))
+            .agg(F.count("loc").cast("int").alias("n_listed"),
+                 F.count(F.when(F.col("loc").isNotNull()
+                                & F.col("c_url").isNotNull(), 1))
+                  .cast("int").alias("n_captured_listed"),
+                 F.count(F.when(F.col("c_url").isNull(), 1))
+                  .cast("int").alias("n_missing"),
+                 F.count(F.when(F.col("loc").isNull(), 1))
+                  .cast("int").alias("n_unlisted"))
+            .transform(_ordered("host")))
+
+
+def _sitemap_coverage_sql() -> str:
+    h = ("'host' || lpad(CAST(" + _robots_sql_md5i("'42:url:' || doc_id")
+         + " % 500 AS VARCHAR), 4, '0') || '.example.' || "
+         "(['com','org','net','cn'])[CAST("
+         + _robots_sql_md5i("'42:tld:' || doc_id")
+         + " % 4 AS INTEGER) + 1]")
+    return f"""
+WITH m AS (
+  SELECT doc_id, {h} AS host,
+    {_robots_sql_md5i("'42:sm:' || doc_id")} % 5 != 0 AS listed,
+    {_robots_sql_md5i("'42:gh:' || doc_id")} % 7 = 0 AS ghost
+  FROM documents)
+SELECT host,
+  CAST(coalesce(sum(CASE WHEN listed THEN 1 END), 0)
+       + coalesce(sum(CASE WHEN ghost THEN 1 END), 0) AS INTEGER)
+    AS n_listed,
+  CAST(coalesce(sum(CASE WHEN listed THEN 1 END), 0) AS INTEGER)
+    AS n_captured_listed,
+  CAST(coalesce(sum(CASE WHEN ghost THEN 1 END), 0) AS INTEGER)
+    AS n_missing,
+  CAST(coalesce(sum(CASE WHEN NOT listed THEN 1 END), 0) AS INTEGER)
+    AS n_unlisted
+FROM m GROUP BY host ORDER BY host
+"""
+
+
 # ------------------------------------------------------------- mojibake
 def mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-damage repair (the ftfy ``fix_text`` pass every web corpus
@@ -754,4 +846,5 @@ QUERIES = {
     "corpus_keep": (corpus_keep, _corpus_keep_sql()),
     "domain_cap": (domain_cap, DOMAIN_CAP_SQL),
     "robots_filter": (robots_filter, _robots_filter_sql()),
+    "sitemap_coverage": (sitemap_coverage, _sitemap_coverage_sql()),
 }
