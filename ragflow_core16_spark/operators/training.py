@@ -273,7 +273,14 @@ def _bpe_oracle_sql(rounds: int = BPE_MERGES) -> str:
     CTE is MATERIALIZED so the 16-stage chain evaluates linearly instead
     of re-inlining the whole prefix at each reference.  If pairs ever dry
     up mid-chain the argmax CTE goes empty and the CROSS JOIN empties all
-    later stages — exactly the Spark loop's ``break``."""
+    later stages — exactly the Spark loop's ``break``.
+
+    Precondition (oracle only): the U+001F delimiter must not occur in
+    document text — true of every fixture corpus (printable text, the
+    same convention the mojibake fixtures document).  The Spark side
+    needs no such precondition (its fold is over a real array<string>),
+    so a corpus with control chars would fail parity loudly, not
+    silently."""
     sep = "chr(31)"
     parts = [
         "WITH words AS MATERIALIZED (\n"

@@ -261,10 +261,15 @@ ORDER BY src_host
 """
 
 
-# micros from the synthetic corpus epoch (2024-01-01, sources/warc._EPOCH)
-# to the Unix epoch — ts_micros columns count from the former, timestamp
-# rendering needs the latter.
-_EPOCH_2024_MICROS = 1_704_067_200_000_000
+# micros from the synthetic corpus epoch (sources/warc._EPOCH) to the Unix
+# epoch — ts_micros columns count from the former, timestamp rendering
+# needs the latter; derived, not hardcoded, so the two stay in lockstep.
+def _epoch_micros() -> int:
+    from ..sources.warc import _EPOCH
+    return int(_EPOCH.value // 1000)
+
+
+_EPOCH_2024_MICROS = _epoch_micros()
 
 
 def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:

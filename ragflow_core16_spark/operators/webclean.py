@@ -370,20 +370,10 @@ def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from a separate count agg (map-side combinable)."""
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id"))
-    host = F.concat(
-        F.lit("host"),
-        F.lpad((_md5i_col(F.concat(F.lit("42:url:"),
-                                   F.col("doc_id").cast("string")))
-                % 500).cast("string"), 4, "0"),
-        F.lit(".example."),
-        F.element_at(F.array(F.lit("com"), F.lit("org"),
-                             F.lit("net"), F.lit("cn")),
-                     (_md5i_col(F.concat(F.lit("42:tld:"),
-                                         F.col("doc_id").cast("string")))
-                      % 4).cast("int") + 1))
     prio = _md5i_col(F.concat(F.lit("42:prio:"),
                               F.col("doc_id").cast("string")))
-    m = docs.select("doc_id", host.alias("host"), prio.alias("prio"))
+    m = docs.select("doc_id", _host_col().alias("host"),
+                    prio.alias("prio"))
     stage1 = (m.withColumn("salt", (F.col("doc_id") % _CAP_SALTS))
               .groupBy("host", "salt")
               .agg(F.slice(F.sort_array(F.collect_list(
@@ -534,7 +524,8 @@ def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _robots_sql_md5i(key: str) -> str:
-    return f"('0x' || substr(md5({key}), 1, 15))::BIGINT"
+    from .extract_e2e import _md5i
+    return _md5i(key)
 
 
 def _robots_filter_sql() -> str:
@@ -605,8 +596,12 @@ def sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", _host_col().alias("host"),
         F.concat(F.lit("https://"), _host_col(), F.lit("/"), sec,
                  F.lit("/"), F.col("doc_id").cast("string")).alias("url"),
+        # '-g' suffix: real capture paths are all-digit ids, so a ghost url
+        # is structurally non-colliding at EVERY corpus scale (doc_id +
+        # offset would collide once ids cross the offset)
         F.concat(F.lit("https://"), _host_col(), F.lit("/"), sec, F.lit("/"),
-                 (F.col("doc_id") + 100000).cast("string")).alias("ghost_url"),
+                 F.col("doc_id").cast("string"), F.lit("-g"))
+            .alias("ghost_url"),
         (_md5i_col(F.concat(F.lit("42:sm:"),
                             F.col("doc_id").cast("string"))) % 5 != 0)
             .alias("listed"),

@@ -39,7 +39,7 @@ import hashlib
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, IntegerType, LongType, StringType,
+from pyspark.sql.types import (IntegerType, LongType, StringType,
                                StructField, StructType)
 
 from .warc import _EPOCH, _iter_members, iter_warc_records
@@ -97,20 +97,27 @@ def cdx_entries_df(files: DataFrame) -> DataFrame:
 
 
 def surt_expr(url: Column) -> Column:
-    """SURT key as a single JVM column expression (no UDF)."""
+    """SURT key as a single JVM column expression (no UDF).
+
+    Default-port drop is scheme-aware (http:80 / https:443 only — an
+    explicit :443 on an http url names a DIFFERENT origin and must keep
+    its port), and the query extraction anchors before any ``#`` so a
+    ``?`` inside the fragment cannot leak fragment content into the key."""
     u = F.lower(url)
+    scheme = F.regexp_extract(u, r"^([a-z][a-z0-9+.\-]*)://", 1)
     # authority = after scheme://, after userinfo@, up to /?#
     auth = F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#]*)", 1)
     host = F.regexp_replace(auth, r":\d+$", "")
     port = F.regexp_extract(auth, r":(\d+)$", 1)
     host = F.regexp_replace(host, r"^www\.", "")
     revhost = F.array_join(F.reverse(F.split(host, r"\.")), ",")
-    keep_port = (port != "") & (port != "80") & (port != "443")
+    keep_port = (port != "") & ~((scheme == "http") & (port == "80")) \
+        & ~((scheme == "https") & (port == "443"))
     hostkey = F.when(keep_port, F.concat(revhost, F.lit(":"), port)) \
                .otherwise(revhost)
     path = F.regexp_extract(u, r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    query = F.regexp_extract(u, r"^[^#]*\?([^#]*)", 1)
     qsorted = F.array_join(F.array_sort(F.split(query, "&")), "&")
     return F.concat(hostkey, F.lit(")"), path,
                     F.when(query == "", F.lit(""))
@@ -119,9 +126,10 @@ def surt_expr(url: Column) -> Column:
 
 import re as _re
 
+_SCHEME_RX = _re.compile(r"^([a-z][a-z0-9+.\-]*)://")
 _AUTH_RX = _re.compile(r"^[a-z][a-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#]*)")
 _PATH_RX = _re.compile(r"^[a-z][a-z0-9+.\-]*://[^/?#]*([^?#]*)")
-_QUERY_RX = _re.compile(r"\?([^#]*)")
+_QUERY_RX = _re.compile(r"^[^#]*\?([^#]*)")
 
 
 def surt(url: str) -> str:
@@ -129,6 +137,8 @@ def surt(url: str) -> str:
     (tests/test_warc.py): both implementations must agree on every url the
     generator grammar can produce."""
     u = url.lower()
+    m = _SCHEME_RX.match(u)
+    scheme = m.group(1) if m else ""
     m = _AUTH_RX.match(u)
     auth = m.group(1) if m else ""
     pm = _re.search(r":(\d+)$", auth)
@@ -136,11 +146,11 @@ def surt(url: str) -> str:
     host = _re.sub(r":\d+$", "", auth)
     host = _re.sub(r"^www\.", "", host)
     revhost = ",".join(reversed(host.split(".")))
-    if port and port not in ("80", "443"):
+    if port and (scheme, port) not in (("http", "80"), ("https", "443")):
         revhost += ":" + port
     m = _PATH_RX.match(u)
     path = (m.group(1) if m else "") or "/"
-    m = _QUERY_RX.search(u)
+    m = _QUERY_RX.match(u)
     query = m.group(1) if m else ""
     if query:
         return revhost + ")" + path + "?" + "&".join(sorted(query.split("&")))

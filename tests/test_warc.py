@@ -274,6 +274,13 @@ class TestCdxIndex:
             "https://host0163.example.com/wiki/0": "com,example,host0163)/wiki/0",
             "http://u:p@host.com/x": "com,host)/x",
             "https://host.cn": "cn,host)/",
+            # scheme-aware default ports: the cross pairings name DISTINCT
+            # origins and must keep the port
+            "http://host.com:443/x": "com,host:443)/x",
+            "https://host.com:80/x": "com,host:80)/x",
+            # '?' inside a fragment is not a query
+            "https://host.com/path#a?b=1": "com,host)/path",
+            "https://host.com/p?z=1&a=2#frag?x=9": "com,host)/p?a=2&z=1",
         }
         import pyspark.sql.functions as F
         df = spark.createDataFrame([(u,) for u in cases], "url string")
