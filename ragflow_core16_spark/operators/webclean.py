@@ -583,8 +583,9 @@ FROM d ORDER BY doc_id
 # reconciliation join is keyed on url — co-partitioned hash join, the
 # honest shape when both sides are crawl-sized; the rollup is one
 # map-side-combinable groupBy(host).
-def sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..session import ordered as _ordered
+def sitemap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coverage relation before presentation ordering (plan-audited
+    directly; the ``_ordered`` checkpoint would hide the join shape)."""
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id"))
     sec = F.element_at(
@@ -632,8 +633,12 @@ def sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.when(F.col("c_url").isNull(), 1))
                   .cast("int").alias("n_missing"),
                  F.count(F.when(F.col("loc").isNull(), 1))
-                  .cast("int").alias("n_unlisted"))
-            .transform(_ordered("host")))
+                  .cast("int").alias("n_unlisted")))
+
+
+def sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ordered as _ordered
+    return sitemap_rollup(spark, sf_dir).transform(_ordered("host"))
 
 
 def _sitemap_coverage_sql() -> str:

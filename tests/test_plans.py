@@ -394,3 +394,33 @@ def test_ngram_jaccard_prunes_shingles_to_candidates(spark):
     plan = _formatted(D.ngram_jaccard(spark, SF))
     # three broadcast pruning joins (docs_a, docs_b, docs_any)
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_cdx_index_one_pass_one_python_stage(spark):
+    """The capture-index build must be a single streaming pass: one
+    MapInPandas (the member walk that parsing needs anyway) with the SURT
+    key computed as a JVM Project above it — no second scan of the WARC
+    bytes, no shuffle between parse and key (the only Exchange is the
+    synthetic file build's groupBy, which at deployment is the WARC-dir
+    file scan)."""
+    import pyspark.sql.functions as F
+    from ragflow_core16_spark.sources.cdx import cdx_entries_df, surt_expr
+    from ragflow_core16_spark.sources.warc import warc_files_from_documents
+    df = (cdx_entries_df(warc_files_from_documents(spark, SF))
+          .select(surt_expr(F.col("url")).alias("surt"),
+                  "url", "offset", "length"))
+    plan = _formatted(df)
+    assert plan.count(") MapInPandas") == 1
+    assert plan.count(") Exchange") <= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_sitemap_coverage_join_and_rollups_partial_agg(spark):
+    """Sitemap reconciliation: the per-host XML assembly and the final
+    rollup must both carry map-side partial aggregates, and the url
+    reconciliation is a hash join (no Python stage anywhere — xpath is
+    JVM)."""
+    from ragflow_core16_spark.operators.webclean import sitemap_rollup
+    plan = _formatted(sitemap_rollup(spark, SF))
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4    # partial+final × 2 rollups
