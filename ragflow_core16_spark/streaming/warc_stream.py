@@ -101,3 +101,50 @@ def run_warc_to_wet_stream(spark: SparkSession, input_dir: str,
     if once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_warc_to_cdx_stream(spark: SparkSession, input_dir: str,
+                           cdx_dir: str, checkpoint_dir: str,
+                           once: bool = True):
+    """WARC landing zone → CDX capture index, one sorted parquet shard set
+    per micro-batch — how a continuous crawl (CC-NEWS) keeps its index
+    current without re-scanning old shards.  Each batch writes to its own
+    ``b{batch:05d}`` subdirectory with mode=overwrite, so foreachBatch's
+    at-least-once replay is idempotent (a replayed batch rewrites the
+    identical bytes).  The union of batch directories is the live index;
+    a periodic compaction into ``cluster.idx`` order is a plain batch job
+    over the same rows.
+
+    ``filename`` carries the real landing-zone file name (the CDX field a
+    consumer feeds to a range request); file identity inside the walk is
+    crc32(path) — deterministic, so replays agree."""
+    from ..sources.cdx import cdx_entries_df, surt_expr
+
+    files = (spark.readStream.format("binaryFile")
+             .option("pathGlobFilter", "*.warc.gz")
+             .option("maxFilesPerTrigger", 4)
+             .schema(BINARY_FILE_SCHEMA)
+             .load(input_dir)
+             .select("path",
+                     F.crc32("path").cast("int").alias("file_id"),
+                     F.lit(0).cast("int").alias("n_records"),
+                     F.col("content").alias("data")))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        entries = cdx_entries_df(
+            batch_df.select("file_id", "n_records", "data"))
+        names = batch_df.select(
+            "file_id",
+            F.element_at(F.split("path", "/"), -1).alias("filename"))
+        out = (entries.join(F.broadcast(names), "file_id")
+               .withColumn("surt", surt_expr(F.col("url")))
+               .sortWithinPartitions("surt"))
+        (out.write.mode("overwrite")
+            .parquet(f"{cdx_dir}/b{batch_id:05d}"))
+
+    writer = (files.writeStream
+              .foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -90,3 +90,44 @@ class TestWarcStream:
         # each micro-batch published its own shard set; nothing overwritten
         prefixes = {p.name.split("-0")[0] for p in wet.glob("*.warc.wet.gz")}
         assert len(prefixes) == 2
+
+
+class TestCdxStream:
+    def test_cdx_sink_matches_batch_index(self, spark, tmp_path):
+        """Streamed per-batch CDX shards must union to exactly the batch
+        index over the same bytes: same captures, same offsets/digests,
+        real landing-zone filenames, surt populated."""
+        from ragflow_core16_spark.sources.cdx import (cdx_entries_df,
+                                                      read_capture)
+        from ragflow_core16_spark.streaming.warc_stream import (
+            run_warc_to_cdx_stream)
+        inp, cdx, ckpt = (tmp_path / d for d in ("in", "cdx", "ckpt"))
+        _drop_warc(inp, "a.warc.gz", range(4))
+        _drop_warc(inp, "b.warc.gz", range(4, 7))
+        q = run_warc_to_cdx_stream(spark, str(inp), str(cdx), str(ckpt))
+        q.awaitTermination(120)
+        got = spark.read.parquet(str(cdx / "b*")).collect()
+        assert len(got) == 7
+        assert {r["filename"] for r in got} == {"a.warc.gz", "b.warc.gz"}
+        assert all(r["surt"] and r["surt"].count(")") == 1 for r in got)
+        # every row random-accesses its own capture in the raw file
+        raw = {n: (inp / n).read_bytes() for n in ("a.warc.gz", "b.warc.gz")}
+        for r in got:
+            rec = read_capture(raw[r["filename"]], r["offset"], r["length"])
+            assert rec["url"] == r["url"]
+
+    def test_cdx_resume_indexes_only_new_drop(self, spark, tmp_path):
+        from ragflow_core16_spark.streaming.warc_stream import (
+            run_warc_to_cdx_stream)
+        inp, cdx, ckpt = (tmp_path / d for d in ("in", "cdx", "ckpt"))
+        _drop_warc(inp, "a.warc.gz", range(3))
+        run_warc_to_cdx_stream(spark, str(inp), str(cdx),
+                               str(ckpt)).awaitTermination(120)
+        n1 = spark.read.parquet(str(cdx / "b*")).count()
+        assert n1 == 3
+        _drop_warc(inp, "c.warc.gz", range(3, 8))
+        run_warc_to_cdx_stream(spark, str(inp), str(cdx),
+                               str(ckpt)).awaitTermination(120)
+        res = spark.read.parquet(str(cdx / "b*"))
+        assert res.count() == 8
+        assert res.select("url").distinct().count() == 8
