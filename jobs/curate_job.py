@@ -51,7 +51,10 @@ def main(argv=None) -> int:
     from ragflow_core16_spark.operators.webclean import corpus_keep
 
     t0 = time.time()
-    decisions = corpus_keep(spark, args.input.rstrip("/"))
+    # persist: the decision DAG (Gopher aggs, C4 lines, decontamination
+    # gram join, dedup survivors) feeds TWO actions below — without this
+    # the corpus write and the keep write each recompute it end-to-end
+    decisions = corpus_keep(spark, args.input.rstrip("/")).persist()
     if not args.no_corpus:
         docs = spark.read.parquet(f"{args.input.rstrip('/')}/documents.parquet")
         kept = (docs.join(decisions.filter(F.col("corpus_keep"))

@@ -75,6 +75,13 @@ def main(argv=None) -> int:
 
     if args.input_format == "warc":
         from ragflow_core16_spark.sources.warc import pages_from_warc_dir
+        if args.lang:
+            # a raw crawl carries no lang column (pages_from_warc emits
+            # NULL); a silent `lang == X` filter would drop EVERY page —
+            # fail loudly instead of completing with rows=0
+            ap.error("--lang cannot be combined with --input-format warc: "
+                     "WARC crawls carry no lang column; run language "
+                     "identification downstream of extraction instead")
         pages = pages_from_warc_dir(spark, args.input)
     elif args.input.startswith("iceberg:"):
         pages = spark.read.table(args.input[len("iceberg:"):])
@@ -101,8 +108,14 @@ def main(argv=None) -> int:
         # re-extracting anything
         from pyspark.sql import functions as F2
         from ragflow_core16_spark.sources.warc import write_wet_files
-        ext = (spark.read.parquet(f"{args.output}/extracted")
-               .where(F2.col("status") == "ok"))
+        if args.snapshot_table:
+            # snapshot mode commits through {output}/_snapshots manifests,
+            # never {output}/extracted — read the just-committed version
+            from ragflow_core16_spark.pipeline.snapshots import SnapshotTable
+            ext = SnapshotTable(spark, args.output).read()
+        else:
+            ext = spark.read.parquet(f"{args.output}/extracted")
+        ext = ext.where(F2.col("status") == "ok")
         manifest = write_wet_files(ext, args.wet_output,
                                    n_files=args.wet_shards)
         agg = manifest.agg(

@@ -214,8 +214,10 @@ def demux_mp4(data: bytes) -> dict:
         sizes = [uniform] * n_samples
     else:
         sizes = list(struct.unpack_from(f">{n_samples}I", data, b + 12))
-    # stco / co64 → chunk offsets
-    hit = table(b"stco")
+    # stco / co64 → chunk offsets (co64 = 64-bit offsets, standard for
+    # >4 GB files; probe with _find directly — table() raises on a miss,
+    # which would make the co64 fallback unreachable)
+    hit = _find(data, stbl[0], stbl[1], b"stco")
     if hit is not None:
         b, _ = hit
         n_chunks = _U32.unpack_from(data, b + 4)[0]

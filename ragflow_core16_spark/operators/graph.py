@@ -43,12 +43,12 @@ def _edges(d: DataFrame, n_docs_col) -> DataFrame:
     """1–3 md5-derived out-links per document (self-loops allowed — they
     are deterministic and harmless to the fixed-point)."""
     deg = (F.col("doc_id") % 3 + 1).cast("int")
+    from .dedup import _md5_bigint
     links = F.transform(
         F.sequence(F.lit(1), deg),
-        lambda k: F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
-                                          k.cast("string"))), 1, 15),
-            16, 10).cast("bigint") % n_docs_col)
+        lambda k: _md5_bigint(
+            F.concat_ws(":", F.col("doc_id").cast("string"),
+                        k.cast("string"))) % n_docs_col)
     return (d.select("doc_id", F.explode(links).alias("dst"))
             .withColumn("out_deg", deg.cast("bigint"))
             .select(F.col("doc_id").alias("src"), "dst", "out_deg"))

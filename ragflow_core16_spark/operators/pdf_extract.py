@@ -431,8 +431,7 @@ words AS (
   FROM toklists)
 SELECT doc_id, 'ok' AS status, 1 AS n_pages, 0 AS chunk_seq,
        string_agg(
-         CASE WHEN (wi-1) % 10 = 0 AND wi > 1 THEN ' ' || w ELSE
-              CASE WHEN (wi-1) % 10 = 0 THEN w ELSE ' ' || w END END ||
+         CASE WHEN wi = 1 THEN w ELSE ' ' || w END ||
          CASE WHEN wi % 10 = 0 OR wi = n THEN '.' ELSE '' END,
          '' ORDER BY wi) AS chunk_text,
        CAST(sum(

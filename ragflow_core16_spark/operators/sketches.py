@@ -62,8 +62,8 @@ def hll_registers(df: DataFrame, key_col: str,
     maxes), so partial register tables from any partitioning of the input
     — batches, days, executors — combine losslessly.  Shared by the batch
     query below and ``streaming/sketches_stream.py``."""
-    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15),
-               16, 10).cast("bigint")
+    from .dedup import _md5_bigint
+    h = _md5_bigint(F.col(key_col).cast("string"))
     # integer div/mod only — h is a 60-bit value, float division would
     # lose low bits above 2^53.  Working columns carry a __hll_ prefix so
     # they can never shadow a caller's group column (e.g. a window `w`).
@@ -198,10 +198,10 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     key = F.col("user_id").cast("string")
 
+    from .dedup import _md5_bigint
+
     def bucket(r: int):
-        return (F.conv(F.substring(F.md5(F.concat_ws(
-            "#", key, F.lit(str(r)))), 1, 15), 16, 10)
-            .cast("bigint") % CMS_WIDTH)
+        return _md5_bigint(F.concat_ws("#", key, F.lit(str(r)))) % CMS_WIDTH
 
     pairs = ", ".join(f"{r}, b{r}" for r in range(CMS_DEPTH))
     stream = e.select(*[bucket(r).alias(f"b{r}") for r in range(CMS_DEPTH)])
@@ -428,8 +428,8 @@ def _bloom_url(doc_id):
 
 
 def _bloom_pos(url: Column, k: int) -> Column:
-    return (F.conv(F.substring(F.md5(F.concat(url, F.lit(f"#{k}"))), 1, 15),
-                   16, 10).cast("bigint") % BLOOM_BITS)
+    from .dedup import _md5_bigint
+    return _md5_bigint(F.concat(url, F.lit(f"#{k}"))) % BLOOM_BITS
 
 
 def bloom_build(urls: DataFrame, url_col: str = "url") -> DataFrame:

@@ -458,7 +458,7 @@ ORDER BY doc_id, chunk_seq
 
 
 QA_TEMPLATE_SQL = rf"""
-WITH {_WORDS_CTE.replace("toklists AS (", "toklists AS (", 1)},
+WITH {_WORDS_CTE},
 sized AS (SELECT doc_id, l, len(l) AS n FROM toklists),
 pairs AS (
   SELECT doc_id, CAST((i-1) // 12 AS INTEGER) AS chunk_seq,

@@ -351,7 +351,8 @@ _CAP_SALTS = 8      # stage-1 fanout per host
 
 
 def _md5i_col(key):
-    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    from .dedup import _md5_bigint
+    return _md5_bigint(key)
 
 
 def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,7 +692,7 @@ def mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import (LongType, StringType, StructField,
                                    StructType, BooleanType)
 
-    from ..textnorm.mojibake import fix_mojibake
+    from ..textnorm.mojibake import fix_mojibake, sloppy_cp1252_decode
 
     d = _docs(spark, sf_dir)
     words = F.split("text", " ")
@@ -719,7 +720,11 @@ def mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if m == 0:
                     damaged = s.encode("utf-8").decode("latin-1")
                 elif m == 1:
-                    damaged = s.encode("utf-8").decode("cp1252")
+                    # sloppy decode: strict cp1252 raises on the five
+                    # undefined bytes (0x81 0x8D 0x8F 0x90 0x9D), which
+                    # real UTF-8 text hits (e.g. U+018F → C6 8F) — the
+                    # upstream-misdecode model must be total
+                    damaged = sloppy_cp1252_decode(s.encode("utf-8"))
                 else:
                     damaged = s
                 repaired = fix_mojibake(damaged)

@@ -45,6 +45,20 @@ for _i, _cp in enumerate(_CP1252_80_9F):
         _SLOPPY_REV[_cp] = 0x80 + _i
 
 
+def sloppy_cp1252_decode(data: bytes) -> str:
+    """Total decode of "something upstream used cp1252": cp1252 where
+    defined, raw-byte (latin-1) identity for the five undefined positions
+    (0x81 0x8D 0x8F 0x90 0x9D) — ftfy's sloppy-windows-1252.  Unlike
+    strict ``bytes.decode('cp1252')`` this never raises, so damage
+    simulation (and any upstream-misdecode model) is total over arbitrary
+    UTF-8 bytes; ``_sloppy_encode`` is its exact inverse."""
+    tbl = _CP1252_80_9F
+    return "".join(
+        chr(tbl[b - 0x80]) if 0x80 <= b <= 0x9F and tbl[b - 0x80] is not None
+        else chr(b)
+        for b in data)
+
+
 def _sloppy_encode(s: str) -> bytes | None:
     """Inverse of "decoded with cp1252-or-latin-1": cp1252 where it maps,
     raw byte identity for every other latin-1 codepoint.  None when the

@@ -302,3 +302,39 @@ class TestVconcatImages:
         out = decode_png(vconcat_images(a, a))
         assert (out["w"], out["h"]) == (2, 4)
         assert out["pixels"] == rgb + rgb
+
+
+class TestMp4Co64:
+    def test_demux_co64_chunk_offsets(self):
+        """A standards-valid file can carry 64-bit chunk offsets (co64,
+        standard for >4 GB); demux must fall back to it when stco is
+        absent.  Built by rewriting a muxed file's stco box to co64 in
+        place (mdat precedes moov, so chunk offsets are unaffected; only
+        the ancestor container sizes grow)."""
+        import struct
+        from ragflow_core16_spark.media.mp4 import (demux_mp4, encode_mp4,
+                                                    extract_samples)
+        frames = [bytes([i]) * 64 for i in range(10)]
+        data = encode_mp4(frames, width=8, height=8, samples_per_chunk=4)
+        want = demux_mp4(data)
+
+        i = data.find(b"stco") - 4
+        (size,) = struct.unpack_from(">I", data, i)
+        verflags = data[i + 8:i + 12]
+        (n,) = struct.unpack_from(">I", data, i + 12)
+        offs = struct.unpack_from(f">{n}I", data, i + 16)
+        body = verflags + struct.pack(">I", n) + b"".join(
+            struct.pack(">Q", o) for o in offs)
+        newbox = struct.pack(">I", 8 + len(body)) + b"co64" + body
+        new = bytearray(data[:i] + newbox + data[i + size:])
+        delta = len(newbox) - size
+        for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+            j = bytes(new).rfind(tag) - 4
+            (cur,) = struct.unpack_from(">I", new, j)
+            struct.pack_into(">I", new, j, cur + delta)
+        new = bytes(new)
+
+        assert b"stco" not in new and b"co64" in new
+        info = demux_mp4(new)
+        assert info["samples"] == want["samples"]
+        assert extract_samples(new) == frames
