@@ -47,6 +47,12 @@ def main(argv=None) -> int:
                     help="also write *.warc.wet.gz shards of the extracted "
                          "text (from the committed extracted/ table)")
     ap.add_argument("--wet-shards", type=int, default=256)
+    ap.add_argument("--wet-lang", default=None,
+                    help="emit WET records only for pages whose DETECTED "
+                         "language (marker heuristic on the extracted "
+                         "text) matches — the per-language WET export "
+                         "convention; works on raw crawls, unlike --lang "
+                         "which needs a lang column")
     ap.add_argument("--output", required=True,
                     help="output warehouse dir (extracted/ chunks/ metrics/ lineage/)")
     ap.add_argument("--lang", default=None,
@@ -116,6 +122,11 @@ def main(argv=None) -> int:
         else:
             ext = spark.read.parquet(f"{args.output}/extracted")
         ext = ext.where(F2.col("status") == "ok")
+        if args.wet_lang:
+            from ragflow_core16_spark.operators.textstats import \
+                lang_pred_expr
+            ext = ext.where(
+                lang_pred_expr(F2.col("extracted_text")) == args.wet_lang)
         manifest = write_wet_files(ext, args.wet_output,
                                    n_files=args.wet_shards)
         agg = manifest.agg(

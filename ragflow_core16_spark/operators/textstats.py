@@ -114,19 +114,27 @@ _LANG_MARKERS = {
 }
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    low = F.lower("text")
+def lang_pred_expr(text_col) -> "F.Column":
+    """Detected-language column expression (pure JVM) — shared by the
+    ``lang_id`` query and the extract job's ``--wet-lang`` per-language
+    WET export (a raw crawl carries no lang column, so detection runs on
+    the EXTRACTED text downstream)."""
+    low = F.lower(text_col)
     hits = {lg: F.regexp_count(low, F.lit(r"\b(" + "|".join(ws) + r")\b"))
             for lg, ws in _LANG_MARKERS.items()}
-    cjk = F.regexp_count("text", F.lit(r"[一-鿿]"))
+    cjk = F.regexp_count(text_col, F.lit(r"[一-鿿]"))
     best = F.greatest(*hits.values())
-    pred = (F.when(cjk > F.length("text") * 0.2, "zh")
+    pred = (F.when(cjk > F.length(text_col) * 0.2, "zh")
             .when(best == F.lit(0), "unknown"))
     for lg in _LANG_MARKERS:  # ties break in insertion order — same in SQL
         pred = pred.when(hits[lg] == best, lg)
+    return pred.otherwise("unknown")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
     return (d.select("doc_id", F.col("lang").alias("lang_declared"),
-                     pred.otherwise("unknown").alias("lang_pred"))
+                     lang_pred_expr(F.col("text")).alias("lang_pred"))
             .orderBy("doc_id"))
 
 

@@ -134,3 +134,32 @@ def test_spark_submit_warc_in_wet_out(tmp_path, spark):
         assert all(r["error"] is None for r in recs)
         conv += sum(1 for r in recs if r["type"] == "conversion")
     assert conv == 40
+
+    # --wet-lang: per-language WET export — shards must contain exactly
+    # the pages whose DETECTED language is 'en' (computed independently
+    # in-process over the same crawl)
+    import pyspark.sql.functions as F
+    from ragflow_core16_spark.operators.extract import extract_pages
+    from ragflow_core16_spark.operators.textstats import lang_pred_expr
+    from ragflow_core16_spark.sources.warc import pages_from_warc_dir
+    want = {r["url"] for r in
+            extract_pages(pages_from_warc_dir(spark, str(warc_dir)))
+            .where(F.col("status") == "ok")
+            .where(lang_pred_expr(F.col("extracted_text")) == "en")
+            .select("url").collect()}
+    assert 0 < len(want) < 40, "fixture must be language-mixed"
+    out2 = subprocess.run(
+        ["spark-submit", "--master", "local[2]",
+         "--py-files", str(zip_path),
+         os.path.join(REPO, "jobs", "extract_job.py"),
+         "--input", str(warc_dir), "--input-format", "warc",
+         "--output", str(tmp_path / "out_en"),
+         "--wet-output", str(tmp_path / "wet_en"), "--wet-shards", "4",
+         "--wet-lang", "en"],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=420)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    got = set()
+    for p in sorted((tmp_path / "wet_en").glob("*.warc.wet.gz")):
+        got |= {r["url"] for r in iter_warc_records(p.read_bytes())
+                if r["type"] == "conversion"}
+    assert got == want
