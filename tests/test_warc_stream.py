@@ -131,3 +131,45 @@ class TestCdxStream:
         res = spark.read.parquet(str(cdx / "b*"))
         assert res.count() == 8
         assert res.select("url").distinct().count() == 8
+
+    def test_compaction_to_cluster_idx(self, spark, tmp_path):
+        """Streamed batch shards → compacted range-sorted shards +
+        cluster.idx: row-preserving, globally sorted (shard ranges are
+        disjoint and internally ordered), and the cluster index routes a
+        lookup to exactly one shard that contains it."""
+        from ragflow_core16_spark.sources.cdx import compact_cdx
+        from ragflow_core16_spark.streaming.warc_stream import (
+            run_warc_to_cdx_stream)
+        inp, cdx, ckpt = (tmp_path / d for d in ("in", "cdx", "ckpt"))
+        _drop_warc(inp, "a.warc.gz", range(6))
+        assert run_warc_to_cdx_stream(
+            spark, str(inp), str(cdx), str(ckpt)).awaitTermination(300)
+        _drop_warc(inp, "b.warc.gz", range(6, 14))
+        assert run_warc_to_cdx_stream(
+            spark, str(inp), str(cdx), str(ckpt)).awaitTermination(300)
+
+        out = tmp_path / "compacted"
+        idx = compact_cdx(spark, str(cdx / "b*"), str(out),
+                          n_shards=3).collect()
+        rows = spark.read.parquet(str(out)).collect()
+        assert len(rows) == 14
+        assert sum(r["n_captures"] for r in idx) == 14
+        # disjoint, ordered shard ranges
+        for a, b in zip(idx, idx[1:]):
+            assert a["first_surt"] <= a["last_surt"] <= b["first_surt"]
+        # per-shard internal order + routing: every row's surt falls in
+        # its own shard's [first, last] range
+        by_shard = {}
+        import pyspark.sql.functions as F
+        for r in (spark.read.parquet(str(out))
+                  .withColumn("shard", F.element_at(
+                      F.split(F.input_file_name(), "/"), -1))
+                  .collect()):
+            by_shard.setdefault(r["shard"], []).append(r)
+        ranges = {r["shard"]: (r["first_surt"], r["last_surt"])
+                  for r in idx}
+        for shard, rs in by_shard.items():
+            lo, hi = ranges[shard]
+            keys = [(r["surt"], r["ts_micros"], r["url"]) for r in rs]
+            assert keys == sorted(keys)
+            assert all(lo <= r["surt"] <= hi for r in rs)
