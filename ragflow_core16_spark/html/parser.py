@@ -26,8 +26,14 @@ class HtmlParser:
         if text is None:
             if binary is None:
                 return []
-            encoding = find_codec(binary)
-            text = binary.decode(encoding, errors="ignore")
+            if isinstance(binary, str):
+                # already-decoded HTML passed positionally — the docstring
+                # allows it; without this, find_codec wastes a 100-codec
+                # pass and str.decode then raises AttributeError
+                text = binary
+            else:
+                encoding = find_codec(binary)
+                text = binary.decode(encoding, errors="ignore")
         return self.parser_txt(text)
 
     @classmethod

@@ -164,9 +164,11 @@ class Document:
         if self._title is None:
             t = root.find("title")
             self._title = _norm_text(t) if t is not None else ""
-        for bad in root.find_all("script", "style", "noscript", "iframe",
-                                 "form", "button", "input", "textarea",
-                                 "select"):
+        # 0.8.1's lxml Cleaner pass (scripts/javascript/style); forms are
+        # NOT cleaned here (Cleaner(forms=False)) — form/textarea drop at
+        # the START of sanitize, and input/button/select survive
+        # throughout so sanitize's input-density rule has inputs to count
+        for bad in root.find_all("script", "style", "noscript", "iframe"):
             bad.drop()
         self._remove_unlikely(root)
         self._divs_to_paragraphs(root)
@@ -291,6 +293,11 @@ class Document:
         for h in list(article.find_all("h1", "h2", "h3", "h4", "h5", "h6")):
             if _class_weight(h) < 0 or _link_density(h) > 0.33:
                 h.drop()
+        # 0.8.1 drops whole form/textarea trees here — AFTER scoring (they
+        # contributed to candidate scores) and BEFORE conditional cleanup
+        # (so input counts below come only from bare inputs outside forms)
+        for n in list(article.find_all("form", "textarea")):
+            n.drop()
         # conditional cleaning (0.8.1 clean_conditionally), deepest-first
         targets = [n for n in article.iter()
                    if n is not article and n.tag in (

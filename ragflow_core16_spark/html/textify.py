@@ -29,14 +29,22 @@ import re
 
 from .dom import Node, parse_html
 
-# html-text's newline-forcing tags (NEWLINE_TAGS ∪ DOUBLE_NEWLINE_TAGS —
-# the downstream split("\n") makes the single/double distinction moot)
+# html-text 0.6.2's EXACT newline-forcing tags (NEWLINE_TAGS ∪
+# DOUBLE_NEWLINE_TAGS — the downstream split("\n") makes the single/double
+# distinction moot).  Deliberately NOT a superset: html-text breaks lines
+# on table/tr but joins same-row CELLS (td/th) with spaces, and section/
+# address/caption/center force no break either — a wider set changes
+# section boundaries (hence chunk ids) on every page with tabular markup.
 BLOCK_TAGS = frozenset(
-    """address article aside blockquote body br caption center col colgroup dd
-    details dir div dl dt fieldset figcaption figure footer form h1 h2 h3 h4 h5
-    h6 header hgroup hr html legend li main menu nav ol output p pre section
-    summary table tbody td textarea tfoot th thead tr ul""".split()
+    """article aside br dd details div dt fieldset figcaption footer form
+    header hr legend li main nav table tr
+    blockquote dl figure h1 h2 h3 h4 h5 h6 ol p pre title ul""".split()
 )
+# title/head are skipped (html-text would include <title> text when fed a
+# FULL document) because the pipeline runs textify on readability's
+# summary fragment — headless — and emits the real title as section 0
+# itself, exactly like the reference HtmlParser; skipping here only
+# guards direct full-document calls against title duplication.
 _SKIP_TAGS = frozenset(("script", "style", "noscript", "title", "head"))
 
 # 0.6.2's exact rules

@@ -54,17 +54,6 @@ def _cvc(word: str) -> bool:
             and word[-1] not in "wxy")
 
 
-def _replace(word: str, suffix: str, repl: str, min_m: int) -> str | None:
-    if not word.endswith(suffix):
-        return None
-    stem = word[: len(word) - len(suffix)]
-    if _measure(stem) > min_m - 1 if min_m else True:
-        pass
-    if _measure(stem) >= min_m:
-        return stem + repl
-    return None
-
-
 @lru_cache(maxsize=1 << 16)
 def stem(word: str) -> str:
     """Zipfian vocabulary → the cache absorbs nearly all calls in the

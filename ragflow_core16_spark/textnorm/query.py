@@ -67,7 +67,9 @@ class FulltextQueryer:
         arr = re.split(r"[ \t]+", line)
         if len(arr) <= 3:
             return True
-        zh = sum(1 for t in arr if is_chinese(t[0]) if t)
+        # emptiness guard FIRST — a leading/trailing/double space yields
+        # '' tokens and t[0] would raise before a trailing `if t` runs
+        zh = sum(1 for t in arr if t and is_chinese(t[0]))
         return zh >= len(arr) / 2
 
     def question(self, txt, min_match: float = 0.6):

@@ -107,9 +107,24 @@ class TestTextify:
     def test_br_breaks_line(self):
         assert extract_text("<p>a<br>b</p>") == "a\nb"
 
-    def test_table_cells_are_lines(self):
-        out = extract_text("<table><tr><td>x</td><td>y</td></tr></table>")
-        assert out.split("\n") == ["x", "y"]
+    def test_table_rows_are_lines_cells_joined(self):
+        """html-text 0.6.2: table/tr force newlines but td/th do NOT —
+        same-row cells join with a space (the 0.6.2 NEWLINE_TAGS set;
+        a td/th superset would shift section boundaries and chunk ids
+        on every page with tabular markup)."""
+        out = extract_text(
+            "<table><tr><td>x</td><td>y</td></tr>"
+            "<tr><td>u</td><td>v</td></tr></table>")
+        assert out.split("\n") == ["x y", "u v"]
+
+    def test_section_and_caption_do_not_break_lines(self):
+        # neither tag is in html-text 0.6.2's newline sets (inside a div:
+        # a <p> would auto-close at <section> per HTML5 parsing and the
+        # p's own newline would mask the property)
+        assert extract_text("<div>a<section>b</section>c</div>") == "a b c"
+        assert extract_text(
+            "<table><caption>t</caption><tr><td>x</td></tr></table>"
+        ) == "t\nx"
 
 
 class TestHtmlParser:
@@ -368,3 +383,43 @@ class TestSanitizeUsesRealScores:
                 "</div></body></html>")
         out = Document(html).summary()
         assert "Alpha beta gamma" in out
+
+
+class TestFormHandling:
+    """readability 0.8.1: forms survive scoring (Cleaner(forms=False)),
+    form/textarea trees drop at the START of sanitize, and bare inputs
+    outside forms feed the input-density conditional-cleanup rule."""
+
+    def test_input_density_rule_fires(self):
+        # a div with one short paragraph and 6 bare inputs: 6 > 1/3 → the
+        # container is form-like and must be removed (this rule was dead
+        # while inputs were stripped before scoring)
+        html = ("<html><body><div class='content'>"
+                "<p>" + "Real article text with plenty of words here. " * 6
+                + "</p></div>"
+                "<div><p>sign up</p>" + "<input type='text'>" * 6
+                + "</div></body></html>")
+        secs = html_sections(html.encode())
+        assert not any("sign up" in s for s in secs)
+        assert any("Real article text" in s for s in secs)
+
+    def test_form_text_never_reaches_output(self):
+        html = ("<html><body><div class='content'>"
+                "<p>" + "Body words repeated for scoring mass here. " * 6
+                + "</p><form><p>newsletter email box</p></form>"
+                "</div></body></html>")
+        secs = html_sections(html.encode())
+        assert not any("newsletter" in s for s in secs)
+
+
+def test_parser_accepts_str_positionally():
+    from ragflow_core16_spark.html.parser import HtmlParser
+    secs = HtmlParser()("<html><head><title>T</title></head><body>"
+                        "<div><p>some body text here</p></div></body></html>")
+    assert secs and secs[0] == "T"
+
+
+def test_is_chinese_query_tolerates_empty_tokens():
+    from ragflow_core16_spark.textnorm.query import FulltextQueryer
+    assert FulltextQueryer.is_chinese_query(" a b c d") is not None
+    assert FulltextQueryer.is_chinese_query("中文 查询 词语  测试 ")
