@@ -116,6 +116,80 @@ GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT {TOP_N}
 """
 
 
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-N — the capability contrast to the reference's
+    weighted-boolean similarity (``conf/mapping.json:8-15`` deliberately
+    replaces BM25 with ``idf·min(tf,1)``; this operator is the standard
+    ranking a drop-in ES/Lucene index would compute instead):
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)),
+    idf(t) = ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2, b=0.75.
+
+    Scale: the term list broadcasts; df(term) is a window over the tiny
+    aggregated (doc, term, tf) relation (≤ |docs|·|terms| rows) so the
+    token explode runs once; doc lengths are computed scan-side (no second
+    pass over tokens) and avgdl is a broadcast 1-row agg.  The only big
+    shuffle is the per-doc score agg — same shape at 10^12 rows."""
+    from pyspark.sql import Window
+    d = _docs(spark, sf_dir)
+    n_docs = d.count()  # tiny scalar, computed once
+    dl_rel = d.select(
+        "doc_id",
+        F.size(F.split(F.regexp_replace(F.lower(F.trim("text")),
+                                        r"\s+", " "), " ")).alias("dl"))
+    avgdl = dl_rel.agg(F.avg("dl").alias("avgdl"))
+    t = _tokens(spark, sf_dir)
+    terms = spark.createDataFrame([(w,) for w in QUERY_TERMS], ["term"])
+    tf = (t.join(F.broadcast(terms), t.tok == terms.term)
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    idf = F.log(1.0 + (F.lit(n_docs) - df_ + 0.5) / (df_ + 0.5))
+    scored = (tf.withColumn("idf", idf)
+              .join(dl_rel, "doc_id")
+              .crossJoin(F.broadcast(avgdl)))
+    part = (F.col("idf") * F.col("tf") * (_BM25_K1 + 1.0) /
+            (F.col("tf") + _BM25_K1 * (1.0 - _BM25_B +
+                                       _BM25_B * F.col("dl") / F.col("avgdl"))))
+    return (scored.groupBy("doc_id")
+            .agg(F.round(F.sum(part), 4).alias("bm25"),
+                 F.count(F.lit(1)).alias("n_terms_hit"))
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(TOP_N))
+
+
+BM25_TOPN_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+dl AS (
+  SELECT doc_id,
+         len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS dl
+  FROM documents),
+avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+terms AS (SELECT unnest(['{"','".join(QUERY_TERMS)}']) AS term),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks JOIN terms ON tok = term GROUP BY doc_id, term),
+idf AS (
+  SELECT term,
+         ln(1.0 + ((SELECT count(*) FROM documents) - count(DISTINCT doc_id) + 0.5)
+                  / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum(idf.idf * tf.tf * ({_BM25_K1} + 1.0) /
+                 (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} +
+                    {_BM25_B} * dl.dl / avgdl.avgdl))), 4) AS bm25,
+       count(*) AS n_terms_hit
+FROM tf JOIN idf ON tf.term = idf.term
+JOIN dl ON dl.doc_id = tf.doc_id, avgdl
+GROUP BY tf.doc_id ORDER BY bm25 DESC, tf.doc_id LIMIT {TOP_N}
+"""
+
+
 def hybrid_fusion(spark: SparkSession, sf_dir: str,
                   limit: int | None = None) -> DataFrame:
     """Text/vector fusion 0.05/0.95 (search.py:112-118): text score from
@@ -793,6 +867,7 @@ QUERIES = {
     "term_idf_weights": (term_idf_weights, TERM_IDF_SQL),
     "sql_retrieval": (sql_retrieval, SQL_RETRIEVAL_TEXT),
     "fulltext_topn": (fulltext_topn, FULLTEXT_TOPN_SQL),
+    "bm25_topn": (bm25_topn, BM25_TOPN_SQL),
     "hybrid_fusion": (hybrid_fusion, HYBRID_FUSION_SQL),
     "doc_agg_counts": (doc_agg_counts, DOC_AGG_SQL),
     "rerank_fusion": (rerank_fusion, _rerank_fusion_sql()),

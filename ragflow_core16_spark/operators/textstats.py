@@ -300,8 +300,82 @@ ORDER BY t.doc_id
 """
 
 
+# ---------------------------------------------------- ccnet_bucket
+def ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020): score every doc
+    under a per-language LM and split each language into head / middle /
+    tail terciles — the pass that decides which third of Common Crawl a
+    pretraining mix keeps.  The LM here is the corpus's own add-one
+    unigram model per language (the kenlm slot); score = negative mean
+    token log-prob, so lower = more fluent = head.
+
+    Scale: the per-language frequency table is a first-pass job output
+    (a few million rows across languages) BROADCAST to the scoring pass;
+    scoring is one per-doc agg.  The tercile cut here is exact rank
+    arithmetic (row_number over the per-language score order) so the
+    DuckDB oracle can replay it bit-for-bit; at 100 TB the cutoffs come
+    from a mergeable quantile sketch (see ``quantile_sketch``) computed
+    on the score relation, and bucket assignment stays in-row."""
+    from pyspark.sql import Window
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+                   " ")
+    t = d.select("doc_id", "lang", F.explode(toks).alias("tok"))
+    freqs = t.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = freqs.groupBy("lang").agg(F.sum("cnt").alias("total"),
+                                       F.count(F.lit(1)).alias("vocab"))
+    scored = (t.join(F.broadcast(freqs), ["lang", "tok"])
+              .join(F.broadcast(totals), "lang")
+              .select("doc_id", "lang",
+                      F.log((F.col("cnt") + 1.0) /
+                            (F.col("total") + F.col("vocab"))).alias("lp")))
+    per_doc = (scored.groupBy("doc_id", "lang")
+               .agg(F.round(-F.avg("lp"), 6).alias("ppl_score")))
+    w = Window.partitionBy("lang").orderBy("ppl_score", "doc_id")
+    n = F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    r = F.row_number().over(w)
+    return (per_doc
+            .select("doc_id", "lang", "ppl_score",
+                    F.when(r * 3 <= n, F.lit("head"))
+                     .when(r * 3 <= 2 * n, F.lit("middle"))
+                     .otherwise(F.lit("tail")).alias("bucket"))
+            .orderBy("doc_id"))
+
+
+CCNET_BUCKET_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+freqs AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY lang, tok),
+totals AS (SELECT lang, CAST(sum(cnt) AS DOUBLE) AS total,
+                  CAST(count(*) AS DOUBLE) AS vocab
+           FROM freqs GROUP BY lang),
+per_doc AS (
+  SELECT t.doc_id, t.lang,
+         round(-avg(ln((f.cnt + 1.0) / (tt.total + tt.vocab))), 6)
+           AS ppl_score
+  FROM toks t
+  JOIN freqs f ON f.lang = t.lang AND f.tok = t.tok
+  JOIN totals tt ON tt.lang = t.lang
+  GROUP BY t.doc_id, t.lang),
+ranked AS (
+  SELECT doc_id, lang, ppl_score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY ppl_score, doc_id) AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM per_doc)
+SELECT doc_id, lang, ppl_score,
+       CASE WHEN r * 3 <= n THEN 'head'
+            WHEN r * 3 <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
+    "ccnet_bucket": (ccnet_bucket, CCNET_BUCKET_SQL),
     "url_canonical": (url_canonical, URL_CANONICAL_SQL),
     "doc_stats": (doc_stats, DOC_STATS_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),

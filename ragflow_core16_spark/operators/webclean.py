@@ -842,8 +842,184 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------ mirror_hosts
+# Cross-host mirror detection — the CC-corpus pass that collapses the same
+# page served from several domains (www/cdn mirrors, scraped re-hosts, SEO
+# clones).  The capture relation is enriched closed-form: every doc has its
+# primary capture, and docs with md5i("42:mir:"+doc_id) % 5 == 0 gain a
+# second capture of the SAME text on a mirror host.  Detection is one
+# groupBy on the content hash with map-side-combinable aggregates
+# (count / count distinct host / min url) — no window, so a mega-mirrored
+# page (millions of captures at 100 TB) is absorbed by combiners.
+def _mirror_captures(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    base = d.select(
+        "doc_id", "text", _host_col().alias("host"),
+        F.lit("primary").alias("kind"))
+    is_mir = (_md5i_col(F.concat(F.lit("42:mir:"),
+                                 F.col("doc_id").cast("string"))) % 5 == 0)
+    mirror_host = F.concat(
+        F.lit("mirror"),
+        F.lpad((_md5i_col(F.concat(F.lit("42:mh:"),
+                                   F.col("doc_id").cast("string")))
+                % 300).cast("string"), 4, "0"),
+        F.lit(".example.org"))
+    mir = (d.filter(is_mir)
+           .select("doc_id", "text", mirror_host.alias("host"),
+                   F.lit("mirror").alias("kind")))
+    caps = base.unionByName(mir)
+    return caps.select(
+        "doc_id", "text", "host", "kind",
+        F.concat(F.lit("https://"), F.col("host"), F.lit("/page/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+
+
+def mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ordered as _ordered
+    caps = _mirror_captures(spark, sf_dir)
+    groups = (caps.groupBy(F.md5("text").alias("content_md5"))
+              .agg(F.count(F.lit(1)).alias("n_captures"),
+                   F.countDistinct("host").alias("n_hosts"),
+                   F.min("url").alias("canonical_url"),
+                   F.sort_array(F.collect_set("host")).alias("hosts")))
+    return (groups.filter(F.col("n_hosts") > 1)
+            .select("content_md5", "n_captures", "n_hosts",
+                    "canonical_url",
+                    F.array_join("hosts", ",").alias("hosts"))
+            .transform(_ordered("canonical_url")))
+
+
+def _mirror_hosts_sql() -> str:
+    h = ("'host' || lpad(CAST(" + _robots_sql_md5i("'42:url:' || doc_id")
+         + " % 500 AS VARCHAR), 4, '0') || '.example.' || "
+         "(['com','org','net','cn'])[CAST("
+         + _robots_sql_md5i("'42:tld:' || doc_id")
+         + " % 4 AS INTEGER) + 1]")
+    mh = ("'mirror' || lpad(CAST(" + _robots_sql_md5i("'42:mh:' || doc_id")
+          + " % 300 AS VARCHAR), 4, '0') || '.example.org'")
+    return f"""
+WITH caps AS (
+  SELECT doc_id, text, {h} AS host FROM documents
+  UNION ALL
+  SELECT doc_id, text, {mh} AS host FROM documents
+  WHERE {_robots_sql_md5i("'42:mir:' || doc_id")} % 5 = 0),
+u AS (
+  SELECT doc_id, text, host,
+         'https://' || host || '/page/' || doc_id AS url
+  FROM caps),
+g AS (
+  SELECT md5(text) AS content_md5, count(*) AS n_captures,
+         count(DISTINCT host) AS n_hosts, min(url) AS canonical_url,
+         list_aggr(list_sort(list_distinct(list(host))), 'string_agg', ',')
+           AS hosts
+  FROM u GROUP BY 1)
+SELECT content_md5, n_captures, n_hosts, canonical_url, hosts
+FROM g WHERE n_hosts > 1 ORDER BY canonical_url
+"""
+
+
+# ---------------------------------------------------------- url_blocklist
+# UT1-style URL blocklist gate (the RefinedWeb "curated corpora of
+# blocked domains" pass): a literal hostname blocklist (broadcast relation
+# — at deployment the 4M-line UT1 dump) plus path-keyword rules.  The
+# decision is a broadcast LEFT join + in-row regex — no pages-sized
+# shuffle.  The blocked-host set is derived once at import time from the
+# same md5 arithmetic on the CLOSED hostname universe (500 numbers × 4
+# TLDs), so Spark and the oracle consume the identical literal list and a
+# join or precedence bug breaks the hash.
+_BLOCK_KW = ["casino", "poker", "torrent"]
+
+
+def _blocked_hosts() -> list[str]:
+    import hashlib
+
+    def md5i(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+    hosts = [f"host{n:04d}.example.{tld}"
+             for n in range(500) for tld in ("com", "org", "net", "cn")]
+    return sorted(h for h in hosts if md5i("42:blk:" + h) % 19 == 0)
+
+
+def url_blocklist_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision relation before presentation ordering (plan-audited
+    directly — the ``_ordered`` checkpoint would hide the join shape).
+    All-JVM column derivation, so no ``spread()``: the scan's own splits
+    are the right parallelism and the page side stays shuffle-free."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id"))
+    sec = F.element_at(
+        F.array(*[F.lit(s) for s in _ROBOTS_SECS]),
+        (_md5i_col(F.concat(F.lit("42:sec:"),
+                            F.col("doc_id").cast("string")))
+         % 4).cast("int") + 1)
+    kw = F.element_at(
+        F.array(*([F.lit(k + "-") for k in _BLOCK_KW] + [F.lit("")])),
+        (_md5i_col(F.concat(F.lit("42:kw:"),
+                            F.col("doc_id").cast("string")))
+         % 4).cast("int") + 1)
+    pages = docs.select(
+        "doc_id", _host_col().alias("host"),
+        F.concat(F.lit("/"), sec, F.lit("/"), kw,
+                 F.col("doc_id").cast("string")).alias("path"))
+    block = spark.createDataFrame([(h,) for h in _blocked_hosts()],
+                                  ["bhost"])
+    j = pages.join(F.broadcast(block),
+                   pages.host == block.bhost, "left")
+    path_hit = F.col("path").rlike("|".join(_BLOCK_KW))
+    host_hit = F.col("bhost").isNotNull()
+    return j.select(
+        "doc_id",
+        F.concat(F.lit("https://"), F.col("host"),
+                 F.col("path")).alias("url"),
+        (host_hit | path_hit).alias("blocked"),
+        F.when(host_hit, F.lit("host"))
+         .when(path_hit, F.lit("path")).alias("reason"))
+
+
+def url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ordered as _ordered
+    return (url_blocklist_decisions(spark, sf_dir)
+            .transform(_ordered("doc_id")))
+
+
+def _url_blocklist_sql() -> str:
+    h = ("'host' || lpad(CAST(" + _robots_sql_md5i("'42:url:' || doc_id")
+         + " % 500 AS VARCHAR), 4, '0') || '.example.' || "
+         "(['com','org','net','cn'])[CAST("
+         + _robots_sql_md5i("'42:tld:' || doc_id")
+         + " % 4 AS INTEGER) + 1]")
+    s = ("(['news','blog','docs','wiki'])[CAST("
+         + _robots_sql_md5i("'42:sec:' || doc_id")
+         + " % 4 AS INTEGER) + 1]")
+    kws = [k + "-" for k in _BLOCK_KW] + [""]
+    k = ("(['" + "','".join(kws) + "'])[CAST("
+         + _robots_sql_md5i("'42:kw:' || doc_id")
+         + " % 4 AS INTEGER) + 1]")
+    bl = "','".join(_blocked_hosts())
+    return f"""
+WITH pages AS (
+  SELECT doc_id, {h} AS host,
+         '/' || {s} || '/' || {k} || doc_id AS path
+  FROM documents),
+block AS (SELECT unnest(['{bl}']) AS bhost),
+j AS (
+  SELECT p.doc_id, p.host, p.path, b.bhost
+  FROM pages p LEFT JOIN block b ON p.host = b.bhost)
+SELECT doc_id, 'https://' || host || path AS url,
+       (bhost IS NOT NULL
+        OR regexp_matches(path, '{"|".join(_BLOCK_KW)}')) AS blocked,
+       CASE WHEN bhost IS NOT NULL THEN 'host'
+            WHEN regexp_matches(path, '{"|".join(_BLOCK_KW)}') THEN 'path'
+       END AS reason
+FROM j ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
+    "mirror_hosts": (mirror_hosts, _mirror_hosts_sql()),
+    "url_blocklist": (url_blocklist, _url_blocklist_sql()),
     "mojibake_repair": (mojibake_repair, MOJIBAKE_REPAIR_SQL),
     "nfc_normalize": (nfc_normalize, NFC_NORMALIZE_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),

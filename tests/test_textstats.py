@@ -1,0 +1,91 @@
+"""Corpus-statistics operators: BM25 against an independent pure-Python
+scorer, CCNet perplexity buckets against the published tercile semantics."""
+
+import math
+from collections import Counter
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+
+
+def _doc_tokens(spark):
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    return {r["doc_id"]: " ".join(r["text"].lower().split()).split(" ")
+            for r in rows}, {r["doc_id"]: r["lang"] for r in rows}
+
+
+class TestBm25:
+    def test_matches_pure_python_okapi(self, spark):
+        from ragflow_core16_spark.operators.retrieval import (
+            _BM25_B, _BM25_K1, QUERY_TERMS, TOP_N, bm25_topn)
+        toks, _ = _doc_tokens(spark)
+        n = len(toks)
+        avgdl = sum(len(t) for t in toks.values()) / n
+        df = {q: sum(1 for t in toks.values() if q in t)
+              for q in QUERY_TERMS}
+        scores = {}
+        for d, t in toks.items():
+            c = Counter(t)
+            s = 0.0
+            for q in QUERY_TERMS:
+                tf = c.get(q, 0)
+                if not tf:
+                    continue
+                idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+                s += idf * tf * (_BM25_K1 + 1.0) / (
+                    tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * len(t) / avgdl))
+            if s:
+                scores[d] = round(s, 4)
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_N]
+        got = [(r["doc_id"], r["bm25"]) for r in bm25_topn(spark, SF).collect()]
+        assert got == want
+
+    def test_plan_broadcasts_and_topk(self, spark):
+        from ragflow_core16_spark.operators.retrieval import bm25_topn
+        plan = _formatted(bm25_topn(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestCcnetBucket:
+    def test_terciles_per_language(self, spark):
+        from ragflow_core16_spark.operators.textstats import ccnet_bucket
+        rows = ccnet_bucket(spark, SF).collect()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append(r)
+        assert len(by_lang) >= 3
+        for lang, rs in by_lang.items():
+            n = len(rs)
+            counts = Counter(r["bucket"] for r in rs)
+            # exact rank terciles: head gets floor(n/3), tail the remainder
+            assert counts["head"] == n // 3, (lang, counts)
+            assert counts["head"] + counts["middle"] + counts["tail"] == n
+            # score ordering respects the buckets
+            h = [r["ppl_score"] for r in rs if r["bucket"] == "head"]
+            m = [r["ppl_score"] for r in rs if r["bucket"] == "middle"]
+            t = [r["ppl_score"] for r in rs if r["bucket"] == "tail"]
+            assert max(h) <= min(m) and max(m) <= min(t)
+
+    def test_score_matches_pure_python_lm(self, spark):
+        from ragflow_core16_spark.operators.textstats import ccnet_bucket
+        toks, langs = _doc_tokens(spark)
+        freqs, totals = {}, Counter()
+        for d, t in toks.items():
+            lang = langs[d]
+            c = freqs.setdefault(lang, Counter())
+            c.update(t)
+        got = {r["doc_id"]: r["ppl_score"]
+               for r in ccnet_bucket(spark, SF).collect()}
+        for d, t in list(toks.items())[:50]:
+            lm = freqs[langs[d]]
+            denom = sum(lm.values()) + len(lm)
+            want = round(-sum(math.log((lm[w] + 1.0) / denom)
+                              for w in t) / len(t), 6)
+            assert abs(got[d] - want) < 2e-6, (d, got[d], want)

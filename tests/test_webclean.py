@@ -423,3 +423,75 @@ class TestRobotsFilter:
         # must reach the join shuffle-free
         assert plan.count(") Exchange") <= 1
         assert plan.count(") BroadcastExchange") == 1
+
+
+class TestMirrorHosts:
+    """Cross-host mirror detection: the detected group set must equal the
+    docs the enrichment actually mirrored, with canonical = min url and
+    both hosts listed."""
+
+    def test_groups_match_enrichment(self, spark):
+        import hashlib
+
+        from ragflow_core16_spark.operators.webclean import mirror_hosts
+
+        def md5i(key: str) -> int:
+            return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+        docs = {r["doc_id"]: r["text"] for r in
+                spark.read.parquet(f"{SF}/documents.parquet").collect()}
+        mirrored = {d for d in docs if md5i(f"42:mir:{d}") % 5 == 0}
+        got = mirror_hosts(spark, SF).collect()
+        assert len(got) == len(mirrored)
+        want_md5 = {hashlib.md5(docs[d].encode()).hexdigest()
+                    for d in mirrored}
+        assert {r["content_md5"] for r in got} == want_md5
+        for r in got:
+            assert r["n_hosts"] == 2 and r["n_captures"] == 2
+            hosts = r["hosts"].split(",")
+            assert hosts == sorted(hosts) and len(hosts) == 2
+            assert any(h.startswith("mirror") for h in hosts)
+            assert r["canonical_url"] == min(
+                f"https://{h}" for h in hosts) + "/page/" + \
+                r["canonical_url"].rsplit("/", 1)[1]
+
+    def test_plan_single_agg_no_window(self, spark):
+        from ragflow_core16_spark.operators.webclean import _mirror_captures
+        import pyspark.sql.functions as F
+        caps = _mirror_captures(spark, SF)
+        g = (caps.groupBy(F.md5("text")).agg(F.count(F.lit(1))))
+        plan = _formatted(g)
+        assert "Window" not in plan
+        assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+class TestUrlBlocklist:
+    def test_decisions_match_literal_list(self, spark):
+        from ragflow_core16_spark.operators.webclean import (
+            _BLOCK_KW, _blocked_hosts, url_blocklist)
+        blocked_hosts = set(_blocked_hosts())
+        rows = url_blocklist(spark, SF).collect()
+        n_host = n_path = n_clean = 0
+        for r in rows:
+            host = r["url"].split("/")[2]
+            path = "/" + r["url"].split("/", 3)[3]
+            if host in blocked_hosts:
+                assert r["blocked"] and r["reason"] == "host", r
+                n_host += 1
+            elif any(k in path for k in _BLOCK_KW):
+                assert r["blocked"] and r["reason"] == "path", r
+                n_path += 1
+            else:
+                assert not r["blocked"] and r["reason"] is None, r
+                n_clean += 1
+        # every decision branch must be populated by the fixture
+        assert n_host > 0 and n_path > 0 and n_clean > 0
+
+    def test_plan_broadcasts_blocklist(self, spark):
+        from ragflow_core16_spark.operators.webclean import (
+            url_blocklist_decisions)
+        plan = _formatted(url_blocklist_decisions(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # the pages side reaches the broadcast join shuffle-free
+        assert plan.count(") Exchange") == 0
