@@ -810,7 +810,78 @@ ORDER BY t.doc_id
 """)
 
 
+# ------------------------------------------------------ winnowing
+_WINNOW_K = 3   # words per k-gram
+_WINNOW_W = 4   # winnowing window (k-gram hashes per window)
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word 3-gram, slide a
+    window of W=4 consecutive hashes, keep each window's minimum; the
+    selected set is the fingerprint sketch with the guarantee that any
+    shared run of ≥ K+W-1 words between two documents shares at least one
+    fingerprint.  The local-dedup complement to MinHash: MinHash estimates
+    global set overlap, winnowing pins shared SUBSTRINGS.
+
+    Everything is per-row higher-order array arithmetic (transform over
+    sequence + array_min over slices) — no explode, no window function, no
+    shuffle: at 10^12 docs the sketch rides the scan.  Docs shorter than
+    K+W-1 words carry no window and are dropped (exact dedup owns them).
+    Output per doc: k-gram count, fingerprint count, min fingerprint and
+    the xor-fold (the order-insensitive sketch checksum a downstream
+    bucket-join would key on)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), _NORM, " "),
+                   " ")
+    kmin = _WINNOW_K + _WINNOW_W - 1
+    h = F.expr(
+        "transform(sequence(0, size(toks)-%d), i -> "
+        "cast(conv(substring(md5(concat_ws(' ', toks[i], toks[i+1], "
+        "toks[i+2])), 1, 15), 16, 10) as bigint))" % _WINNOW_K)
+    wins = F.expr(
+        "transform(sequence(0, size(h)-%d), j -> "
+        "array_min(slice(h, j+1, %d)))" % (_WINNOW_W, _WINNOW_W))
+    return (d.select("doc_id", toks.alias("toks"))
+            .filter(F.size("toks") >= kmin)
+            .select("doc_id", h.alias("h"))
+            .select("doc_id", F.size("h").alias("n_kgrams"),
+                    F.array_distinct(wins).alias("fps"))
+            .select("doc_id", "n_kgrams",
+                    F.size("fps").alias("n_fps"),
+                    F.array_min("fps").alias("fp_min"),
+                    F.expr("aggregate(fps, 0L, (a, x) -> a ^ x)")
+                    .alias("fp_xor"))
+            .orderBy("doc_id"))
+
+
+WINNOW_SQL = rf"""
+WITH toklists AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')
+           AS toks
+  FROM documents
+  WHERE len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+        >= {_WINNOW_K + _WINNOW_W - 1}),
+hashes AS (
+  SELECT doc_id,
+         list_transform(range(0, len(toks) - {_WINNOW_K - 1}), i ->
+           ('0x' || substr(md5(toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                               toks[i+3]), 1, 15))::BIGINT) AS h
+  FROM toklists),
+fps AS (
+  SELECT doc_id, len(h) AS n_kgrams,
+         list_distinct(list_transform(range(0, len(h) - {_WINNOW_W - 1}),
+           j -> list_min(h[j+1:j+{_WINNOW_W}]))) AS f
+  FROM hashes)
+SELECT doc_id, n_kgrams, len(f) AS n_fps, list_min(f) AS fp_min,
+       list_reduce(f, (a, x) -> xor(a, x)) AS fp_xor
+FROM fps ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "winnow_fingerprints": (winnow_fingerprints, WINNOW_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "incremental_dedup": (incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),

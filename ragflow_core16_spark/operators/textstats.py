@@ -373,9 +373,50 @@ FROM ranked ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------- zipf_histogram
+def zipf_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency-spectrum profile — the Zipf/Heaps diagnostic run
+    before and after every cleaning pass (a healthy web corpus shows a
+    long power-law tail; dedup failures and boilerplate floods show up as
+    mass piling into high-frequency buckets).  One row per power-of-two
+    frequency bucket: vocabulary size, total occurrences, hapax share of
+    the bucket's vocab.
+
+    The bucket index is INTEGER-exact (bit-length of the count via base-2
+    string conversion, never floor(log2(x)) on a double — exact powers of
+    two must not straddle buckets between engines).  Two keyed aggs, both
+    map-side combinable; the second input is |vocab| rows."""
+    t = _tokens_df(spark, sf_dir)
+    freqs = t.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    bucket = (F.length(F.conv(F.col("cnt").cast("string"), 10, 2)) - 1)
+    return (freqs.select(bucket.cast("int").alias("log2_bucket"), "cnt")
+            .groupBy("log2_bucket")
+            .agg(F.count(F.lit(1)).alias("vocab_size"),
+                 F.sum("cnt").alias("occurrences"),
+                 F.min("cnt").alias("min_count"),
+                 F.max("cnt").alias("max_count"))
+            .orderBy("log2_bucket"))
+
+
+ZIPF_HISTOGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+freqs AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+SELECT CAST(length(bin(cnt)) - 1 AS INTEGER) AS log2_bucket,
+       count(*) AS vocab_size,
+       CAST(sum(cnt) AS BIGINT) AS occurrences,
+       min(cnt) AS min_count,
+       max(cnt) AS max_count
+FROM freqs GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
     "ccnet_bucket": (ccnet_bucket, CCNET_BUCKET_SQL),
+    "zipf_histogram": (zipf_histogram, ZIPF_HISTOGRAM_SQL),
     "url_canonical": (url_canonical, URL_CANONICAL_SQL),
     "doc_stats": (doc_stats, DOC_STATS_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),

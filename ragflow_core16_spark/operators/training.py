@@ -483,7 +483,74 @@ FROM scored ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------- capture_drift
+# Re-crawl drift analysis — the web-change signal a crawl scheduler feeds
+# on (how much did this url change since the last visit decides its
+# re-crawl cadence).  Enrichment is closed-form: urls with
+# md5i("42:dr:"+doc) % 2 == 0 carry a previous capture whose text is the
+# current text minus its first k words (k = 1 + md5i("42:dk:"+doc) % 20);
+# drift = word-set Jaccard(latest, previous).  Everything is in-row
+# higher-order array arithmetic — zero shuffles beyond the presentation
+# sort, so at 10^12 captures this rides the scan for free.
+def capture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ordered as _ordered
+
+    def md5i(key):
+        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    words = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+                    " ")
+    has_prev = md5i(F.concat(F.lit("42:dr:"), did)) % 2 == 0
+    k = (md5i(F.concat(F.lit("42:dk:"), did)) % 20 + 1).cast("int")
+    w = d.select("doc_id", words.alias("w"), has_prev.alias("has_prev"),
+                 k.alias("k"))
+    prev = F.slice("w", F.col("k") + 1,
+                   F.greatest(F.size("w") - F.col("k"), F.lit(0)))
+    inter = F.size(F.array_intersect("w", prev))
+    union = F.size(F.array_union("w", prev))
+    jac = F.round(inter / F.greatest(union, F.lit(1)), 4)
+    return (w.select(
+        "doc_id",
+        F.when(F.col("has_prev"), F.lit(2)).otherwise(F.lit(1))
+         .alias("n_captures"),
+        F.when(F.col("has_prev"), jac).alias("jaccard"),
+        F.when(~F.col("has_prev"), F.lit("single"))
+         .when(F.col("has_prev") & (jac >= 0.9), F.lit("stable"))
+         .when(F.col("has_prev") & (jac >= 0.5), F.lit("minor"))
+         .otherwise(F.lit("rewritten")).alias("drift_class"))
+        .transform(_ordered("doc_id")))
+
+
+def _capture_drift_sql() -> str:
+    md5i = "('0x' || substr(md5({k}), 1, 15))::BIGINT"
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+           AS w,
+         {md5i.format(k="'42:dr:' || doc_id")} % 2 = 0 AS has_prev,
+         CAST({md5i.format(k="'42:dk:' || doc_id")} % 20 + 1 AS INTEGER) AS k
+  FROM documents),
+j AS (
+  SELECT doc_id, has_prev,
+         round(len(list_distinct(list_intersect(w, w[k+1:]))) * 1.0 /
+               greatest(len(list_distinct(w || w[k+1:])), 1), 4) AS jac
+  FROM w)
+SELECT doc_id,
+       CASE WHEN has_prev THEN 2 ELSE 1 END AS n_captures,
+       CASE WHEN has_prev THEN jac END AS jaccard,
+       CASE WHEN NOT has_prev THEN 'single'
+            WHEN jac >= 0.9 THEN 'stable'
+            WHEN jac >= 0.5 THEN 'minor'
+            ELSE 'rewritten' END AS drift_class
+FROM j ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "capture_drift": (capture_drift, _capture_drift_sql()),
     "sequence_pack": (sequence_pack, SEQUENCE_PACK_SQL),
     "repetition_quality": (repetition_quality, REPETITION_QUALITY_SQL),
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
