@@ -339,30 +339,39 @@ class RagTokenizer:
         return pairs
 
     def merge_(self, tks_str):
+        return " ".join(self._merge_list(tks_str.split()))
+
+    def _merge_list(self, tks):
+        """merge_ over an already-split token list — the tokenize fast path
+        feeds its list directly, skipping a full-string join+re-split.
+        Tokens must be lowercase (every tokenize path lowers before merge;
+        ``_freq_str``/``_first_chars`` keys are stored lowered)."""
         res = []
-        tks = tks_str.split()
         s = 0
         n = len(tks)
         freq = self._freq_str
         first = self._first_chars
         while s < n:
             t0 = tks[s]
-            if not t0 or t0[0].lower() not in first:
+            if not t0 or t0[0] not in first:
                 # no dict word can start here → no merge possible
                 res.append(t0)
                 s += 1
                 continue
             E = s + 1
-            for e in range(s + 2, min(n + 2, s + 6)):
-                tk = "".join(tks[s:e])
-                # SPLIT_CHAR matches any ascii-alnum or punct run, so the
-                # regex gate only excludes pure-CJK concats with no dict hit;
-                # the dict probe is the cheap dominant filter — do it first
-                if tk.lower() in freq and _SPLIT_RE.search(tk):
+            tk = t0
+            # grow the candidate incrementally (the original sliced+joined
+            # tks[s:e] afresh per window and re-probed the clamped duplicate
+            # when e overran n).  SPLIT_CHAR matches any ascii-alnum or punct
+            # run, so the regex gate only excludes pure-CJK concats with no
+            # dict hit; the dict probe is the cheap dominant filter — first
+            for e in range(s + 2, min(n + 1, s + 6)):
+                tk = tk + tks[e - 1]
+                if tk in freq and _SPLIT_RE.search(tk):
                     E = e
-            res.append("".join(tks[s:E]))
+            res.append(t0 if E == s + 1 else "".join(tks[s:E]))
             s = E
-        return " ".join(res)
+        return res
 
     # -- public API ------------------------------------------------------
     def tokenize(self, line: str) -> str:
@@ -373,8 +382,8 @@ class RagTokenizer:
             # as the general path, minus two full-string translates.  ("_"
             # survives \W+ but is a SPLIT_CHAR separator, so underscore
             # lines take the general path.)
-            return self.merge_(" ".join(
-                self._en_norm(t) for t in line.lower().split()))
+            return " ".join(self._merge_list(
+                [self._en_norm(t) for t in line.lower().split()]))
         line = self._strQ2B(line).lower()
         line = self._tradi2simp(line)
         res = []
@@ -429,6 +438,14 @@ class RagTokenizer:
         return self.merge_(" ".join(res))
 
     def fine_grained_tokenize(self, tks: str) -> str:
+        # ascii fast path: zh_num is provably 0, so the result is the
+        # English branch below — and when no '/' survives either, that
+        # branch is the identity re-join (skip 2 Python-level scans/token)
+        if tks.isascii():
+            parts = tks.split()
+            if any("/" in t for t in parts):
+                parts = [p for t in parts for p in t.split("/")]
+            return " ".join(parts)
         tks = tks.split()
         zh_num = len([1 for c in tks if c and is_chinese(c[0])])
         if zh_num < len(tks) * 0.2:
