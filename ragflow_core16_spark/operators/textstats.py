@@ -413,10 +413,64 @@ FROM freqs GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------- readability_scores
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade — the classic readability
+    taggers a pretraining mix tags documents with (Dolma ships them as
+    quality attributes).  Syllables are the standard vowel-group heuristic:
+    one syllable per ``[aeiouy]+`` run, minimum one per word (the
+    correction term counts vowel-less words — numerals, initialisms).
+    Entirely scan-side column expressions: zero shuffles beyond the
+    presentation sort, a free rider on any corpus pass."""
+    d = _docs(spark, sf_dir)
+    lowered = F.lower(F.trim("text"))
+    words_arr = F.split(lowered, r"\s+")
+    n_words = F.greatest(F.size(words_arr), F.lit(1))
+    n_sents = F.greatest(F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1))
+    vowel_groups = F.regexp_count(lowered, F.lit(r"[aeiouy]+"))
+    no_vowel = F.size(F.filter(words_arr,
+                               lambda w: ~w.rlike("[aeiouy]")))
+    syl = vowel_groups + no_vowel
+    wps = n_words.cast("double") / n_sents
+    spw = syl.cast("double") / n_words
+    return (d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4)
+         .alias("flesch_ease"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"))
+        .orderBy("doc_id"))
+
+
+READABILITY_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\s+') AS words,
+         greatest(len(string_split_regex(lower(trim(text)), '\s+')), 1)
+           AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+         len(regexp_extract_all(lower(trim(text)), '[aeiouy]+'))
+           + len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                             x -> NOT regexp_matches(x, '[aeiouy]')))
+           AS syl
+  FROM documents)
+SELECT doc_id,
+       n_words, n_sents AS n_sentences, syl AS n_syllables,
+       round(206.835 - 1.015 * (n_words * 1.0 / n_sents)
+                     - 84.6 * (syl * 1.0 / n_words), 4) AS flesch_ease,
+       round(0.39 * (n_words * 1.0 / n_sents)
+             + 11.8 * (syl * 1.0 / n_words) - 15.59, 4) AS fk_grade
+FROM w ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
     "ccnet_bucket": (ccnet_bucket, CCNET_BUCKET_SQL),
     "zipf_histogram": (zipf_histogram, ZIPF_HISTOGRAM_SQL),
+    "readability_scores": (readability_scores, READABILITY_SQL),
     "url_canonical": (url_canonical, URL_CANONICAL_SQL),
     "doc_stats": (doc_stats, DOC_STATS_SQL),
     "token_count": (token_count, TOKEN_COUNT_SQL),

@@ -1016,10 +1016,96 @@ FROM j ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------ meta_robots
+# <meta name="robots"> directive gate — the page-level complement to
+# robots.txt (CCBot and every index pipeline honor noindex/nofollow at
+# processing time, after the fetch).  The head fragment is synthesized
+# closed-form per doc, the Spark side PARSES it generically with in-row
+# regex (attribute order and casing vary, as in real markup), and the
+# oracle re-derives the decision arithmetically — it never sees the
+# markup, so a parser or precedence bug breaks the hash.  Zero shuffles
+# beyond the presentation sort.
+_META_ROBOTS = ["index,follow", "noindex", "nofollow", "noindex,nofollow",
+                "none", None]
+
+
+def meta_robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id"))
+    did = F.col("doc_id").cast("string")
+    pick = (_md5i_col(F.concat(F.lit("42:mrb:"), did)) % 6).cast("int")
+    content = F.element_at(
+        F.array(*[F.lit(c) for c in _META_ROBOTS]), pick + 1)
+    # synthesized head: attribute ORDER flips on a second md5 bit and the
+    # name attribute casing varies — the parser must handle both
+    flip = _md5i_col(F.concat(F.lit("42:mro:"), did)) % 2 == 0
+    name_attr = F.when(flip, F.lit('name="ROBOTS"')) \
+                 .otherwise(F.lit('name="robots"'))
+    tag = F.when(content.isNull(), F.lit("")).otherwise(
+        F.when(flip,
+               F.concat(F.lit('<meta content="'), content, F.lit('" '),
+                        name_attr, F.lit("/>")))
+         .otherwise(F.concat(F.lit("<meta "), name_attr,
+                             F.lit(' content="'), content, F.lit('"/>'))))
+    head = F.concat(F.lit("<head><title>d</title>"), tag, F.lit("</head>"))
+    h = docs.select("doc_id", head.alias("head"))
+    # generic parse: find the robots meta (either attribute order), pull
+    # its content, lowercase, split on commas
+    c1 = F.regexp_extract(
+        F.col("head"),
+        r'(?i)<meta\s+name="robots"\s+content="([^"]*)"', 1)
+    c2 = F.regexp_extract(
+        F.col("head"),
+        r'(?i)<meta\s+content="([^"]*)"\s+name="robots"', 1)
+    raw = F.when(c1 != "", c1).when(c2 != "", c2)
+    toks = F.split(F.lower(raw), ",")
+    noindex = F.array_contains(toks, "noindex") | \
+        F.array_contains(toks, "none")
+    nofollow = F.array_contains(toks, "nofollow") | \
+        F.array_contains(toks, "none")
+    return h.select(
+        "doc_id",
+        F.coalesce(F.lower(raw), F.lit("")).alias("robots_meta"),
+        F.coalesce(~noindex, F.lit(True)).alias("indexable"),
+        F.coalesce(~nofollow, F.lit(True)).alias("followable"))
+
+
+def meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ordered as _ordered
+    return (meta_robots_decisions(spark, sf_dir)
+            .transform(_ordered("doc_id")))
+
+
+def _meta_robots_sql() -> str:
+    cases = []
+    for i, c in enumerate(_META_ROBOTS):
+        if c is None:
+            continue
+        ni = "true" if ("noindex" in c or c == "none") else "false"
+        nf = "true" if ("nofollow" in c or c == "none") else "false"
+        cases.append(f"WHEN pick = {i} THEN ('{c}', {ni}, {nf})")
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST({_robots_sql_md5i("'42:mrb:' || doc_id")} % 6 AS INTEGER)
+           AS pick
+  FROM documents),
+d AS (
+  SELECT doc_id,
+         CASE {' '.join(cases)}
+              ELSE ('', false, false) END AS t
+  FROM m)
+SELECT doc_id, t[1] AS robots_meta,
+       NOT t[2] AS indexable, NOT t[3] AS followable
+FROM d ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "mirror_hosts": (mirror_hosts, _mirror_hosts_sql()),
     "url_blocklist": (url_blocklist, _url_blocklist_sql()),
+    "meta_robots": (meta_robots, _meta_robots_sql()),
     "mojibake_repair": (mojibake_repair, MOJIBAKE_REPAIR_SQL),
     "nfc_normalize": (nfc_normalize, NFC_NORMALIZE_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),

@@ -89,3 +89,30 @@ class TestCcnetBucket:
             want = round(-sum(math.log((lm[w] + 1.0) / denom)
                               for w in t) / len(t), 6)
             assert abs(got[d] - want) < 2e-6, (d, got[d], want)
+
+
+class TestReadability:
+    def test_matches_pure_python(self, spark):
+        import re
+
+        from ragflow_core16_spark.operators.textstats import (
+            readability_scores)
+        got = {r["doc_id"]: r
+               for r in readability_scores(spark, SF).collect()}
+        rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+        for row in rows[:80]:
+            text = row["text"]
+            words = text.strip().lower().split()
+            n_w = max(len(words), 1)
+            n_s = max(len(re.findall(r"[.!?]+", text)), 1)
+            syl = sum(max(len(re.findall(r"[aeiouy]+", w)), 1)
+                      for w in words)
+            # compare against the UNROUNDED formula (Python round() is
+            # banker's, Spark's is half-up — they differ at .xxxx5 exactly)
+            ease = 206.835 - 1.015 * n_w / n_s - 84.6 * syl / n_w
+            grade = 0.39 * n_w / n_s + 11.8 * syl / n_w - 15.59
+            r = got[row["doc_id"]]
+            assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == \
+                (n_w, n_s, syl)
+            assert abs(r["flesch_ease"] - ease) <= 5.1e-5
+            assert abs(r["fk_grade"] - grade) <= 5.1e-5

@@ -495,3 +495,33 @@ class TestUrlBlocklist:
         assert "SortMergeJoin" not in plan
         # the pages side reaches the broadcast join shuffle-free
         assert plan.count(") Exchange") == 0
+
+
+class TestMetaRobots:
+    def test_decisions_match_directive_semantics(self, spark):
+        import hashlib
+
+        from ragflow_core16_spark.operators.webclean import (
+            _META_ROBOTS, meta_robots)
+
+        def md5i(key):
+            return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+        rows = meta_robots(spark, SF).collect()
+        flipped = 0
+        for r in rows:
+            c = _META_ROBOTS[md5i(f"42:mrb:{r['doc_id']}") % 6]
+            toks = set((c or "").split(","))
+            assert r["robots_meta"] == (c or "")
+            assert r["indexable"] == (not ({"noindex", "none"} & toks))
+            assert r["followable"] == (not ({"nofollow", "none"} & toks))
+            if md5i(f"42:mro:{r['doc_id']}") % 2 == 0 and c is not None:
+                flipped += 1
+        # the attribute-order/casing variant must actually be exercised
+        assert flipped > 0
+
+    def test_plan_in_row_no_join(self, spark):
+        from ragflow_core16_spark.operators.webclean import (
+            meta_robots_decisions)
+        plan = _formatted(meta_robots_decisions(spark, SF))
+        assert "Join" not in plan and "Exchange" not in plan
