@@ -1101,11 +1101,54 @@ FROM d ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------------ web_keep
+def web_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full end-to-end keep decision a Common-Crawl curation run
+    materializes: the content gates (``corpus_keep`` = Gopher ∧ C4 ∧
+    dedup-survivor ∧ decontaminated, eval split excluded) ANDed with the
+    crawl-metadata gates — robots.txt allowance, URL blocklist, and the
+    page's own meta-robots noindex directive.  Every input is the
+    registered operator reused verbatim, so the oracle is the literal SQL
+    composition of their oracles.  All joins key on doc_id (one
+    co-partitioned shuffle family); at deployment the metadata gates come
+    from crawl-time columns and this becomes a pure scan-side AND."""
+    ck = corpus_keep(spark, sf_dir).select(
+        "doc_id", F.col("corpus_keep").alias("content_keep"))
+    rb = robots_decisions(spark, sf_dir).select("doc_id", "allowed")
+    bl = url_blocklist_decisions(spark, sf_dir).select("doc_id", "blocked")
+    mr = meta_robots_decisions(spark, sf_dir).select("doc_id", "indexable")
+    return (ck.join(rb, "doc_id").join(bl, "doc_id").join(mr, "doc_id")
+            .select("doc_id", "content_keep", "allowed",
+                    (~F.col("blocked")).alias("unblocked"), "indexable",
+                    (F.col("content_keep") & F.col("allowed") &
+                     ~F.col("blocked") & F.col("indexable"))
+                    .alias("web_keep"))
+            .orderBy("doc_id"))
+
+
+def _web_keep_sql() -> str:
+    return f"""
+SELECT k.doc_id,
+       k.corpus_keep AS content_keep,
+       r.allowed,
+       NOT b.blocked AS unblocked,
+       m.indexable,
+       (k.corpus_keep AND r.allowed AND NOT b.blocked AND m.indexable)
+         AS web_keep
+FROM ({_corpus_keep_sql()}) k
+JOIN ({_robots_filter_sql()}) r USING (doc_id)
+JOIN ({_url_blocklist_sql()}) b USING (doc_id)
+JOIN ({_meta_robots_sql()}) m USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "mirror_hosts": (mirror_hosts, _mirror_hosts_sql()),
     "url_blocklist": (url_blocklist, _url_blocklist_sql()),
     "meta_robots": (meta_robots, _meta_robots_sql()),
+    "web_keep": (web_keep, _web_keep_sql()),
     "mojibake_repair": (mojibake_repair, MOJIBAKE_REPAIR_SQL),
     "nfc_normalize": (nfc_normalize, NFC_NORMALIZE_SQL),
     "pii_redact": (pii_redact, PII_REDACT_SQL),

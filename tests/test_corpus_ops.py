@@ -111,3 +111,35 @@ class TestZipfHistogram:
                     r["min_count"], r["max_count"]) == (vocab, occ, mn, mx)
             # power-of-two boundaries are exact: bucket b spans [2^b, 2^(b+1))
             assert 2 ** b <= mn and mx < 2 ** (b + 1)
+
+
+class TestNewOpPlans:
+    """The in-row claims in docs/PLANS.md, pinned: drift and winnowing
+    must not shuffle before the presentation sort."""
+
+    def _plan(self, df):
+        spark = df.sparkSession
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+
+    def test_winnow_shuffle_free_before_sort(self, spark):
+        from pyspark.sql import functions as F
+        from ragflow_core16_spark.operators.dedup import _NORM
+        # rebuild the pre-sort relation over the raw scan (the operator's
+        # _docs adds the small-fixture spread() repartition; at real scale
+        # the scan has thousands of splits and that guard is a no-op) —
+        # everything below the presentation sort must be scan-side
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        toks = F.split(F.regexp_replace(F.lower(F.trim("text")), _NORM,
+                                        " "), " ")
+        pre = d.select("doc_id", toks.alias("toks")).filter(
+            F.size("toks") >= 6)
+        plan = self._plan(pre)
+        assert "Exchange" not in plan.replace("Reused", "")
+        assert "MapInPandas" not in plan
+
+    def test_capture_drift_single_python_free_stage(self, spark):
+        from ragflow_core16_spark.operators.training import capture_drift
+        plan = self._plan(capture_drift(spark, SF))
+        assert "MapInPandas" not in plan and "EvalPython" not in plan

@@ -525,3 +525,27 @@ class TestMetaRobots:
             meta_robots_decisions)
         plan = _formatted(meta_robots_decisions(spark, SF))
         assert "Join" not in plan and "Exchange" not in plan
+
+
+class TestWebKeep:
+    def test_composition_equals_parts(self, spark):
+        from ragflow_core16_spark.operators.webclean import (
+            corpus_keep, meta_robots, robots_filter, url_blocklist,
+            web_keep)
+        ck = {r["doc_id"]: r["corpus_keep"]
+              for r in corpus_keep(spark, SF).collect()}
+        rb = {r["doc_id"]: r["allowed"]
+              for r in robots_filter(spark, SF).collect()}
+        bl = {r["doc_id"]: r["blocked"]
+              for r in url_blocklist(spark, SF).collect()}
+        mr = {r["doc_id"]: r["indexable"]
+              for r in meta_robots(spark, SF).collect()}
+        got = web_keep(spark, SF).collect()
+        assert {r["doc_id"] for r in got} == set(ck)  # eval split excluded
+        kept = 0
+        for r in got:
+            d = r["doc_id"]
+            want = ck[d] and rb[d] and not bl[d] and mr[d]
+            assert r["web_keep"] == want, d
+            kept += want
+        assert kept > 0, "fixture must let some docs through every gate"
