@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "warc_extract_e2e", "cdx_index", "domain_cap", "robots_filter", "sitemap_coverage",
     "retrieval_quality",
     "wat_outlinks", "host_outdegree", "anchor_texts",
+    "bm25_topn", "ccnet_bucket", "mirror_hosts", "url_blocklist",
+    "capture_drift", "winnow_fingerprints", "zipf_histogram",
+    "readability_scores", "meta_robots", "web_keep",
 ]
 
 
