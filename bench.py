@@ -47,7 +47,7 @@ BENCH_QUERIES = [
     "wat_outlinks", "host_outdegree", "anchor_texts",
     "bm25_topn", "ccnet_bucket", "mirror_hosts", "url_blocklist",
     "capture_drift", "winnow_fingerprints", "zipf_histogram",
-    "readability_scores", "meta_robots", "web_keep",
+    "readability_scores", "meta_robots", "web_keep", "mixture_sample",
 ]
 
 

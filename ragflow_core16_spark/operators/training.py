@@ -549,8 +549,101 @@ FROM j ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------- mixture_sample
+# Training-mix assembly (the Pile / Dolma step): given target mixture
+# WEIGHTS per source and the measured token mass per source, find the
+# largest corpus scale k at which every source can still supply its share
+# (the binding source samples at rate 1.0), derive per-source sampling
+# rates, and materialize the kept set by deterministic hash threshold.
+# ALL arithmetic is integer ppm (floor division agrees between engines);
+# the per-doc keep is md5-threshold so reruns and the oracle reproduce the
+# exact same sample.  Shuffle profile: one map-side-combinable agg for the
+# source masses (|sources| rows, broadcast back), keep decision in-row.
+_MIX_WEIGHTS = {f"src{i}": (i % 5) + 1 for i in range(20)}
+_MIX_PPM = 1_000_000
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    ntok = F.size(F.split(F.regexp_replace(F.lower(F.trim("text")),
+                                           r"\s+", " "), " "))
+    w = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _MIX_WEIGHTS.items()
+                       for x in kv]), F.col("source"))
+    docs = d.select("doc_id", "source", ntok.alias("ntok"),
+                    w.alias("weight"))
+    tot_w = sum(_MIX_WEIGHTS.values())
+    src = (docs.groupBy("source", "weight")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("ntok").alias("tokens")))
+    # k = max total mixture size every source can still supply its share
+    # of: k ≤ T_s·W/w_s for all s.  All divisions are INTEGRAL (`div` /
+    # DuckDB `//`) so both engines floor identically — no doubles anywhere.
+    k = src.selectExpr(f"min(tokens * {tot_w} div weight) AS k")
+    rates = (src.crossJoin(F.broadcast(k))
+             .selectExpr("source", "weight", "n_docs", "tokens",
+                         f"((k * weight div {tot_w}) * {_MIX_PPM})"
+                         " div tokens AS rate_ppm"))
+    keep = (docs.join(F.broadcast(rates.select("source", "rate_ppm")),
+                      "source")
+            .filter((_md5i_col(F.concat(F.lit("42:mix:"),
+                                        F.col("doc_id").cast("string")))
+                     % _MIX_PPM) < F.col("rate_ppm"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("ntok").alias("kept_tokens")))
+    return (rates.join(keep, "source", "left")
+            .select("source", "weight", "n_docs", "tokens", "rate_ppm",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("kept_tokens", F.lit(0))
+                    .alias("kept_tokens"))
+            .orderBy("source"))
+
+
+def _md5i_col(key):
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+
+
+def _mixture_sample_sql() -> str:
+    tot_w = sum(_MIX_WEIGHTS.values())
+    wcase = " ".join(f"WHEN '{s}' THEN {w}"
+                     for s, w in _MIX_WEIGHTS.items())
+    return f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+           AS ntok,
+         CASE source {wcase} END AS weight
+  FROM documents),
+src AS (
+  SELECT source, weight, count(*) AS n_docs,
+         CAST(sum(ntok) AS BIGINT) AS tokens
+  FROM docs GROUP BY source, weight),
+k AS (SELECT CAST(min(tokens * {tot_w} // weight) AS BIGINT) AS k
+      FROM src),
+rates AS (
+  SELECT source, weight, n_docs, tokens,
+         CAST((k.k * weight // {tot_w}) * {_MIX_PPM} // tokens
+              AS BIGINT) AS rate_ppm
+  FROM src, k),
+keep AS (
+  SELECT d.source, count(*) AS n_kept,
+         CAST(sum(d.ntok) AS BIGINT) AS kept_tokens
+  FROM docs d JOIN rates r ON d.source = r.source
+  WHERE ('0x' || substr(md5('42:mix:' || d.doc_id), 1, 15))::BIGINT
+        % {_MIX_PPM} < r.rate_ppm
+  GROUP BY d.source)
+SELECT r.source, r.weight, r.n_docs, r.tokens, r.rate_ppm,
+       coalesce(k2.n_kept, 0) AS n_kept,
+       coalesce(k2.kept_tokens, 0) AS kept_tokens
+FROM rates r LEFT JOIN keep k2 USING (source)
+ORDER BY r.source
+"""
+
+
 QUERIES = {
     "capture_drift": (capture_drift, _capture_drift_sql()),
+    "mixture_sample": (mixture_sample, _mixture_sample_sql()),
     "sequence_pack": (sequence_pack, SEQUENCE_PACK_SQL),
     "repetition_quality": (repetition_quality, REPETITION_QUALITY_SQL),
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),

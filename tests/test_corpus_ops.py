@@ -143,3 +143,37 @@ class TestNewOpPlans:
         from ragflow_core16_spark.operators.training import capture_drift
         plan = self._plan(capture_drift(spark, SF))
         assert "MapInPandas" not in plan and "EvalPython" not in plan
+
+
+class TestMixtureSample:
+    def test_matches_pure_python_integer_math(self, spark):
+        from ragflow_core16_spark.operators.training import (
+            _MIX_PPM, _MIX_WEIGHTS, mixture_sample)
+        rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+        srcs = {}
+        for r in rows:
+            nt = len(" ".join(r["text"].lower().split()).split(" "))
+            s = srcs.setdefault(r["source"], {"docs": [], "tokens": 0})
+            s["docs"].append((r["doc_id"], nt))
+            s["tokens"] += nt
+        W = sum(_MIX_WEIGHTS.values())
+        k = min(s["tokens"] * W // _MIX_WEIGHTS[name]
+                for name, s in srcs.items())
+        got = {r["source"]: r for r in mixture_sample(spark, SF).collect()}
+        assert set(got) == set(srcs)
+        binding = 0
+        for name, s in srcs.items():
+            w = _MIX_WEIGHTS[name]
+            take = k * w // W
+            rate = take * _MIX_PPM // s["tokens"]
+            kept = [(d, nt) for d, nt in s["docs"]
+                    if _md5i(f"42:mix:{d}") % _MIX_PPM < rate]
+            r = got[name]
+            assert (r["weight"], r["n_docs"], r["tokens"]) == \
+                (w, len(s["docs"]), s["tokens"])
+            assert r["rate_ppm"] == rate, name
+            assert r["n_kept"] == len(kept)
+            assert r["kept_tokens"] == sum(nt for _d, nt in kept)
+            binding += rate == _MIX_PPM
+        # at least one source must be the binding one (samples at 1.0)
+        assert binding >= 1
