@@ -494,10 +494,7 @@ FROM scored ORDER BY doc_id
 # sort, so at 10^12 captures this rides the scan for free.
 def capture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import ordered as _ordered
-
-    def md5i(key):
-        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
-
+    md5i = _md5i_col
     d = _docs(spark, sf_dir)
     did = F.col("doc_id").cast("string")
     words = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
@@ -579,11 +576,19 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k = max total mixture size every source can still supply its share
     # of: k ≤ T_s·W/w_s for all s.  All divisions are INTEGRAL (`div` /
     # DuckDB `//`) so both engines floor identically — no doubles anywhere.
+    # rate_ppm = floor(take·10^6 / tokens) is computed by base-1000 long
+    # division (two ×1000 steps) so the intermediate products stay within
+    # int64 even at Pile scale: a naive take·10^6 overflows BIGINT past
+    # ~9.2e12 tokens per source, where non-ANSI Spark would wrap silently
+    # while the oracle errors.
     k = src.selectExpr(f"min(tokens * {tot_w} div weight) AS k")
     rates = (src.crossJoin(F.broadcast(k))
              .selectExpr("source", "weight", "n_docs", "tokens",
-                         f"((k * weight div {tot_w}) * {_MIX_PPM})"
-                         " div tokens AS rate_ppm"))
+                         f"k * weight div {tot_w} AS take")
+             .selectExpr("source", "weight", "n_docs", "tokens",
+                         "(take * 1000 div tokens) * 1000"
+                         " + (take * 1000 % tokens) * 1000 div tokens"
+                         " AS rate_ppm"))
     keep = (docs.join(F.broadcast(rates.select("source", "rate_ppm")),
                       "source")
             .filter((_md5i_col(F.concat(F.lit("42:mix:"),
@@ -601,7 +606,8 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _md5i_col(key):
-    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    from .dedup import _md5_bigint
+    return _md5_bigint(key)
 
 
 def _mixture_sample_sql() -> str:
@@ -621,11 +627,16 @@ src AS (
   FROM docs GROUP BY source, weight),
 k AS (SELECT CAST(min(tokens * {tot_w} // weight) AS BIGINT) AS k
       FROM src),
+takes AS (
+  SELECT source, weight, n_docs, tokens,
+         CAST(k.k * weight // {tot_w} AS BIGINT) AS take
+  FROM src, k),
 rates AS (
   SELECT source, weight, n_docs, tokens,
-         CAST((k.k * weight // {tot_w}) * {_MIX_PPM} // tokens
+         CAST((take * 1000 // tokens) * 1000
+              + (take * 1000 % tokens) * 1000 // tokens
               AS BIGINT) AS rate_ppm
-  FROM src, k),
+  FROM takes),
 keep AS (
   SELECT d.source, count(*) AS n_kept,
          CAST(sum(d.ntok) AS BIGINT) AS kept_tokens

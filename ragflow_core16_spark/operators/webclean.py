@@ -355,6 +355,23 @@ def _md5i_col(key):
     return _md5_bigint(key)
 
 
+def _robots_sql_md5i(key: str) -> str:
+    from .extract_e2e import _md5i
+    return _md5i(key)
+
+
+def _host_sql(doc: str = "doc_id") -> str:
+    """DuckDB twin of ``_host_col()`` — the ONE place the synthetic host
+    scheme (500 numbers × 4 TLDs) is written as SQL; every oracle that
+    derives a host must use this helper so a scheme change cannot leave an
+    oracle silently testing a different universe."""
+    return ("'host' || lpad(CAST(" + _robots_sql_md5i(f"'42:url:' || {doc}")
+            + " % 500 AS VARCHAR), 4, '0') || '.example.' || "
+            "(['com','org','net','cn'])[CAST("
+            + _robots_sql_md5i(f"'42:tld:' || {doc}")
+            + " % 4 AS INTEGER) + 1]")
+
+
 def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document caps (the RefinedWeb / Dolma host-balancing
     pass): keep at most K documents per host, chosen by a deterministic
@@ -396,12 +413,7 @@ def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOMAIN_CAP_SQL = f"""
 WITH m AS (
   SELECT doc_id,
-    'host' || lpad(CAST(('0x' || substr(md5('42:url:' || doc_id), 1, 15))::BIGINT
-                        % 500 AS VARCHAR), 4, '0') ||
-    '.example.' ||
-    (['com','org','net','cn'])[
-      CAST(('0x' || substr(md5('42:tld:' || doc_id), 1, 15))::BIGINT % 4
-           AS INTEGER) + 1] AS host,
+    {_host_sql()} AS host,
     ('0x' || substr(md5('42:prio:' || doc_id), 1, 15))::BIGINT AS prio
   FROM documents),
 r AS (
@@ -524,17 +536,8 @@ def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_decisions(spark, sf_dir).transform(_ordered("doc_id"))
 
 
-def _robots_sql_md5i(key: str) -> str:
-    from .extract_e2e import _md5i
-    return _md5i(key)
-
-
 def _robots_filter_sql() -> str:
-    h = ("'host' || lpad(CAST(" + _robots_sql_md5i("'42:url:' || doc_id")
-         + " % 500 AS VARCHAR), 4, '0') || '.example.' || "
-         "(['com','org','net','cn'])[CAST("
-         + _robots_sql_md5i("'42:tld:' || doc_id")
-         + " % 4 AS INTEGER) + 1]")
+    h = _host_sql()
     s = ("(['news','blog','docs','wiki'])[CAST("
          + _robots_sql_md5i("'42:sec:' || doc_id")
          + " % 4 AS INTEGER) + 1]")
@@ -643,11 +646,7 @@ def sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sitemap_coverage_sql() -> str:
-    h = ("'host' || lpad(CAST(" + _robots_sql_md5i("'42:url:' || doc_id")
-         + " % 500 AS VARCHAR), 4, '0') || '.example.' || "
-         "(['com','org','net','cn'])[CAST("
-         + _robots_sql_md5i("'42:tld:' || doc_id")
-         + " % 4 AS INTEGER) + 1]")
+    h = _host_sql()
     return f"""
 WITH m AS (
   SELECT doc_id, {h} AS host,
@@ -890,11 +889,7 @@ def mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mirror_hosts_sql() -> str:
-    h = ("'host' || lpad(CAST(" + _robots_sql_md5i("'42:url:' || doc_id")
-         + " % 500 AS VARCHAR), 4, '0') || '.example.' || "
-         "(['com','org','net','cn'])[CAST("
-         + _robots_sql_md5i("'42:tld:' || doc_id")
-         + " % 4 AS INTEGER) + 1]")
+    h = _host_sql()
     mh = ("'mirror' || lpad(CAST(" + _robots_sql_md5i("'42:mh:' || doc_id")
           + " % 300 AS VARCHAR), 4, '0') || '.example.org'")
     return f"""
@@ -984,11 +979,7 @@ def url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _url_blocklist_sql() -> str:
-    h = ("'host' || lpad(CAST(" + _robots_sql_md5i("'42:url:' || doc_id")
-         + " % 500 AS VARCHAR), 4, '0') || '.example.' || "
-         "(['com','org','net','cn'])[CAST("
-         + _robots_sql_md5i("'42:tld:' || doc_id")
-         + " % 4 AS INTEGER) + 1]")
+    h = _host_sql()
     s = ("(['news','blog','docs','wiki'])[CAST("
          + _robots_sql_md5i("'42:sec:' || doc_id")
          + " % 4 AS INTEGER) + 1]")

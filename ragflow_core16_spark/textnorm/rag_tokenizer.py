@@ -339,7 +339,34 @@ class RagTokenizer:
         return pairs
 
     def merge_(self, tks_str):
-        return " ".join(self._merge_list(tks_str.split()))
+        """Public entry: case-insensitive like the reference (probes are
+        lowered, output keeps the caller's casing).  Lowercase input —
+        every in-repo tokenize path — takes the list fast path directly."""
+        tks = tks_str.split()
+        # islower() is False both for upper-case strings and for caseless
+        # ones; the second probe separates those (caseless ⇒ fast path)
+        if tks_str.islower() or not tks_str.lower().islower():
+            return " ".join(self._merge_list(tks))
+        res = []
+        s = 0
+        n = len(tks)
+        freq = self._freq_str
+        first = self._first_chars
+        while s < n:
+            t0 = tks[s]
+            if not t0 or t0[0].lower() not in first:
+                res.append(t0)
+                s += 1
+                continue
+            E = s + 1
+            tk = t0
+            for e in range(s + 2, min(n + 1, s + 6)):
+                tk = tk + tks[e - 1]
+                if tk.lower() in freq and _SPLIT_RE.search(tk):
+                    E = e
+            res.append(t0 if E == s + 1 else "".join(tks[s:E]))
+            s = E
+        return " ".join(res)
 
     def _merge_list(self, tks):
         """merge_ over an already-split token list — the tokenize fast path

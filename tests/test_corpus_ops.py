@@ -118,10 +118,8 @@ class TestNewOpPlans:
     must not shuffle before the presentation sort."""
 
     def _plan(self, df):
-        spark = df.sparkSession
-        return df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode
-            .fromString("formatted"))
+        from conftest import formatted_plan
+        return formatted_plan(df)
 
     def test_winnow_shuffle_free_before_sort(self, spark):
         from pyspark.sql import functions as F

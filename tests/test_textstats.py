@@ -8,10 +8,8 @@ SF = "/root/testdata/sf0.001"
 
 
 def _formatted(df) -> str:
-    spark = df.sparkSession
-    return df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"))
+    from conftest import formatted_plan
+    return formatted_plan(df)
 
 
 def _doc_tokens(spark):

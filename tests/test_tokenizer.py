@@ -165,3 +165,25 @@ class TestBuiltinLexicon:
         assert "机器学习" in tokenize("深度機器學習引擎").split()
         from ragflow_core16_spark.textnorm.t2s import T2S_PAIRS
         assert len(T2S_PAIRS) > 1500
+
+
+class TestMergePublicContract:
+    def test_merge_is_case_insensitive_and_preserves_casing(self):
+        """merge_() is public API: probes are case-folded (reference
+        semantics) while output keeps the caller's casing; the lowercase
+        fast path must agree with the general path."""
+        from ragflow_core16_spark.textnorm.rag_tokenizer import get_tokenizer
+        tk = get_tokenizer()
+        added_first = "n" not in tk._first_chars
+        tk._freq_str["newyork"] = 1000
+        tk._first_chars.add("n")
+        try:
+            assert tk.merge_("New York") == "NewYork"
+            assert tk.merge_("NEW YORK") == "NEWYORK"
+            assert tk.merge_("new york") == "newyork"
+            assert tk.merge_("new york") == \
+                " ".join(tk._merge_list(["new", "york"]))
+        finally:
+            del tk._freq_str["newyork"]
+            if added_first:
+                tk._first_chars.discard("n")
