@@ -610,6 +610,105 @@ def _md5i_col(key):
     return _md5_bigint(key)
 
 
+# ---------------------------------------------------- quality_classifier
+# fastText-style linear quality classifier (Joulin et al. 2016) with the
+# GPT-3 "Wikipedia-reference" admission lottery (Brown et al. 2020,
+# appendix A): score every document with a bag-of-hashed-n-grams linear
+# model, keep everything the model calls high-quality, and re-admit
+# low-scoring documents stochastically so the kept set is not a hard
+# cliff.  The LEARNED weight vector is the external asset (a real
+# deployment broadcasts the trained fastText table, |V| ≈ 2^21 floats);
+# the stand-in here derives each bucket's weight from the md5 bridge so
+# the whole statistic replays in DuckDB — swap `w(b)` for a broadcast
+# map lookup and nothing else changes.
+#
+# All arithmetic is integer "milli" units.  score_sum is the sum of
+# per-gram weights in [-1000, 1000]; score_milli = score_sum / n_grams
+# truncated TOWARD ZERO on an explicit sign split, because Spark `div`
+# truncates while DuckDB `//` floors — on negative numerators the two
+# engines disagree, so the division only ever sees non-negative operands.
+# The lottery admits a below-parity doc when a deterministic md5 dice
+# (‰) falls under 1000 + score_milli — the linear-decay analogue of
+# GPT-3's `pareto(9) > 1 - score` draw, reproducible across reruns.
+#
+# Scale design: ZERO data shuffles — grams, weights, score, and the keep
+# decision are one in-row higher-order `aggregate` over the split-word
+# array, so the classifier rides the scan partitioning at 10^12 docs
+# (the presentation sort is driver-compare-only).
+_QC_B = 256  # weight-vector buckets (stand-in for the trained table)
+_QC_MD5I = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _quality_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted classifier relation (the production shape — the sort in
+    ``quality_classifier`` is driver-compare presentation only)."""
+    d = (_docs(spark, sf_dir)
+         .filter(F.length(F.trim("text")) > 0)
+         .select("doc_id",
+                 F.split(F.regexp_replace(F.lower(F.trim("text")),
+                                          r"\s+", " "), " ").alias("w")))
+    grams = ("concat(w, if(size(w) < 2, array(),"
+             " transform(sequence(1, size(w) - 1),"
+             " i -> concat(element_at(w, i), ' ',"
+             "             element_at(w, i + 1)))))")
+    bucket = _QC_MD5I.format(x="g") + f" % {_QC_B}"
+    weight = (_QC_MD5I.format(
+        x=f"concat('42:qw:', CAST({bucket} AS STRING))") + " % 2001 - 1000")
+    scored = d.select(
+        "doc_id",
+        F.expr("CAST(size(w) * 2 - 1 AS INT)").alias("n_grams"),
+        F.expr(f"aggregate({grams}, 0L, (a, g) -> a + ({weight}))")
+         .alias("score_sum"))
+    score_milli = F.expr(
+        "CASE WHEN score_sum >= 0 THEN score_sum div n_grams"
+        "     ELSE -((-score_sum) div n_grams) END")
+    dice = _md5i_col(F.concat(F.lit("42:qd:"),
+                              F.col("doc_id").cast("string"))) % 1000
+    return scored.select(
+        "doc_id", "n_grams", "score_sum",
+        score_milli.alias("score_milli"),
+        (F.col("score_sum") >= 0).alias("wiki_like"),
+        ((F.col("score_sum") >= 0)
+         | (dice < score_milli + 1000)).alias("keep"))
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ordered as _ordered
+    return _quality_scored(spark, sf_dir).transform(_ordered("doc_id"))
+
+
+def _quality_classifier_sql() -> str:
+    md5i = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+    bucket = md5i.format(x="g") + f" % {_QC_B}"
+    weight = md5i.format(x=f"'42:qw:' || ({bucket})") + " % 2001 - 1000"
+    dice = md5i.format(x="'42:qd:' || doc_id") + " % 1000"
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+           AS w
+  FROM documents WHERE length(trim(text)) > 0),
+scored AS (
+  SELECT doc_id,
+         CAST(len(w) * 2 - 1 AS INTEGER) AS n_grams,
+         CAST(list_sum(list_transform(
+             w || list_transform(generate_series(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i + 1]),
+             g -> {weight})) AS BIGINT) AS score_sum
+  FROM w),
+m AS (
+  SELECT doc_id, n_grams, score_sum,
+         CAST(CASE WHEN score_sum >= 0 THEN score_sum // n_grams
+                   ELSE -((-score_sum) // n_grams) END AS BIGINT)
+           AS score_milli
+  FROM scored)
+SELECT doc_id, n_grams, score_sum, score_milli,
+       score_sum >= 0 AS wiki_like,
+       score_sum >= 0 OR {dice} < score_milli + 1000 AS keep
+FROM m ORDER BY doc_id
+"""
+
+
 def _mixture_sample_sql() -> str:
     tot_w = sum(_MIX_WEIGHTS.values())
     wcase = " ".join(f"WHEN '{s}' THEN {w}"
@@ -660,4 +759,5 @@ QUERIES = {
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     "bpe_train": (bpe_train_q, _bpe_oracle_sql()),
     "dsir_affinity": (dsir_affinity, DSIR_AFFINITY_SQL),
+    "quality_classifier": (quality_classifier, _quality_classifier_sql()),
 }
