@@ -324,8 +324,54 @@ ORDER BY surt, ts14, url
 """
 
 
+def q_warc_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revisit-record resolution (WARC 1.1 §6.7.2 identical-payload-digest,
+    the Common-Crawl crawl-time dedup): a quarter of the docs carry a
+    second capture stored as a ``revisit`` record; the operator joins each
+    back to its referred-to ``response`` and verifies the RECORDED digest
+    against a sha1-b32 computed from the original's actual payload bytes.
+    The oracle knows every outcome arithmetically from the generator gates
+    (rv %4 selects revisited docs, rvbad %7 injects drifted digests) and
+    never sees the container — a digest_match=true row therefore proves the
+    join hydrated the right record and hashed the right bytes."""
+    from ..sources.warc import resolve_revisits, warc_files_from_documents
+    _tune(spark)
+    files = warc_files_from_documents(spark, sf_dir, seed=_SEED,
+                                      n_files=_N_FILES, revisits=True)
+    return resolve_revisits(files).transform(_ordered("url"))
+
+
+_DAY_MICROS = 86400 * 1_000_000
+
+WARC_REVISITS_SQL = f"""
+WITH meta AS (
+  SELECT doc_id,
+    'https://host' ||
+      lpad(CAST({_md5i(f"'{_SEED}:url:' || doc_id")} % 500 AS VARCHAR),
+           4, '0') ||
+      '.example.' ||
+      (['com','org','net','cn'])[
+        CAST({_md5i(f"'{_SEED}:tld:' || doc_id")} % 4 AS INTEGER) + 1] ||
+      '/' ||
+      (['news','blog','docs','wiki'])[
+        CAST({_md5i(f"'{_SEED}:sec:' || doc_id")} % 4 AS INTEGER) + 1] ||
+      '/' || doc_id AS url,
+    {_md5i(f"'{_SEED}:ts:' || doc_id")} % (730::BIGINT * 86400 * 1000000)
+      AS orig_ts
+  FROM documents
+  WHERE {_md5i(f"'{_SEED}:rv:' || doc_id")} % 4 = 0)
+SELECT url,
+       orig_ts + {_DAY_MICROS} AS ts_micros,
+       orig_ts AS orig_ts_micros,
+       NOT ({_md5i(f"'{_SEED}:rvbad:' || doc_id")} % 7 = 0) AS digest_match
+FROM meta
+ORDER BY url
+"""
+
+
 QUERIES = {
     "warc_records": (q_warc_records, WARC_RECORDS_SQL),
+    "warc_revisits": (q_warc_revisits, WARC_REVISITS_SQL),
     "cdx_index": (q_cdx_index, CDX_INDEX_SQL),
     "warc_extract_e2e": (q_warc_extract, WARC_EXTRACT_SQL),
     "wet_roundtrip_e2e": (q_wet_roundtrip, WET_ROUNDTRIP_SQL),

@@ -80,6 +80,36 @@ def build_conversion_record(url: str, ts: pd.Timestamp, text: str) -> bytes:
     return head + body + _CRLF + _CRLF
 
 
+_REVISIT_PROFILE = ("http://netpreserve.org/warc/1.0/revisit/"
+                    "identical-payload-digest")
+
+
+def build_revisit_record(url: str, ts: pd.Timestamp, refers_to_uri: str,
+                         refers_to_date: pd.Timestamp,
+                         payload_digest: str,
+                         status: int = 200,
+                         content_type: str = "text/html") -> bytes:
+    """One WARC ``revisit`` record (WARC 1.1 §6.7.2, the Common-Crawl
+    crawl-time dedup convention): a re-fetch whose payload matched an
+    earlier capture's digest stores only the HTTP response HEADERS plus a
+    pointer (`WARC-Refers-To-Target-URI`/`-Date`) and the shared
+    `WARC-Payload-Digest` — the body lives once, in the referred-to
+    ``response`` record."""
+    http = (f"HTTP/1.1 {status} OK\r\n"
+            f"Content-Type: {content_type}\r\n\r\n").encode("ascii")
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: revisit\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {_warc_date(ts)}\r\n"
+            f"WARC-Profile: {_REVISIT_PROFILE}\r\n"
+            f"WARC-Refers-To-Target-URI: {refers_to_uri}\r\n"
+            f"WARC-Refers-To-Date: {_warc_date(refers_to_date)}\r\n"
+            f"WARC-Payload-Digest: sha1:{payload_digest}\r\n"
+            f"Content-Type: application/http; msgtype=response\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n").encode("ascii")
+    return head + http + _CRLF + _CRLF
+
+
 def build_warcinfo(filename: str) -> bytes:
     body = b"software: ragflow_core16_spark\r\nformat: WARC File Format 1.0\r\n"
     head = (f"WARC/1.0\r\n"
@@ -127,6 +157,10 @@ def _iter_members(data: bytes):
         yield rest, None, pos, len(rest)  # trailing plain bytes: surface
 
 
+_NO_POINTERS = {"profile": None, "refers_to_uri": None,
+                "refers_to_date": None, "payload_digest": None}
+
+
 def _parse_headers(block: bytes) -> dict[str, str]:
     out: dict[str, str] = {}
     for line in block.split(_CRLF):
@@ -146,7 +180,7 @@ def iter_warc_records(data: bytes):
         if merr is not None:
             yield {"type": "error", "url": None, "ts": None,
                    "http_status": None, "content_type": None,
-                   "payload": None, "error": merr}
+                   "payload": None, "error": merr, **_NO_POINTERS}
             continue
         off = 0
         while off < len(member):
@@ -160,13 +194,15 @@ def iter_warc_records(data: bytes):
             except ValueError:
                 yield {"type": "error", "url": None, "ts": None,
                        "http_status": None, "content_type": None,
-                       "payload": None, "error": "unterminated header"}
+                       "payload": None, "error": "unterminated header",
+                       **_NO_POINTERS}
                 break
             head = member[off:hdr_end]
             if not head.startswith(b"WARC/"):
                 yield {"type": "error", "url": None, "ts": None,
                        "http_status": None, "content_type": None,
-                       "payload": None, "error": "bad magic"}
+                       "payload": None, "error": "bad magic",
+                       **_NO_POINTERS}
                 break
             h = _parse_headers(head)
             try:
@@ -174,7 +210,8 @@ def iter_warc_records(data: bytes):
             except ValueError:
                 yield {"type": "error", "url": h.get("warc-target-uri"),
                        "ts": None, "http_status": None, "content_type": None,
-                       "payload": None, "error": "bad content-length"}
+                       "payload": None, "error": "bad content-length",
+                       **_NO_POINTERS}
                 break
             block = member[hdr_end + 4:hdr_end + 4 + clen]
             off = hdr_end + 4 + clen
@@ -184,12 +221,18 @@ def iter_warc_records(data: bytes):
                 ts = _parse_warc_date(h.get("warc-date", ""))
             except ValueError:
                 ts = None
+            # revisit pointer headers (WARC 1.1 §6.7.2) — None off revisits
+            extra = {"profile": h.get("warc-profile"),
+                     "refers_to_uri": h.get("warc-refers-to-target-uri"),
+                     "refers_to_date": h.get("warc-refers-to-date"),
+                     "payload_digest": h.get("warc-payload-digest")}
             if rtype != "response":
-                # conversion (WET) / warcinfo / …: the block IS the payload
+                # revisit / conversion (WET) / warcinfo / …: the block IS
+                # the payload (for revisit: the stored HTTP headers)
                 yield {"type": rtype, "url": url, "ts": ts,
                        "http_status": None,
                        "content_type": h.get("content-type"),
-                       "payload": block, "error": None}
+                       "payload": block, "error": None, **extra}
                 continue
             status, ctype, payload, err = None, None, None, None
             try:
@@ -206,7 +249,7 @@ def iter_warc_records(data: bytes):
                 err = "bad http framing"
             yield {"type": "response", "url": url, "ts": ts,
                    "http_status": status, "content_type": ctype,
-                   "payload": payload, "error": err}
+                   "payload": payload, "error": err, **extra}
 
 
 # ------------------------------------------------------------- Spark side
@@ -232,23 +275,41 @@ WARC_RECORDS_SCHEMA = StructType([
 
 def warc_files_from_documents(spark: SparkSession, sf_dir: str,
                               seed: int = 42,
-                              n_files: int = N_FILES) -> DataFrame:
+                              n_files: int = N_FILES,
+                              revisits: bool = False) -> DataFrame:
     """Synthesize a deterministic WARC corpus: documents sharded into
     ``n_files`` files (``file_id = doc_id % n_files``), records in doc_id
     order, pages byte-identical to ``pages_from_documents``.  One groupBy
     shuffle keyed on file_id — the build is write-path tooling, the read
-    path (``pages_from_warc``) is the operator under test."""
+    path (``pages_from_warc``) is the operator under test.
+
+    With ``revisits=True``, docs where md5i(seed:rv:doc) % 4 == 0 gain a
+    second capture one day later stored as a ``revisit`` record (appended
+    after the shard's responses — a later crawl pass).  Its recorded
+    payload digest is the true sha1-b32 of the original payload, EXCEPT
+    where md5i(seed:rvbad:doc) % 7 == 0: those record a digest of
+    payload+'X' (content drifted between the dedup decision and storage),
+    so digest verification has both outcomes to find."""
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
             .select("doc_id", "text")
             .withColumn("file_id", (F.col("doc_id") % n_files).cast("int")))
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..datagen.pages import _md5i
+        from .cdx import sha1_b32
         pdf = pdf.sort_values("doc_id")
         fid = int(pdf["file_id"].iloc[0])
         recs = [build_warcinfo(f"crawl-{fid:05d}.warc.gz")]
+        revs = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             url, ts, html = document_page(int(doc_id), text, seed)
             recs.append(build_response_record(url, ts, html))
+            if revisits and _md5i(f"{seed}:rv:{int(doc_id)}") % 4 == 0:
+                bad = _md5i(f"{seed}:rvbad:{int(doc_id)}") % 7 == 0
+                digest = sha1_b32(html + b"X" if bad else html)
+                revs.append(build_revisit_record(
+                    url, ts + pd.Timedelta(days=1), url, ts, digest))
+        recs.extend(revs)
         return pd.DataFrame([(fid, len(recs) - 1, build_warc_gz(recs))],
                             columns=["file_id", "n_records", "data"])
 
@@ -278,6 +339,81 @@ def warc_records_df(files: DataFrame) -> DataFrame:
                                              WARC_RECORDS_SCHEMA.fields])
 
     return files.mapInPandas(parse, WARC_RECORDS_SCHEMA)
+
+
+CAPTURE_RECORDS_SCHEMA = StructType([
+    StructField("kind", StringType(), False),
+    StructField("url", StringType(), True),
+    StructField("ts_micros", LongType(), True),
+    StructField("payload_sha1b32", StringType(), True),
+    StructField("recorded_digest", StringType(), True),
+    StructField("refers_to_uri", StringType(), True),
+    StructField("refers_to_ts_micros", LongType(), True),
+])
+
+
+def capture_records_df(files: DataFrame) -> DataFrame:
+    """Every capture record (``response`` AND ``revisit``) with the fields
+    revisit resolution needs: responses carry the sha1-b32 digest computed
+    from their actual payload bytes; revisits carry the pointer headers and
+    the digest the crawler RECORDED (``sha1:`` prefix stripped)."""
+    from .cdx import sha1_b32
+
+    def _micros(ts):
+        return (None if ts is None else
+                (ts - _EPOCH) // pd.Timedelta(microseconds=1))
+
+    def parse(batches):
+        for pdf in batches:
+            out = []
+            for data in pdf["data"]:
+                for r in iter_warc_records(bytes(data)):
+                    if r["type"] == "response" and r["error"] is None:
+                        out.append(("response", r["url"], _micros(r["ts"]),
+                                    sha1_b32(r["payload"]), None, None,
+                                    None))
+                    elif r["type"] == "revisit":
+                        rec = r.get("payload_digest") or ""
+                        rts = None
+                        if r.get("refers_to_date"):
+                            try:
+                                rts = _micros(
+                                    _parse_warc_date(r["refers_to_date"]))
+                            except ValueError:
+                                pass
+                        out.append(("revisit", r["url"], _micros(r["ts"]),
+                                    None, rec.removeprefix("sha1:"),
+                                    r.get("refers_to_uri"), rts))
+            yield pd.DataFrame(out, columns=[f.name for f in
+                                             CAPTURE_RECORDS_SCHEMA.fields])
+
+    return files.mapInPandas(parse, CAPTURE_RECORDS_SCHEMA)
+
+
+def resolve_revisits(files: DataFrame) -> DataFrame:
+    """Hydrate ``revisit`` records against their referred-to ``response``
+    captures and VERIFY the recorded payload digest against a digest
+    computed from the original's actual bytes — the consumer-side
+    completion of crawl-time dedup (a WARC reader that skips this join
+    silently loses every deduplicated capture).
+
+    Scale: one equi-join keyed (uri, ts) — revisits are a minority side
+    (CC revisit rates are 10-40%), responses arrive already keyed by the
+    parse; no window, no skew key (urls are unique per capture)."""
+    recs = capture_records_df(files)
+    orig = (recs.filter(F.col("kind") == "response")
+            .select(F.col("url").alias("o_url"),
+                    F.col("ts_micros").alias("o_ts"),
+                    "payload_sha1b32"))
+    rev = (recs.filter(F.col("kind") == "revisit")
+           .select("url", "ts_micros", "recorded_digest",
+                   "refers_to_uri", "refers_to_ts_micros"))
+    return (rev.join(orig, (rev["refers_to_uri"] == orig["o_url"])
+                     & (rev["refers_to_ts_micros"] == orig["o_ts"]))
+            .select("url", "ts_micros",
+                    F.col("refers_to_ts_micros").alias("orig_ts_micros"),
+                    (F.col("recorded_digest") == F.col("payload_sha1b32"))
+                    .alias("digest_match")))
 
 
 WET_TEXT_SCHEMA = StructType([

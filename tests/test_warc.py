@@ -169,7 +169,9 @@ class TestFuzz:
             # every yielded record is a complete dict with the full keys
             for r in out:
                 assert set(r) == {"type", "url", "ts", "http_status",
-                                  "content_type", "payload", "error"}
+                                  "content_type", "payload", "error",
+                                  "profile", "refers_to_uri",
+                                  "refers_to_date", "payload_digest"}
 
     def test_random_byte_flips_never_raise(self):
         _, recs = _corpus(3)
@@ -362,3 +364,53 @@ class TestCdxIndex:
                     .collect()}
         for u in urls:
             assert got[u] == surt(u), (u, got[u], surt(u))
+
+
+class TestRevisits:
+    """WARC 1.1 §6.7.2 revisit records: round-trip, digest verification,
+    and non-interference with the response-only read paths."""
+
+    def test_revisit_record_roundtrip(self):
+        from ragflow_core16_spark.sources.cdx import sha1_b32
+        from ragflow_core16_spark.sources.warc import build_revisit_record
+        url, ts, html = document_page(3, "alpha beta " * 50)
+        rev = build_revisit_record(url, ts + pd.Timedelta(days=1), url, ts,
+                                   sha1_b32(html))
+        recs = list(iter_warc_records(build_warc_gz(
+            [build_response_record(url, ts, html), rev])))
+        assert [r["type"] for r in recs] == ["response", "revisit"]
+        r = recs[1]
+        assert r["url"] == url
+        assert r["refers_to_uri"] == url
+        assert r["payload_digest"] == f"sha1:{sha1_b32(html)}"
+        assert "identical-payload-digest" in r["profile"]
+        # the stored block is the HTTP headers only — no body
+        assert r["payload"].startswith(b"HTTP/1.1 200 OK")
+        assert b"alpha" not in r["payload"]
+        # pointer date survives the header round trip
+        from ragflow_core16_spark.sources.warc import _parse_warc_date
+        assert _parse_warc_date(r["refers_to_date"]) == ts
+
+    def test_resolution_verifies_digests_both_ways(self, spark):
+        from ragflow_core16_spark.sources.warc import resolve_revisits
+        files = warc_files_from_documents(spark, SF, revisits=True)
+        rows = resolve_revisits(files).collect()
+        assert rows, "corpus must contain revisits"
+        ok = [r for r in rows if r["digest_match"]]
+        bad = [r for r in rows if not r["digest_match"]]
+        assert ok and bad, "both digest outcomes must be populated"
+        for r in rows:
+            assert r["ts_micros"] - r["orig_ts_micros"] == 86400 * 10**6
+
+    def test_response_read_paths_unaffected(self, spark):
+        base = warc_files_from_documents(spark, SF)
+        with_rev = warc_files_from_documents(spark, SF, revisits=True)
+        # pages_from_warc and warc_records_df see responses only, so the
+        # revisit-bearing corpus yields identical rows
+        assert pages_from_warc(with_rev).count() == \
+            pages_from_warc(base).count()
+        a = sorted((r["url"], r["rec_seq"]) for r in
+                   warc_records_df(base).collect())
+        b = sorted((r["url"], r["rec_seq"]) for r in
+                   warc_records_df(with_rev).collect())
+        assert a == b
