@@ -1134,8 +1134,123 @@ ORDER BY doc_id
 """
 
 
+# ------------------------------------------------------ boilerplate_strip
+# Site-level template-paragraph removal (the CCNet / FineWeb step per-page
+# readability cannot do: a paragraph that looks like content on ONE page
+# is template junk when it appears on a third of the site's pages —
+# cookie banners, newsletter CTAs, footer blurbs that survive DOM
+# heuristics).  A paragraph is boilerplate iff it occurs in ≥ 30% of its
+# site's documents (integer math: cnt·10 ≥ n_docs·3).
+#
+# Enrichment is closed-form: every doc's page is [site banner, body half
+# 1, body half 2, rare promo (1 in 11, 5 variants/site)].  The banner is
+# identical across the site → always stripped; body halves are unique →
+# kept; promo variants sit ~2% → kept.  The ORACLE does not use that
+# arithmetic — it recomputes the frequency gate relationally in DuckDB,
+# so a body-half collision at some scale cannot desync the engines.
+#
+# Scale design: one (site, paragraph)-keyed map-side-combinable count,
+# the per-site doc counts as a tiny broadcast dim, the boilerplate set
+# LEFT ANTI-joined back on the same (site, paragraph) key (no second
+# key scheme → co-partitioned with the count's shuffle output), and one
+# per-doc re-aggregation with an in-row sorted reassembly.  No window,
+# no skew: the hottest (site, para) key is the banner at |site| rows.
+_BP_SITES = 16
+_BP_FRAC_NUM, _BP_FRAC_DEN = 3, 10   # strip at ≥ 30% site frequency
+
+
+def _bp_paras(spark, sf_dir):
+    d = (_docs(spark, sf_dir)
+         .filter(F.length(F.trim("text")) > 0)
+         .select("doc_id",
+                 F.split(F.regexp_replace(F.lower(F.trim("text")),
+                                          r"\s+", " "), " ").alias("w")))
+    did = F.col("doc_id").cast("string")
+    site = F.concat(F.lit("site"),
+                    (_md5i_col(F.concat(F.lit("42:bph:"), did))
+                     % _BP_SITES).cast("string"))
+    d = d.withColumn("site", site)
+    k = "((size(w) + 1) div 2)"
+    banner = "concat('subscribe to ', site, ' newsletter')"
+    p1 = f"array_join(slice(w, 1, {k}), ' ')"
+    p2 = f"array_join(slice(w, {k} + 1, size(w) - {k}), ' ')"
+    has_promo = _md5i_col(F.concat(F.lit("42:bpb:"), did)) % 11 == 0
+    promo = F.concat(F.lit("limited promo "), F.col("site"), F.lit(" "),
+                     (_md5i_col(F.concat(F.lit("42:bpn:"), did)) % 5)
+                     .cast("string"))
+    paras = F.expr(
+        f"filter(array(struct(0 AS idx, {banner} AS ptext),"
+        f"             struct(1 AS idx, {p1} AS ptext),"
+        f"             struct(2 AS idx, {p2} AS ptext),"
+        f"             struct(3 AS idx, pr AS ptext)),"
+        f"       s -> s.ptext IS NOT NULL AND s.ptext <> '')")
+    return (d.withColumn("pr", F.when(has_promo, promo))
+            .select("doc_id", "site", F.explode(paras).alias("p"))
+            .select("doc_id", "site", F.col("p.idx").alias("idx"),
+                    F.col("p.ptext").alias("ptext")))
+
+
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ordered as _ordered
+    paras = _bp_paras(spark, sf_dir)
+    freq = paras.groupBy("site", "ptext").agg(F.count(F.lit(1)).alias("c"))
+    sites = (paras.select("doc_id", "site").distinct()
+             .groupBy("site").agg(F.count(F.lit(1)).alias("n_docs")))
+    bp = (freq.join(F.broadcast(sites), "site")
+          .filter(F.col("c") * _BP_FRAC_DEN
+                  >= F.col("n_docs") * _BP_FRAC_NUM)
+          .select("site", "ptext"))
+    kept = paras.join(bp, ["site", "ptext"], "left_anti")
+    return (kept.groupBy("doc_id", "site")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_kept"),
+                 F.expr("array_join(transform("
+                        "array_sort(collect_list(struct(idx, ptext))),"
+                        " s -> s.ptext), '\n')").alias("kept_text"))
+            .transform(_ordered("doc_id")))
+
+
+def _boilerplate_strip_sql() -> str:
+    md5i = _robots_sql_md5i
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+           AS w,
+         'site' || CAST({md5i("'42:bph:' || doc_id")} % {_BP_SITES}
+                        AS VARCHAR) AS site,
+         {md5i("'42:bpb:' || doc_id")} % 11 = 0 AS has_promo,
+         CAST({md5i("'42:bpn:' || doc_id")} % 5 AS VARCHAR) AS pvar
+  FROM documents WHERE length(trim(text)) > 0),
+paras AS (
+  SELECT doc_id, site, u.idx AS idx, u.ptext AS ptext
+  FROM (SELECT doc_id, site,
+               unnest(list_filter(
+                 [{{'idx': 0, 'ptext': 'subscribe to ' || site || ' newsletter'}},
+                  {{'idx': 1, 'ptext': array_to_string(w[1:(len(w)+1)//2], ' ')}},
+                  {{'idx': 2, 'ptext': array_to_string(w[(len(w)+1)//2+1:], ' ')}},
+                  {{'idx': 3, 'ptext': CASE WHEN has_promo THEN
+                      'limited promo ' || site || ' ' || pvar END}}],
+                 s -> s.ptext IS NOT NULL AND s.ptext <> '')) AS u
+        FROM d)),
+freq AS (
+  SELECT site, ptext, count(*) AS c FROM paras GROUP BY site, ptext),
+sites AS (
+  SELECT site, count(*) AS n_docs FROM d GROUP BY site),
+bp AS (
+  SELECT site, ptext FROM freq JOIN sites USING (site)
+  WHERE c * {_BP_FRAC_DEN} >= n_docs * {_BP_FRAC_NUM}),
+kept AS (
+  SELECT p.* FROM paras p ANTI JOIN bp b
+  ON p.site = b.site AND p.ptext = b.ptext)
+SELECT doc_id, site, CAST(count(*) AS INTEGER) AS n_kept,
+       string_agg(ptext, chr(10) ORDER BY idx, ptext) AS kept_text
+FROM kept GROUP BY doc_id, site ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
+    "boilerplate_strip": (boilerplate_strip, _boilerplate_strip_sql()),
     "mirror_hosts": (mirror_hosts, _mirror_hosts_sql()),
     "url_blocklist": (url_blocklist, _url_blocklist_sql()),
     "meta_robots": (meta_robots, _meta_robots_sql()),

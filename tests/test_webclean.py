@@ -549,3 +549,47 @@ class TestWebKeep:
             assert r["web_keep"] == want, d
             kept += want
         assert kept > 0, "fixture must let some docs through every gate"
+
+
+class TestBoilerplateStrip:
+    def test_banner_stripped_body_and_promo_kept(self, spark):
+        import hashlib
+
+        from ragflow_core16_spark.operators.webclean import (
+            _BP_SITES, boilerplate_strip)
+
+        def md5i(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        docs = {r["doc_id"]: r["text"] for r in
+                spark.read.parquet(f"{SF}/documents.parquet").collect()
+                if r["text"].strip()}
+        rows = boilerplate_strip(spark, SF).collect()
+        assert len(rows) == len(docs)
+        promos = 0
+        for r in rows:
+            site = f"site{md5i('42:bph:%d' % r['doc_id']) % _BP_SITES}"
+            assert r["site"] == site
+            paras = r["kept_text"].split("\n")
+            # the site-wide banner is NEVER in the kept text
+            assert f"subscribe to {site} newsletter" not in paras
+            # body halves reassemble the normalized document text
+            w = " ".join(docs[r["doc_id"]].lower().split()).split(" ")
+            k = (len(w) + 1) // 2
+            body = [" ".join(w[:k])] + ([" ".join(w[k:])] if w[k:] else [])
+            assert paras[:len(body)] == body
+            has_promo = md5i(f"42:bpb:{r['doc_id']}") % 11 == 0
+            if has_promo:
+                promos += 1
+                assert paras[-1].startswith(f"limited promo {site} ")
+            assert r["n_kept"] == len(body) + (1 if has_promo else 0)
+        assert promos > 0, "promo branch must be populated"
+
+    def test_plan_one_broadcast_cokey_anti_join(self, spark):
+        from ragflow_core16_spark.operators.webclean import _bp_paras
+        # paras view is in-row: the only Exchange is _docs' spread()
+        # round-robin repartition, no Python stage
+        plan = _formatted(_bp_paras(spark, SF))
+        assert plan.count(") Exchange") <= 1
+        assert "hashpartitioning" not in plan
+        assert "BatchEvalPython" not in plan
