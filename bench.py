@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "bm25_topn", "ccnet_bucket", "mirror_hosts", "url_blocklist",
     "capture_drift", "winnow_fingerprints", "zipf_histogram",
     "readability_scores", "meta_robots", "web_keep", "mixture_sample",
+    "quality_classifier", "warc_revisits", "boilerplate_strip",
 ]
 
 

@@ -466,7 +466,91 @@ FROM w ORDER BY doc_id
 """
 
 
+# ----------------------------------------------------------- tfidf_keywords
+# Per-document keyword extraction by tf·idf — the deterministic stand-in
+# for the reference's LLM auto-keyword enrichment (task_executor.py keyword
+# stage; the LLM call is out of scope by contract, the column contract and
+# ranking plumbing are real).  Scoring is INTEGER-exact so both engines
+# hash identically: score_ppm = tf · 10^6 div df uses reciprocal document
+# frequency as the idf term (strictly monotone in tf for fixed df and in
+# 1/df for fixed tf; it weighs rarity more steeply than textbook
+# tf·ln(N/df), a documented divergence chosen to keep float logs out of
+# the cross-engine hash).  Terms on > 80% of docs are dropped (max_df stopword gate —
+# the corpus vocabulary is narrow, so the gate sits at the true
+# stopword line rather than sklearn's 20-50% conventions).
+#
+# Scale: one (doc, term) tf agg (map-side combinable), one term-keyed df
+# agg over the tf relation (bounded by vocabulary), the df relation joins
+# back on the SAME term key (co-partitioned; AQE broadcasts when the
+# vocab is small), and the per-doc top-k is a row_number window whose
+# partitions are single documents — thousands of rows at worst, no skew.
+_KW_TOP_K = 3
+_KW_MAX_DF_NUM, _KW_MAX_DF_DEN = 4, 5    # drop terms on > 80% of docs
+
+
+def _tfidf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted keyword relation (production shape; the sort in
+    ``tfidf_keywords`` is driver-compare presentation only)."""
+    from pyspark.sql import Window
+    d = (_docs(spark, sf_dir)
+         .filter(F.length(F.trim("text")) > 0)
+         .select("doc_id",
+                 F.explode(F.split(F.regexp_replace(
+                     F.lower(F.trim("text")), r"\s+", " "), " "))
+                 .alias("term")))
+    tf = d.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n = tf.agg(F.count_distinct("doc_id").alias("n_docs"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    keep = (df.crossJoin(F.broadcast(n))
+            .filter(F.col("df") * _KW_MAX_DF_DEN
+                    <= F.col("n_docs") * _KW_MAX_DF_NUM)
+            .select("term", "df"))
+    scored = (tf.join(keep, "term")
+              .withColumn("score_ppm",
+                          F.expr("tf * 1000000L div df")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("term").asc())
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= _KW_TOP_K)
+            .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                    "term", "tf", "df", "score_ppm"))
+
+
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ordered as _ordered
+    return _tfidf_ranked(spark, sf_dir).transform(_ordered("doc_id", "rank"))
+
+
+TFIDF_KEYWORDS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)),
+                                            '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents WHERE length(trim(text)) > 0),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term),
+df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id, t.term, t.tf, f.df,
+         CAST(t.tf * 1000000 // f.df AS BIGINT) AS score_ppm
+  FROM tf t JOIN df f USING (term) CROSS JOIN n
+  WHERE f.df * {_KW_MAX_DF_DEN} <= n.n_docs * {_KW_MAX_DF_NUM}),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY score_ppm DESC, term ASC) AS INTEGER) AS rank
+  FROM scored)
+SELECT doc_id, rank, term, tf, df, score_ppm
+FROM ranked WHERE rank <= {_KW_TOP_K}
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
+    "tfidf_keywords": (tfidf_keywords, TFIDF_KEYWORDS_SQL),
     "unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
     "ccnet_bucket": (ccnet_bucket, CCNET_BUCKET_SQL),
     "zipf_histogram": (zipf_histogram, ZIPF_HISTOGRAM_SQL),

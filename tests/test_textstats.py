@@ -114,3 +114,38 @@ class TestReadability:
                 (n_w, n_s, syl)
             assert abs(r["flesch_ease"] - ease) <= 5.1e-5
             assert abs(r["fk_grade"] - grade) <= 5.1e-5
+
+
+class TestTfidfKeywords:
+    def test_matches_pure_python_tfidf(self, spark):
+        from collections import Counter
+
+        from ragflow_core16_spark.operators.textstats import (
+            _KW_MAX_DF_DEN, _KW_MAX_DF_NUM, _KW_TOP_K, tfidf_keywords)
+        toks, _ = _doc_tokens(spark)
+        n = len(toks)
+        df = Counter()
+        for t in toks.values():
+            df.update(set(t))
+        dropped = {w for w, c in df.items()
+                   if c * _KW_MAX_DF_DEN > n * _KW_MAX_DF_NUM}
+        assert dropped, "the max_df stopword gate must drop something"
+        want = {}
+        for d, t in toks.items():
+            tf = Counter(t)
+            scored = sorted(
+                ((tf[w] * 1_000_000 // df[w], w) for w in tf
+                 if w not in dropped), key=lambda s: (-s[0], s[1]))
+            want[d] = [(i + 1, w, tf[w], df[w], s)
+                       for i, (s, w) in enumerate(scored[:_KW_TOP_K])]
+        got = {}
+        for r in tfidf_keywords(spark, SF).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["rank"], r["term"], r["tf"], r["df"], r["score_ppm"]))
+        assert got == {d: v for d, v in want.items() if v}
+
+    def test_plan_no_driver_count_broadcast_total(self, spark):
+        from ragflow_core16_spark.operators.textstats import _tfidf_ranked
+        plan = _formatted(_tfidf_ranked(spark, SF))
+        # the corpus total joins in as a broadcast, not a collected scalar
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
