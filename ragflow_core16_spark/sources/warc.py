@@ -399,8 +399,11 @@ def resolve_revisits(files: DataFrame) -> DataFrame:
 
     Scale: one equi-join keyed (uri, ts) — revisits are a minority side
     (CC revisit rates are 10-40%), responses arrive already keyed by the
-    parse; no window, no skew key (urls are unique per capture)."""
-    recs = capture_records_df(files)
+    parse; no window, no skew key (urls are unique per capture).  The
+    container parse feeds BOTH join sides, so it is lazily
+    local-checkpointed — one Python parse pass, not one per side (at
+    deployment the parse output is a materialized table anyway)."""
+    recs = capture_records_df(files).localCheckpoint(eager=False)
     orig = (recs.filter(F.col("kind") == "response")
             .select(F.col("url").alias("o_url"),
                     F.col("ts_micros").alias("o_ts"),
