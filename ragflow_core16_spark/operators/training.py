@@ -443,13 +443,16 @@ def dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-DSIR_AFFINITY_SQL = rf"""
+def _dsir_sql() -> str:
+    from .extract_e2e import _md5i
+    _dsir_md5i = _md5i("gram")
+    return rf"""
 WITH w AS (
   SELECT doc_id, string_split(text, ' ') AS l FROM documents
   WHERE length(trim(text)) > 0),
 feats AS (
   SELECT doc_id,
-         ('0x' || substr(md5(gram), 1, 15))::BIGINT % {_DSIR_B} AS b,
+         {_dsir_md5i} % {_DSIR_B} AS b,
          doc_id % {_BENCH_MOD} = 0 AS is_t
   FROM (SELECT doc_id, unnest(l ||
                list_transform(generate_series(1, len(l) - 1),
@@ -481,6 +484,9 @@ SELECT doc_id, n_feats, sum_target_cnt, sum_raw_cnt,
          * (n_r + {_DSIR_B}) // (n_t + {_DSIR_B}) >= 1000000 AS dsir_keep
 FROM scored ORDER BY doc_id
 """
+
+
+DSIR_AFFINITY_SQL = _dsir_sql()
 
 
 # ------------------------------------------------------- capture_drift
@@ -521,14 +527,15 @@ def capture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _capture_drift_sql() -> str:
-    md5i = "('0x' || substr(md5({k}), 1, 15))::BIGINT"
+    from .extract_e2e import _md5i
+    md5i = lambda k: _md5i(k)  # noqa: E731 — shared DuckDB md5 bridge
     return f"""
 WITH w AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
            AS w,
-         {md5i.format(k="'42:dr:' || doc_id")} % 2 = 0 AS has_prev,
-         CAST({md5i.format(k="'42:dk:' || doc_id")} % 20 + 1 AS INTEGER) AS k
+         {md5i("'42:dr:' || doc_id")} % 2 = 0 AS has_prev,
+         CAST({md5i("'42:dk:' || doc_id")} % 20 + 1 AS INTEGER) AS k
   FROM documents),
 j AS (
   SELECT doc_id, has_prev,
@@ -678,10 +685,10 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quality_classifier_sql() -> str:
-    md5i = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
-    bucket = md5i.format(x="g") + f" % {_QC_B}"
-    weight = md5i.format(x=f"'42:qw:' || ({bucket})") + " % 2001 - 1000"
-    dice = md5i.format(x="'42:qd:' || doc_id") + " % 1000"
+    from .extract_e2e import _md5i
+    bucket = _md5i("g") + f" % {_QC_B}"
+    weight = _md5i(f"'42:qw:' || ({bucket})") + " % 2001 - 1000"
+    dice = _md5i("'42:qd:' || doc_id") + " % 1000"
     return f"""
 WITH w AS (
   SELECT doc_id,
@@ -710,6 +717,8 @@ FROM m ORDER BY doc_id
 
 
 def _mixture_sample_sql() -> str:
+    from .extract_e2e import _md5i
+    _mix_md5i = _md5i("'42:mix:' || d.doc_id")
     tot_w = sum(_MIX_WEIGHTS.values())
     wcase = " ".join(f"WHEN '{s}' THEN {w}"
                      for s, w in _MIX_WEIGHTS.items())
@@ -740,8 +749,7 @@ keep AS (
   SELECT d.source, count(*) AS n_kept,
          CAST(sum(d.ntok) AS BIGINT) AS kept_tokens
   FROM docs d JOIN rates r ON d.source = r.source
-  WHERE ('0x' || substr(md5('42:mix:' || d.doc_id), 1, 15))::BIGINT
-        % {_MIX_PPM} < r.rate_ppm
+  WHERE {_mix_md5i} % {_MIX_PPM} < r.rate_ppm
   GROUP BY d.source)
 SELECT r.source, r.weight, r.n_docs, r.tokens, r.rate_ppm,
        coalesce(k2.n_kept, 0) AS n_kept,
@@ -758,6 +766,6 @@ QUERIES = {
     "repetition_quality": (repetition_quality, REPETITION_QUALITY_SQL),
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),
     "bpe_train": (bpe_train_q, _bpe_oracle_sql()),
-    "dsir_affinity": (dsir_affinity, DSIR_AFFINITY_SQL),
+    "dsir_affinity": (dsir_affinity, _dsir_sql()),
     "quality_classifier": (quality_classifier, _quality_classifier_sql()),
 }

@@ -363,6 +363,7 @@ WITH meta AS (
 SELECT url,
        orig_ts + {_DAY_MICROS} AS ts_micros,
        orig_ts AS orig_ts_micros,
+       TRUE AS orig_found,
        NOT ({_md5i(f"'{_SEED}:rvbad:' || doc_id")} % 7 = 0) AS digest_match
 FROM meta
 ORDER BY url

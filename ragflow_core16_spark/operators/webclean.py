@@ -1148,6 +1148,8 @@ ORDER BY doc_id
 # kept; promo variants sit ~2% → kept.  The ORACLE does not use that
 # arithmetic — it recomputes the frequency gate relationally in DuckDB,
 # so a body-half collision at some scale cannot desync the engines.
+# Frequency = DISTINCT documents carrying the paragraph (intra-doc
+# repeats count once, in both engines).
 #
 # Scale design: one (site, paragraph)-keyed map-side-combinable count,
 # the per-site doc counts as a tiny broadcast dim, the boilerplate set
@@ -1159,7 +1161,9 @@ _BP_SITES = 16
 _BP_FRAC_NUM, _BP_FRAC_DEN = 3, 10   # strip at ≥ 30% site frequency
 
 
-def _bp_paras(spark, sf_dir):
+def _bp_base(spark, sf_dir):
+    """Doc-level relation with the paragraph-struct array still in-row
+    (one row per document — the site doc counts aggregate this)."""
     d = (_docs(spark, sf_dir)
          .filter(F.length(F.trim("text")) > 0)
          .select("doc_id",
@@ -1185,17 +1189,28 @@ def _bp_paras(spark, sf_dir):
         f"             struct(3 AS idx, pr AS ptext)),"
         f"       s -> s.ptext IS NOT NULL AND s.ptext <> '')")
     return (d.withColumn("pr", F.when(has_promo, promo))
-            .select("doc_id", "site", F.explode(paras).alias("p"))
+            .select("doc_id", "site", paras.alias("paras")))
+
+
+def _bp_paras(spark, sf_dir):
+    return (_bp_base(spark, sf_dir)
+            .select("doc_id", "site", F.explode("paras").alias("p"))
             .select("doc_id", "site", F.col("p.idx").alias("idx"),
                     F.col("p.ptext").alias("ptext")))
 
 
 def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import ordered as _ordered
-    paras = _bp_paras(spark, sf_dir)
-    freq = paras.groupBy("site", "ptext").agg(F.count(F.lit(1)).alias("c"))
-    sites = (paras.select("doc_id", "site").distinct()
-             .groupBy("site").agg(F.count(F.lit(1)).alias("n_docs")))
+    base = _bp_base(spark, sf_dir)
+    paras = (base.select("doc_id", "site", F.explode("paras").alias("p"))
+             .select("doc_id", "site", F.col("p.idx").alias("idx"),
+                     F.col("p.ptext").alias("ptext")))
+    # DISTINCT documents per (site, paragraph) — a doc whose two body
+    # halves coincide must count once, or a 6-doc site would strip a
+    # paragraph seen in a single document (c=2 ≥ 6·0.3)
+    freq = (paras.groupBy("site", "ptext")
+            .agg(F.count_distinct("doc_id").alias("c")))
+    sites = base.groupBy("site").agg(F.count(F.lit(1)).alias("n_docs"))
     bp = (freq.join(F.broadcast(sites), "site")
           .filter(F.col("c") * _BP_FRAC_DEN
                   >= F.col("n_docs") * _BP_FRAC_NUM)
@@ -1233,7 +1248,8 @@ paras AS (
                  s -> s.ptext IS NOT NULL AND s.ptext <> '')) AS u
         FROM d)),
 freq AS (
-  SELECT site, ptext, count(*) AS c FROM paras GROUP BY site, ptext),
+  SELECT site, ptext, count(DISTINCT doc_id) AS c
+  FROM paras GROUP BY site, ptext),
 sites AS (
   SELECT site, count(*) AS n_docs FROM d GROUP BY site),
 bp AS (

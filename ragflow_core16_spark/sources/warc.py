@@ -411,11 +411,19 @@ def resolve_revisits(files: DataFrame) -> DataFrame:
     rev = (recs.filter(F.col("kind") == "revisit")
            .select("url", "ts_micros", "recorded_digest",
                    "refers_to_uri", "refers_to_ts_micros"))
+    # LEFT join: a revisit whose referred-to response is missing from the
+    # shard set (or failed to parse) must still surface — silently
+    # dropping it is exactly the capture loss this operator exists to
+    # prevent.  Orphans emit orig_found=false, digest_match=false.
     return (rev.join(orig, (rev["refers_to_uri"] == orig["o_url"])
-                     & (rev["refers_to_ts_micros"] == orig["o_ts"]))
+                     & (rev["refers_to_ts_micros"] == orig["o_ts"]),
+                     "left")
             .select("url", "ts_micros",
                     F.col("refers_to_ts_micros").alias("orig_ts_micros"),
-                    (F.col("recorded_digest") == F.col("payload_sha1b32"))
+                    F.col("payload_sha1b32").isNotNull()
+                    .alias("orig_found"),
+                    F.coalesce(F.col("recorded_digest")
+                               == F.col("payload_sha1b32"), F.lit(False))
                     .alias("digest_match")))
 
 

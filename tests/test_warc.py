@@ -414,3 +414,26 @@ class TestRevisits:
         b = sorted((r["url"], r["rec_seq"]) for r in
                    warc_records_df(with_rev).collect())
         assert a == b
+
+    def test_orphan_revisit_surfaces_not_dropped(self, spark):
+        from ragflow_core16_spark.sources.cdx import sha1_b32
+        from ragflow_core16_spark.sources.warc import (build_revisit_record,
+                                                       resolve_revisits)
+        url, ts, html = document_page(5, "alpha beta " * 30)
+        # revisit pointing at a response that is NOT in the shard set
+        orphan = build_revisit_record(
+            "https://gone.example.com/x", ts + pd.Timedelta(days=1),
+            "https://gone.example.com/x", ts, sha1_b32(b"whatever"))
+        good = build_revisit_record(url, ts + pd.Timedelta(days=1),
+                                    url, ts, sha1_b32(html))
+        data = build_warc_gz([build_warcinfo("t.warc.gz"),
+                              build_response_record(url, ts, html),
+                              good, orphan])
+        files = spark.createDataFrame([(0, 3, bytearray(data))],
+                                      "file_id int, n_records int,"
+                                      " data binary")
+        rows = {r["url"]: r for r in resolve_revisits(files).collect()}
+        assert len(rows) == 2, "the orphan must surface, not vanish"
+        assert rows[url]["orig_found"] and rows[url]["digest_match"]
+        orph = rows["https://gone.example.com/x"]
+        assert not orph["orig_found"] and not orph["digest_match"]
