@@ -498,8 +498,9 @@ DSIR_AFFINITY_SQL = _dsir_sql()
 # drift = word-set Jaccard(latest, previous).  Everything is in-row
 # higher-order array arithmetic — zero shuffles beyond the presentation
 # sort, so at 10^12 captures this rides the scan for free.
-def capture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..session import ordered as _ordered
+def _drift_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted drift relation — shared by ``capture_drift`` and the
+    ``recrawl_schedule`` consumer."""
     md5i = _md5i_col
     d = _docs(spark, sf_dir)
     did = F.col("doc_id").cast("string")
@@ -522,8 +523,99 @@ def capture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~F.col("has_prev"), F.lit("single"))
          .when(F.col("has_prev") & (jac >= 0.9), F.lit("stable"))
          .when(F.col("has_prev") & (jac >= 0.5), F.lit("minor"))
-         .otherwise(F.lit("rewritten")).alias("drift_class"))
-        .transform(_ordered("doc_id")))
+         .otherwise(F.lit("rewritten")).alias("drift_class")))
+
+
+def capture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ordered as _ordered
+    return _drift_classes(spark, sf_dir).transform(_ordered("doc_id"))
+
+
+# ------------------------------------------------------ recrawl_schedule
+# Crawl-frontier scheduling from the drift signal (Cho & Garcia-Molina
+# freshness scheduling + the politeness-queue discipline of
+# Heritrix/Nutch): each url's re-crawl interval follows its drift class
+# (rewritten 1 d, single 3 d, minor 7 d, stable 30 d), its concrete next
+# crawl day gets md5-jitter inside one interval window so a site's urls
+# of one class spread instead of thundering in together, and hosts are
+# grouped into 16 politeness QUEUES whose per-day load is counted and
+# flagged against a daily budget.
+#
+# Scale: class + interval + day are in-row on top of the drift relation
+# (itself in-row); the load report is one (queue, day) map-side-
+# combinable count joined back on the SAME (queue, day) key — bounded by
+# |queues|·|days|, no skew (jitter flattens the hottest class window).
+_RECRAWL_DAYS = {"rewritten": 1, "single": 3, "minor": 7, "stable": 30}
+_RECRAWL_QUEUES = 16
+_QUEUE_DAILY_BUDGET = 2   # urls a politeness queue may fetch per day
+
+
+def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ordered as _ordered
+    d = _drift_classes(spark, sf_dir).select("doc_id", "drift_class")
+    did = F.col("doc_id").cast("string")
+    interval = F.coalesce(
+        *[F.when(F.col("drift_class") == c, F.lit(n))
+          for c, n in _RECRAWL_DAYS.items()]).cast("int")
+    queue = (_md5i_col(F.concat(F.lit("42:rcq:"), did))
+             % _RECRAWL_QUEUES).cast("int")
+    d = (d.withColumn("interval_days", interval)
+         .withColumn("queue", queue)
+         .withColumn("next_day",
+                     (F.col("interval_days")
+                      + _md5i_col(F.concat(F.lit("42:rcj:"), did))
+                      % F.col("interval_days")).cast("int")))
+    load = (d.groupBy("queue", "next_day")
+            .agg(F.count(F.lit(1)).alias("day_load")))
+    return (d.join(load, ["queue", "next_day"])
+            .select("doc_id", "queue", "drift_class", "interval_days",
+                    "next_day", F.col("day_load").cast("int")
+                    .alias("day_load"),
+                    (F.col("day_load") > _QUEUE_DAILY_BUDGET)
+                    .alias("over_budget"))
+            .transform(_ordered("doc_id")))
+
+
+def _recrawl_schedule_sql() -> str:
+    from .extract_e2e import _md5i
+    days = " ".join(f"WHEN '{c}' THEN {n}"
+                    for c, n in _RECRAWL_DAYS.items())
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+           AS w,
+         {_md5i("'42:dr:' || doc_id")} % 2 = 0 AS has_prev,
+         CAST({_md5i("'42:dk:' || doc_id")} % 20 + 1 AS INTEGER) AS k
+  FROM documents),
+cls AS (
+  SELECT doc_id,
+         CASE WHEN NOT has_prev THEN 'single'
+              WHEN jac >= 0.9 THEN 'stable'
+              WHEN jac >= 0.5 THEN 'minor'
+              ELSE 'rewritten' END AS drift_class
+  FROM (SELECT doc_id, has_prev,
+               round(len(list_distinct(list_intersect(w, w[k+1:]))) * 1.0 /
+                     greatest(len(list_distinct(w || w[k+1:])), 1), 4) AS jac
+        FROM w)),
+sched AS (
+  SELECT doc_id, drift_class,
+         CAST(CASE drift_class {days} END AS INTEGER) AS interval_days,
+         CAST({_md5i("'42:rcq:' || doc_id")} % {_RECRAWL_QUEUES}
+              AS INTEGER) AS queue,
+         CAST((CASE drift_class {days} END)
+              + {_md5i("'42:rcj:' || doc_id")}
+                % (CASE drift_class {days} END) AS INTEGER) AS next_day
+  FROM cls),
+load AS (
+  SELECT queue, next_day, count(*) AS day_load
+  FROM sched GROUP BY queue, next_day)
+SELECT s.doc_id, s.queue, s.drift_class, s.interval_days, s.next_day,
+       CAST(l.day_load AS INTEGER) AS day_load,
+       l.day_load > {_QUEUE_DAILY_BUDGET} AS over_budget
+FROM sched s JOIN load l USING (queue, next_day)
+ORDER BY s.doc_id
+"""
 
 
 def _capture_drift_sql() -> str:
@@ -761,6 +853,7 @@ ORDER BY r.source
 
 QUERIES = {
     "capture_drift": (capture_drift, _capture_drift_sql()),
+    "recrawl_schedule": (recrawl_schedule, _recrawl_schedule_sql()),
     "mixture_sample": (mixture_sample, _mixture_sample_sql()),
     "sequence_pack": (sequence_pack, SEQUENCE_PACK_SQL),
     "repetition_quality": (repetition_quality, REPETITION_QUALITY_SQL),

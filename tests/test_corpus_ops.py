@@ -175,3 +175,33 @@ class TestMixtureSample:
             binding += rate == _MIX_PPM
         # at least one source must be the binding one (samples at 1.0)
         assert binding >= 1
+
+
+class TestRecrawlSchedule:
+    def test_intervals_jitter_and_budget(self, spark):
+        from collections import Counter as C
+
+        from ragflow_core16_spark.operators.training import (
+            _QUEUE_DAILY_BUDGET, _RECRAWL_DAYS, _RECRAWL_QUEUES,
+            capture_drift, recrawl_schedule)
+        cls = {r["doc_id"]: r["drift_class"]
+               for r in capture_drift(spark, SF).collect()}
+        rows = recrawl_schedule(spark, SF).collect()
+        assert {r["doc_id"] for r in rows} == set(cls)
+        loads = C((r["queue"], r["next_day"]) for r in rows)
+        seen_classes, over, under = set(), 0, 0
+        for r in rows:
+            iv = _RECRAWL_DAYS[cls[r["doc_id"]]]
+            assert r["drift_class"] == cls[r["doc_id"]]
+            assert r["interval_days"] == iv
+            # jittered day stays inside one interval window
+            assert iv <= r["next_day"] <= 2 * iv - 1
+            assert r["queue"] == _md5i(f"42:rcq:{r['doc_id']}") \
+                % _RECRAWL_QUEUES
+            assert r["day_load"] == loads[(r["queue"], r["next_day"])]
+            assert r["over_budget"] == (r["day_load"] > _QUEUE_DAILY_BUDGET)
+            seen_classes.add(r["drift_class"])
+            over += r["over_budget"]
+            under += not r["over_budget"]
+        assert seen_classes == set(_RECRAWL_DAYS)
+        assert over and under, "both budget branches must be populated"
