@@ -49,7 +49,7 @@ BENCH_QUERIES = [
     "capture_drift", "winnow_fingerprints", "zipf_histogram",
     "readability_scores", "meta_robots", "web_keep", "mixture_sample",
     "quality_classifier", "warc_revisits", "boilerplate_strip",
-    "tfidf_keywords", "recrawl_schedule",
+    "tfidf_keywords", "recrawl_schedule", "bitext_mine",
 ]
 
 

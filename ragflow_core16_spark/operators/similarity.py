@@ -525,7 +525,95 @@ ORDER BY s.vec_id
 """
 
 
+# ------------------------------------------------------------ bitext_mine
+# Parallel-corpus mining (the CCMatrix / WikiMatrix step, Artetxe &
+# Schwenk 2019): align documents across two language shards of one
+# multilingual embedding space by nearest neighbor + margin.  The
+# embeddings table carries no language, so the shards are the
+# deterministic halves vec_id % 2 (0 = source, 1 = target) — at
+# deployment the split is the real lang column and nothing else changes.
+# For each source vector: best and second-best target IN ITS LSH BUCKET
+# by rounded cosine (ties → smaller vec_id), margin = best − second
+# (absolute-margin variant of the published ratio-margin — same
+# intuition, no division by a k-NN mean to keep the oracle exact), and
+# the pair is accepted when cosine ≥ MIN_COS and margin ≥ MIN_MARGIN
+# (a best with no competitor in the bucket has margin = best − 0).
+#
+# Scale: this is the module's one CROSS-SET join — source ⋈ target keyed
+# on the LSH bucket (collision-bound shuffle, never |src|·|tgt|), then a
+# per-source window over bucket-mates only (tiny partitions).  At
+# CCMatrix scale the bucket key is the real FAISS cell id; the join and
+# margin logic are unchanged.
+BITEXT_MIN_COS = 0.15
+BITEXT_MIN_MARGIN = 0.02
+
+
+def _bitext_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted mined-pair relation (production shape; the sort in
+    ``bitext_mine`` is driver-compare presentation only)."""
+    from pyspark.sql import Window
+    e = _emb(spark, sf_dir).withColumn(
+        "bucket", _bucket_expr(F.col("embedding"), 64))
+    src = (e.filter(F.col("vec_id") % 2 == 0)
+           .select(F.col("vec_id").alias("src_id"),
+                   F.col("embedding").alias("sv"), "bucket"))
+    tgt = (e.filter(F.col("vec_id") % 2 == 1)
+           .select(F.col("vec_id").alias("tgt_id"),
+                   F.col("embedding").alias("tv"), "bucket"))
+    cos = F.round(_dot(F.col("sv"), F.col("tv"))
+                  / (_norm(F.col("sv")) * _norm(F.col("tv"))), 4)
+    pairs = src.join(tgt, "bucket").select("src_id", "tgt_id",
+                                           cos.alias("cosine"))
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"),
+                                             F.asc("tgt_id"))
+    ranked = (pairs
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("second",
+                          F.lead("cosine").over(w))
+              .filter(F.col("rn") == 1))
+    margin = F.round(F.col("cosine") - F.coalesce("second", F.lit(0.0)), 4)
+    return ranked.select(
+        "src_id", "tgt_id", "cosine", margin.alias("margin"),
+        ((F.col("cosine") >= BITEXT_MIN_COS)
+         & (margin >= BITEXT_MIN_MARGIN)).alias("accepted"))
+
+
+def bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ordered as _ordered
+    return _bitext_ranked(spark, sf_dir).transform(_ordered("src_id"))
+
+
+def _bitext_mine_sql() -> str:
+    return f"""
+WITH {EMB_CTE},
+b AS (
+  SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM emb),
+pairs AS (
+  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+         round(list_dot_product(s.embedding, t.embedding) /
+               (sqrt(list_dot_product(s.embedding, s.embedding)) *
+                sqrt(list_dot_product(t.embedding, t.embedding))), 4)
+           AS cosine
+  FROM b s JOIN b t ON s.bucket = t.bucket
+  WHERE s.vec_id % 2 = 0 AND t.vec_id % 2 = 1),
+ranked AS (
+  SELECT src_id, tgt_id, cosine,
+         row_number() OVER w AS rn,
+         lead(cosine) OVER w AS second
+  FROM pairs
+  WINDOW w AS (PARTITION BY src_id ORDER BY cosine DESC, tgt_id ASC))
+SELECT src_id, tgt_id, cosine,
+       round(cosine - coalesce(second, 0.0), 4) AS margin,
+       cosine >= {BITEXT_MIN_COS}
+         AND round(cosine - coalesce(second, 0.0), 4)
+             >= {BITEXT_MIN_MARGIN} AS accepted
+FROM ranked WHERE rn = 1
+ORDER BY src_id
+"""
+
+
 QUERIES = {
+    "bitext_mine": (bitext_mine, _bitext_mine_sql()),
     "semantic_dedup": (semantic_dedup, SEMANTIC_DEDUP_SQL),
     "pq_ann_topk": (pq_ann_topk, PQ_ANN_SQL),
     "cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
