@@ -1264,9 +1264,104 @@ FROM kept GROUP BY doc_id, site ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------- url_templates
+# URL-pattern mining (the crawl-trap detector every frontier runs: fold
+# variable parts of the path — digit runs, long hex runs — into
+# placeholders, count urls per (host, template), and flag the shapes
+# that mark infinite url spaces: calendar paths and session-id urls).
+# Enrichment is closed-form on the page-generator url scheme: docs with
+# md5i(42:trap:doc) % 5 == 0 grow a /2024/{m}/{dd} calendar suffix,
+# % 7 == 0 a ;jsessionid={16-hex} matrix param, % 3 == 0 a ?page={n}
+# query — so the template census has every shape to find.
+#
+# Scale: template folding is two in-row regexp_replace passes (hex ≥ 8
+# first, then digit runs); the census is ONE (host, template) map-side-
+# combinable count.  No window, no join — at 10^12 urls this is a scan
+# plus one bounded shuffle (|hosts|·|templates| keys).
+_TRAP_MIN_D = 3   # ≥3 {d} segments ⇒ calendar-shaped url space
+
+
+def url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ordered as _ordered
+    d = _docs(spark, sf_dir).select("doc_id")
+    did = F.col("doc_id").cast("string")
+    md5i = _md5i_col
+    sec = F.element_at(F.array(F.lit("news"), F.lit("blog"),
+                               F.lit("docs"), F.lit("wiki")),
+                       (md5i(F.concat(F.lit("42:sec:"), did)) % 4)
+                       .cast("int") + 1)
+    cal = F.when(md5i(F.concat(F.lit("42:trap:"), did)) % 5 == 0,
+                 F.concat(F.lit("/2024/"),
+                          (md5i(F.concat(F.lit("42:trm:"), did)) % 12 + 1)
+                          .cast("string"),
+                          F.lit("/"),
+                          (md5i(F.concat(F.lit("42:trd:"), did)) % 28 + 1)
+                          .cast("string"))).otherwise(F.lit(""))
+    sess = F.when(md5i(F.concat(F.lit("42:sess:"), did)) % 7 == 0,
+                  F.concat(F.lit(";jsessionid="),
+                           F.substring(F.md5(F.concat(F.lit("42:sid:"),
+                                                      did)), 1, 16))
+                  ).otherwise(F.lit(""))
+    page = F.when(md5i(F.concat(F.lit("42:page:"), did)) % 3 == 0,
+                  F.concat(F.lit("?page="),
+                           (md5i(F.concat(F.lit("42:pgn:"), did)) % 40 + 2)
+                           .cast("string"))).otherwise(F.lit(""))
+    path = F.concat(F.lit("/"), sec, F.lit("/"), did, cal, sess, page)
+    tmpl = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{8,}", "{hex}"),
+        r"[0-9]+", "{d}")
+    t = d.select(_host_col().alias("host"), tmpl.alias("template"))
+    n_d = F.size(F.split(F.col("template"), r"\{d\}")) - 1
+    is_trap = (F.col("template").contains(";jsessionid={hex}")
+               | (n_d >= _TRAP_MIN_D))
+    return (t.groupBy("host", "template")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_urls"))
+            .withColumn("is_trap", is_trap)
+            .transform(_ordered("host", "template")))
+
+
+def _url_templates_sql() -> str:
+    md5i = _robots_sql_md5i
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         {_host_sql()} AS host,
+         '/' || (['news','blog','docs','wiki'])[
+             CAST({md5i("'42:sec:' || doc_id")} % 4 AS INTEGER) + 1]
+         || '/' || doc_id
+         || CASE WHEN {md5i("'42:trap:' || doc_id")} % 5 = 0 THEN
+              '/2024/' || CAST({md5i("'42:trm:' || doc_id")} % 12 + 1
+                               AS VARCHAR)
+              || '/' || CAST({md5i("'42:trd:' || doc_id")} % 28 + 1
+                             AS VARCHAR)
+            ELSE '' END
+         || CASE WHEN {md5i("'42:sess:' || doc_id")} % 7 = 0 THEN
+              ';jsessionid=' || substr(md5('42:sid:' || doc_id), 1, 16)
+            ELSE '' END
+         || CASE WHEN {md5i("'42:page:' || doc_id")} % 3 = 0 THEN
+              '?page=' || CAST({md5i("'42:pgn:' || doc_id")} % 40 + 2
+                               AS VARCHAR)
+            ELSE '' END AS path
+  FROM documents),
+t AS (
+  SELECT host,
+         regexp_replace(regexp_replace(path, '[0-9a-f]{{8,}}', '{{hex}}',
+                                       'g'),
+                        '[0-9]+', '{{d}}', 'g') AS template
+  FROM u)
+SELECT host, template, CAST(count(*) AS INTEGER) AS n_urls,
+       contains(template, ';jsessionid={{hex}}')
+         OR len(string_split(template, '{{d}}')) - 1 >= {_TRAP_MIN_D}
+         AS is_trap
+FROM t GROUP BY host, template
+ORDER BY host, template
+"""
+
+
 QUERIES = {
     "c4_line_filter": (c4_line_filter, C4_LINE_FILTER_SQL),
     "boilerplate_strip": (boilerplate_strip, _boilerplate_strip_sql()),
+    "url_templates": (url_templates, _url_templates_sql()),
     "mirror_hosts": (mirror_hosts, _mirror_hosts_sql()),
     "url_blocklist": (url_blocklist, _url_blocklist_sql()),
     "meta_robots": (meta_robots, _meta_robots_sql()),

@@ -593,3 +593,52 @@ class TestBoilerplateStrip:
         assert plan.count(") Exchange") <= 1
         assert "hashpartitioning" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestUrlTemplates:
+    def test_matches_pure_python_folding(self, spark):
+        import hashlib
+        import re
+        from collections import Counter
+
+        from ragflow_core16_spark.operators.webclean import (_TRAP_MIN_D,
+                                                             url_templates)
+
+        def md5i(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        doc_ids = [r["doc_id"] for r in
+                   spark.read.parquet(f"{SF}/documents.parquet").collect()]
+        tlds = ["com", "org", "net", "cn"]
+        secs = ["news", "blog", "docs", "wiki"]
+        census = Counter()
+        for d in doc_ids:
+            host = (f"host{md5i(f'42:url:{d}') % 500:04d}"
+                    f".example.{tlds[md5i(f'42:tld:{d}') % 4]}")
+            path = f"/{secs[md5i(f'42:sec:{d}') % 4]}/{d}"
+            if md5i(f"42:trap:{d}") % 5 == 0:
+                path += (f"/2024/{md5i(f'42:trm:{d}') % 12 + 1}"
+                         f"/{md5i(f'42:trd:{d}') % 28 + 1}")
+            if md5i(f"42:sess:{d}") % 7 == 0:
+                path += ";jsessionid=" + hashlib.md5(
+                    f"42:sid:{d}".encode()).hexdigest()[:16]
+            if md5i(f"42:page:{d}") % 3 == 0:
+                path += f"?page={md5i(f'42:pgn:{d}') % 40 + 2}"
+            tmpl = re.sub(r"[0-9]+", "{d}",
+                          re.sub(r"[0-9a-f]{8,}", "{hex}", path))
+            census[(host, tmpl)] += 1
+        got = {(r["host"], r["template"]): (r["n_urls"], r["is_trap"])
+               for r in url_templates(spark, SF).collect()}
+        assert set(got) == set(census)
+        for (h, t), (n, trap) in got.items():
+            assert n == census[(h, t)]
+            assert trap == (";jsessionid={hex}" in t
+                            or t.count("{d}") >= _TRAP_MIN_D)
+        assert any(v[1] for v in got.values())
+        assert any(not v[1] for v in got.values())
+
+    def test_plan_single_agg_no_join(self, spark):
+        from ragflow_core16_spark.operators.webclean import url_templates
+        # the census is one groupBy over in-row folding: no Join anywhere
+        plan = _formatted(url_templates(spark, SF))
+        assert "Join" not in plan
