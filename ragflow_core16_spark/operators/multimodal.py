@@ -343,7 +343,142 @@ FROM vid
 ORDER BY media_id
 """
 
+# ----------------------------------------------------------- image aHash
+# Perceptual-hash image near-dup (the multimodal counterpart of MinHash:
+# aHash — 8×8 block means, bit = mean > global mean — then banded
+# Hamming pairs).  The hash is computed from pixels DECODED out of real
+# PNG bytes (encode_png → decode_png round trip inside the operator), so
+# one flipped byte in the codec breaks the oracle, which re-derives every
+# bit ARITHMETICALLY from the closed-form pixel law and never sees a PNG:
+# pixel i of image k = (a_k·i + b_k) % 256, a_k = md5i(42:pa:k) % 7 + 1,
+# b_k = md5i(42:pb:k) % 256, all images 32×32 grayscale.  Block means and
+# the global mean use floor division (integer-exact aHash variant —
+# documented divergence from the float original).
+#
+# Scale: per-image hashing rides the payload scan (one Arrow stage); the
+# pair search is the banded pigeonhole — 8 bands × 8 bits, so any pair
+# with Hamming ≤ 7 shares ≥ 1 exact band (we admit ≤ 6) and the
+# self-join is keyed on (band_idx, band_bits): shuffle ∝ collisions,
+# never |imgs|².  The oracle brute-forces all pairs — sound at its 48-
+# image scale, and an independent derivation from the banded path.
+_AH_N = 48
+_AH_W = 32
+_AH_BANDS = 8
+_AH_MAX_HAMMING = 6
+
+
+def ahash_images_df(spark: SparkSession, n: int = _AH_N) -> DataFrame:
+    """Synthetic grayscale PNG set for the perceptual-hash operator (its
+    own pixel law — gradients per a_k so hashes cluster by slope)."""
+    import hashlib
+    base = spark.range(n)
+    schema = StructType([StructField("img_id", LongType(), False),
+                         StructField("payload", BinaryType(), False)])
+
+    def md5i(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"]:
+                k = int(k)
+                a = md5i(f"42:pa:{k}") % 7 + 1
+                b = md5i(f"42:pb:{k}") % 256
+                px = bytes((a * i + b) % 256
+                           for i in range(_AH_W * _AH_W))
+                rows.append((k, encode_png(px, _AH_W, _AH_W, channels=1)))
+            yield pd.DataFrame(rows, columns=["img_id", "payload"])
+
+    return base.mapInPandas(gen, schema)
+
+
+def image_ahash(images: DataFrame) -> DataFrame:
+    """(img_id, ahash): 64-char '0'/'1' string from the decoded pixels."""
+    schema = StructType([StructField("img_id", LongType(), False),
+                         StructField("ahash", StringType(), False)])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for k, payload in zip(pdf["img_id"], pdf["payload"]):
+                img = decode_png(bytes(payload))
+                px, w = img["pixels"], img["w"]
+                cell = w // 8
+                means = []
+                for j in range(64):
+                    bx, by = j % 8, j // 8
+                    s = sum(px[(by * cell + dy) * w + bx * cell + dx]
+                            for dy in range(cell) for dx in range(cell))
+                    means.append(s // (cell * cell))
+                gm = sum(means) // 64
+                rows.append((int(k), "".join(
+                    "1" if m > gm else "0" for m in means)))
+            yield pd.DataFrame(rows, columns=["img_id", "ahash"])
+
+    return images.mapInPandas(run, schema)
+
+
+def image_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (image_ahash(ahash_images_df(spark))
+         .localCheckpoint(eager=False))   # one decode pass, both join sides
+    band_w = 64 // _AH_BANDS
+    bands = h.select(
+        "img_id", "ahash",
+        F.posexplode(F.array(*[
+            F.substring("ahash", i * band_w + 1, band_w)
+            for i in range(_AH_BANDS)])).alias("band_idx", "band_bits"))
+    a = bands.select(F.col("img_id").alias("id_a"),
+                     F.col("ahash").alias("ha"), "band_idx", "band_bits")
+    b = bands.select(F.col("img_id").alias("id_b"),
+                     F.col("ahash").alias("hb"), "band_idx", "band_bits")
+    cand = (a.join(b, ["band_idx", "band_bits"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "ha", "hb").distinct())
+    hamming = F.expr(
+        "size(filter(sequence(1, 64),"
+        " i -> substring(ha, i, 1) <> substring(hb, i, 1)))")
+    return (cand.select("id_a", "id_b",
+                        hamming.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= _AH_MAX_HAMMING)
+            .transform(_ordered("id_a", "id_b")))
+
+
+def _image_near_dup_sql() -> str:
+    md5i = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+    cell = _AH_W // 8
+    return f"""
+WITH par AS (
+  SELECT k, {md5i.format(x="'42:pa:' || k")} % 7 + 1 AS a,
+         {md5i.format(x="'42:pb:' || k")} % 256 AS b
+  FROM (SELECT unnest(generate_series(0, {_AH_N - 1})) AS k)),
+means AS (
+  SELECT p.k, j.j,
+         (SELECT sum((p.a * ((j.j // 8 * {cell} + t.i // {cell}) * {_AH_W}
+                             + (j.j % 8) * {cell} + t.i % {cell})
+                      + p.b) % 256)
+          FROM unnest(generate_series(0, {cell * cell - 1})) AS t(i))
+           // {cell * cell} AS m
+  FROM par p, (SELECT unnest(generate_series(0, 63)) AS j) j),
+gm AS (SELECT k, sum(m) // 64 AS gmean FROM means GROUP BY k),
+hashes AS (
+  SELECT k, string_agg(CASE WHEN m > gmean THEN '1' ELSE '0' END,
+                       '' ORDER BY j) AS h
+  FROM means JOIN gm USING (k) GROUP BY k)
+SELECT a.k AS id_a, b.k AS id_b,
+       CAST((SELECT count(*)
+             FROM unnest(generate_series(1, 64)) AS t(i)
+             WHERE substr(a.h, i, 1) != substr(b.h, i, 1)) AS INTEGER)
+         AS hamming
+FROM hashes a JOIN hashes b ON a.k < b.k
+WHERE (SELECT count(*) FROM unnest(generate_series(1, 64)) AS t(i)
+       WHERE substr(a.h, i, 1) != substr(b.h, i, 1)) <= {_AH_MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
+    "image_near_dup": (image_near_dup_q, _image_near_dup_sql()),
     "media_features": (media_features_q, MEDIA_FEATURES_SQL),
     "media_frames": (media_frames_q, MEDIA_FRAMES_SQL),
     "media_concat": (media_concat_q, MEDIA_CONCAT_SQL),

@@ -338,3 +338,53 @@ class TestMp4Co64:
         info = demux_mp4(new)
         assert info["samples"] == want["samples"]
         assert extract_samples(new) == frames
+
+
+class TestImageNearDup:
+    def test_matches_pure_python_ahash_bruteforce(self, spark):
+        import hashlib
+
+        from ragflow_core16_spark.operators.multimodal import (
+            _AH_MAX_HAMMING, _AH_N, _AH_W, image_near_dup_q)
+
+        def md5i(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        cell = _AH_W // 8
+        hashes = {}
+        for k in range(_AH_N):
+            a, b = md5i(f"42:pa:{k}") % 7 + 1, md5i(f"42:pb:{k}") % 256
+            px = [(a * i + b) % 256 for i in range(_AH_W * _AH_W)]
+            means = []
+            for j in range(64):
+                bx, by = j % 8, j // 8
+                s = sum(px[(by * cell + dy) * _AH_W + bx * cell + dx]
+                        for dy in range(cell) for dx in range(cell))
+                means.append(s // (cell * cell))
+            gm = sum(means) // 64
+            hashes[k] = "".join("1" if m > gm else "0" for m in means)
+        want = {}
+        for i in range(_AH_N):
+            for j in range(i + 1, _AH_N):
+                h = sum(x != y for x, y in zip(hashes[i], hashes[j]))
+                if h <= _AH_MAX_HAMMING:
+                    want[(i, j)] = h
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in image_near_dup_q(spark, None).collect()}
+        # banding guarantees recall to Hamming 7 > the 6 admitted, so the
+        # banded operator must find EXACTLY the brute-force pair set
+        assert got == want and want
+
+    def test_codec_round_trip_feeds_the_hash(self, spark):
+        from ragflow_core16_spark.media.codecs import decode_png
+        from ragflow_core16_spark.operators.multimodal import (
+            ahash_images_df, image_ahash)
+        imgs = {r["img_id"]: bytes(r["payload"])
+                for r in ahash_images_df(spark, 4).collect()}
+        for k, p in imgs.items():
+            assert p[:8] == b"\x89PNG\r\n\x1a\n"
+            assert decode_png(p)["w"] == 32
+        hs = image_ahash(ahash_images_df(spark, 4)).collect()
+        assert len(hs) == 4
+        assert all(set(r["ahash"]) <= {"0", "1"}
+                   and len(r["ahash"]) == 64 for r in hs)
