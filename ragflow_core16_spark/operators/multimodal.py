@@ -445,12 +445,12 @@ def image_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _image_near_dup_sql() -> str:
-    md5i = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+    from .extract_e2e import _md5i
     cell = _AH_W // 8
     return f"""
 WITH par AS (
-  SELECT k, {md5i.format(x="'42:pa:' || k")} % 7 + 1 AS a,
-         {md5i.format(x="'42:pb:' || k")} % 256 AS b
+  SELECT k, {_md5i("'42:pa:' || k")} % 7 + 1 AS a,
+         {_md5i("'42:pb:' || k")} % 256 AS b
   FROM (SELECT unnest(generate_series(0, {_AH_N - 1})) AS k)),
 means AS (
   SELECT p.k, j.j,

@@ -564,7 +564,10 @@ def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
          .withColumn("next_day",
                      (F.col("interval_days")
                       + _md5i_col(F.concat(F.lit("42:rcj:"), did))
-                      % F.col("interval_days")).cast("int")))
+                      % F.col("interval_days")).cast("int"))
+         # the drift relation feeds BOTH the load count and the join
+         # probe side — checkpoint lazily so the Jaccard work runs once
+         .localCheckpoint(eager=False))
     load = (d.groupBy("queue", "next_day")
             .agg(F.count(F.lit(1)).alias("day_load")))
     return (d.join(load, ["queue", "next_day"])
@@ -581,23 +584,14 @@ def _recrawl_schedule_sql() -> str:
     days = " ".join(f"WHEN '{c}' THEN {n}"
                     for c, n in _RECRAWL_DAYS.items())
     return f"""
-WITH w AS (
-  SELECT doc_id,
-         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
-           AS w,
-         {_md5i("'42:dr:' || doc_id")} % 2 = 0 AS has_prev,
-         CAST({_md5i("'42:dk:' || doc_id")} % 20 + 1 AS INTEGER) AS k
-  FROM documents),
+WITH {_drift_cte()},
 cls AS (
   SELECT doc_id,
          CASE WHEN NOT has_prev THEN 'single'
               WHEN jac >= 0.9 THEN 'stable'
               WHEN jac >= 0.5 THEN 'minor'
               ELSE 'rewritten' END AS drift_class
-  FROM (SELECT doc_id, has_prev,
-               round(len(list_distinct(list_intersect(w, w[k+1:]))) * 1.0 /
-                     greatest(len(list_distinct(w || w[k+1:])), 1), 4) AS jac
-        FROM w)),
+  FROM j),
 sched AS (
   SELECT doc_id, drift_class,
          CAST(CASE drift_class {days} END AS INTEGER) AS interval_days,
@@ -618,22 +612,29 @@ ORDER BY s.doc_id
 """
 
 
-def _capture_drift_sql() -> str:
+def _drift_cte() -> str:
+    """Shared DuckDB drift derivation (w + Jaccard CTEs) — ONE definition
+    for both ``_capture_drift_sql`` and ``_recrawl_schedule_sql`` so the
+    tokenization / previous-capture law / thresholds cannot diverge (the
+    Spark twins already share ``_drift_classes``)."""
     from .extract_e2e import _md5i
-    md5i = lambda k: _md5i(k)  # noqa: E731 — shared DuckDB md5 bridge
-    return f"""
-WITH w AS (
+    return f"""w AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
            AS w,
-         {md5i("'42:dr:' || doc_id")} % 2 = 0 AS has_prev,
-         CAST({md5i("'42:dk:' || doc_id")} % 20 + 1 AS INTEGER) AS k
+         {_md5i("'42:dr:' || doc_id")} % 2 = 0 AS has_prev,
+         CAST({_md5i("'42:dk:' || doc_id")} % 20 + 1 AS INTEGER) AS k
   FROM documents),
 j AS (
   SELECT doc_id, has_prev,
          round(len(list_distinct(list_intersect(w, w[k+1:]))) * 1.0 /
                greatest(len(list_distinct(w || w[k+1:])), 1), 4) AS jac
-  FROM w)
+  FROM w)"""
+
+
+def _capture_drift_sql() -> str:
+    return f"""
+WITH {_drift_cte()}
 SELECT doc_id,
        CASE WHEN has_prev THEN 2 ELSE 1 END AS n_captures,
        CASE WHEN has_prev THEN jac END AS jaccard,
