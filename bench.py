@@ -50,7 +50,7 @@ BENCH_QUERIES = [
     "readability_scores", "meta_robots", "web_keep", "mixture_sample",
     "quality_classifier", "warc_revisits", "boilerplate_strip",
     "tfidf_keywords", "recrawl_schedule", "bitext_mine",
-    "url_templates", "image_near_dup",
+    "url_templates", "image_near_dup", "audio_near_dup",
 ]
 
 

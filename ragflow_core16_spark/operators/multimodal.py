@@ -477,8 +477,133 @@ ORDER BY id_a, id_b
 """
 
 
+# ------------------------------------------------------ audio fingerprint
+# Acoustic-fingerprint near-dup (chromaprint-style intuition on integer
+# footing: block |amplitude| means → bit = block mean > clip mean), the
+# audio member of the multimodal dedup trio (MinHash for text, aHash for
+# images).  Samples are decoded out of REAL WAV bytes (encode_wav →
+# decode_wav round trip inside the operator); the oracle re-derives each
+# bit arithmetically from the closed-form sample law and never parses a
+# RIFF header: sample i of clip k = ((a_k·i + b_k) % 2048) − 1024,
+# a_k = md5i(42:aa:k) % 5 + 3, b_k = md5i(42:ab:k) % 2048, all clips 320
+# samples → 32 blocks × 10.  Clips sharing a slope a_k have (near-)
+# phase-shifted sawtooths whose block envelopes align → small Hamming;
+# different slopes diverge.  Pairs via 4 × 8-bit banded pigeonhole:
+# guaranteed recall to Hamming 3 = the admission bound, so banded =
+# brute force exactly (unit-pinned).
+_AF_N = 48
+_AF_SAMPLES = 320
+_AF_BLOCKS = 32
+_AF_BANDS = 4
+_AF_MAX_HAMMING = 3
+
+
+def fingerprint_audio_df(spark: SparkSession, n: int = _AF_N) -> DataFrame:
+    """Synthetic PCM16 WAV set for the acoustic-fingerprint operator."""
+    import hashlib
+    base = spark.range(n)
+    schema = StructType([StructField("clip_id", LongType(), False),
+                         StructField("payload", BinaryType(), False)])
+
+    def md5i(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"]:
+                k = int(k)
+                a = md5i(f"42:aa:{k}") % 5 + 3
+                b = md5i(f"42:ab:{k}") % 2048
+                samples = [((a * i + b) % 2048) - 1024
+                           for i in range(_AF_SAMPLES)]
+                rows.append((k, encode_wav(samples, rate=WAV_RATE)))
+            yield pd.DataFrame(rows, columns=["clip_id", "payload"])
+
+    return base.mapInPandas(gen, schema)
+
+
+def audio_fingerprint(clips: DataFrame) -> DataFrame:
+    """(clip_id, afp): 32-char '0'/'1' fingerprint from decoded samples."""
+    schema = StructType([StructField("clip_id", LongType(), False),
+                         StructField("afp", StringType(), False)])
+    blk = _AF_SAMPLES // _AF_BLOCKS
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for k, payload in zip(pdf["clip_id"], pdf["payload"]):
+                s = decode_wav(bytes(payload))["samples"]
+                means = [sum(abs(x) for x in s[j * blk:(j + 1) * blk]) // blk
+                         for j in range(_AF_BLOCKS)]
+                gm = sum(means) // _AF_BLOCKS
+                rows.append((int(k), "".join(
+                    "1" if m > gm else "0" for m in means)))
+            yield pd.DataFrame(rows, columns=["clip_id", "afp"])
+
+    return clips.mapInPandas(run, schema)
+
+
+def audio_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (audio_fingerprint(fingerprint_audio_df(spark))
+         .localCheckpoint(eager=False))   # one decode pass, both sides
+    band_w = _AF_BLOCKS // _AF_BANDS
+    bands = h.select(
+        "clip_id", "afp",
+        F.posexplode(F.array(*[
+            F.substring("afp", i * band_w + 1, band_w)
+            for i in range(_AF_BANDS)])).alias("band_idx", "band_bits"))
+    a = bands.select(F.col("clip_id").alias("id_a"),
+                     F.col("afp").alias("fa"), "band_idx", "band_bits")
+    b = bands.select(F.col("clip_id").alias("id_b"),
+                     F.col("afp").alias("fb"), "band_idx", "band_bits")
+    cand = (a.join(b, ["band_idx", "band_bits"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "fa", "fb").distinct())
+    hamming = F.expr(
+        f"size(filter(sequence(1, {_AF_BLOCKS}),"
+        " i -> substring(fa, i, 1) <> substring(fb, i, 1)))")
+    return (cand.select("id_a", "id_b",
+                        hamming.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= _AF_MAX_HAMMING)
+            .transform(_ordered("id_a", "id_b")))
+
+
+def _audio_near_dup_sql() -> str:
+    from .extract_e2e import _md5i
+    blk = _AF_SAMPLES // _AF_BLOCKS
+    return f"""
+WITH par AS (
+  SELECT k, {_md5i("'42:aa:' || k")} % 5 + 3 AS a,
+         {_md5i("'42:ab:' || k")} % 2048 AS b
+  FROM (SELECT unnest(generate_series(0, {_AF_N - 1})) AS k)),
+means AS (
+  SELECT p.k, j.j,
+         (SELECT sum(abs((p.a * (j.j * {blk} + t.i) + p.b) % 2048 - 1024))
+          FROM unnest(generate_series(0, {blk - 1})) AS t(i))
+           // {blk} AS m
+  FROM par p, (SELECT unnest(generate_series(0, {_AF_BLOCKS - 1})) AS j) j),
+gm AS (SELECT k, sum(m) // {_AF_BLOCKS} AS gmean FROM means GROUP BY k),
+fps AS (
+  SELECT k, string_agg(CASE WHEN m > gmean THEN '1' ELSE '0' END,
+                       '' ORDER BY j) AS f
+  FROM means JOIN gm USING (k) GROUP BY k)
+SELECT a.k AS id_a, b.k AS id_b,
+       CAST((SELECT count(*)
+             FROM unnest(generate_series(1, {_AF_BLOCKS})) AS t(i)
+             WHERE substr(a.f, i, 1) != substr(b.f, i, 1)) AS INTEGER)
+         AS hamming
+FROM fps a JOIN fps b ON a.k < b.k
+WHERE (SELECT count(*)
+       FROM unnest(generate_series(1, {_AF_BLOCKS})) AS t(i)
+       WHERE substr(a.f, i, 1) != substr(b.f, i, 1)) <= {_AF_MAX_HAMMING}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "image_near_dup": (image_near_dup_q, _image_near_dup_sql()),
+    "audio_near_dup": (audio_near_dup_q, _audio_near_dup_sql()),
     "media_features": (media_features_q, MEDIA_FEATURES_SQL),
     "media_frames": (media_frames_q, MEDIA_FRAMES_SQL),
     "media_concat": (media_concat_q, MEDIA_CONCAT_SQL),

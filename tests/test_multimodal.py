@@ -388,3 +388,49 @@ class TestImageNearDup:
         assert len(hs) == 4
         assert all(set(r["ahash"]) <= {"0", "1"}
                    and len(r["ahash"]) == 64 for r in hs)
+
+
+class TestAudioNearDup:
+    def test_matches_pure_python_bruteforce(self, spark):
+        import hashlib
+
+        from ragflow_core16_spark.operators.multimodal import (
+            _AF_BLOCKS, _AF_MAX_HAMMING, _AF_N, _AF_SAMPLES,
+            audio_near_dup_q)
+
+        def md5i(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        blk = _AF_SAMPLES // _AF_BLOCKS
+        fps = {}
+        for k in range(_AF_N):
+            a, b = md5i(f"42:aa:{k}") % 5 + 3, md5i(f"42:ab:{k}") % 2048
+            s = [((a * i + b) % 2048) - 1024 for i in range(_AF_SAMPLES)]
+            means = [sum(abs(x) for x in s[j * blk:(j + 1) * blk]) // blk
+                     for j in range(_AF_BLOCKS)]
+            gm = sum(means) // _AF_BLOCKS
+            fps[k] = "".join("1" if m > gm else "0" for m in means)
+        want = {}
+        for i in range(_AF_N):
+            for j in range(i + 1, _AF_N):
+                h = sum(x != y for x, y in zip(fps[i], fps[j]))
+                if h <= _AF_MAX_HAMMING:
+                    want[(i, j)] = h
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in audio_near_dup_q(spark, None).collect()}
+        # 4 bands × 8 bits guarantee recall to Hamming 3 = the admission
+        # bound, so banded must equal brute force exactly
+        assert got == want and want
+
+    def test_wav_round_trip_feeds_the_fingerprint(self, spark):
+        from ragflow_core16_spark.media.codecs import decode_wav
+        from ragflow_core16_spark.operators.multimodal import (
+            audio_fingerprint, fingerprint_audio_df)
+        clips = {r["clip_id"]: bytes(r["payload"])
+                 for r in fingerprint_audio_df(spark, 3).collect()}
+        for p in clips.values():
+            assert p[:4] == b"RIFF"
+            assert decode_wav(p)["n_samples"] == 320
+        fs = audio_fingerprint(fingerprint_audio_df(spark, 3)).collect()
+        assert all(len(r["afp"]) == 32 and set(r["afp"]) <= {"0", "1"}
+                   for r in fs)
