@@ -148,3 +148,48 @@ def test_xxh64_matches_block_boundaries(data):
     h ^= h >> 29; h = (h * P3) & M
     h ^= h >> 32
     assert xxh64_int(data) == h
+
+
+# ----------------------------------------- session-op invariants (pure)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_url_template_folding_idempotent(path):
+    """Folding digits/hex-runs to placeholders must be a fixpoint after
+    one application — a second pass can never change the template (the
+    placeholders themselves contain no digit and no ≥8-hex run)."""
+    import re
+
+    def fold(p):
+        return re.sub(r"[0-9]+", "{d}", re.sub(r"[0-9a-f]{8,}", "{hex}", p))
+
+    once = fold(path)
+    assert fold(once) == once
+
+
+@given(st.integers(min_value=0, max_value=(1 << 64) - 1),
+       st.sets(st.integers(min_value=0, max_value=63), max_size=6))
+@settings(max_examples=300, deadline=None)
+def test_ahash_band_pigeonhole_recall(hash_bits, flips):
+    """≤6 bit flips across 8 bands of 8 bits always leave ≥1 band intact
+    — the recall guarantee image_near_dup's banded join relies on."""
+    other = hash_bits
+    for f in flips:
+        other ^= 1 << f
+    bands_equal = any(
+        (hash_bits >> (8 * i)) & 0xFF == (other >> (8 * i)) & 0xFF
+        for i in range(8))
+    assert bands_equal
+
+
+@given(st.integers(min_value=-10**15, max_value=10**15),
+       st.integers(min_value=1, max_value=10**6))
+@settings(max_examples=300, deadline=None)
+def test_sign_split_division_matches_trunc(num, den):
+    """The sign-split integer division used by quality_classifier and
+    tfidf scoring equals truncation toward zero — the semantics Spark's
+    `div` and DuckDB's `//`-on-nonnegative both implement."""
+    import math
+    from fractions import Fraction
+    got = num // den if num >= 0 else -((-num) // den)
+    assert got == math.trunc(Fraction(num, den))
