@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "quality_classifier", "warc_revisits", "boilerplate_strip",
     "tfidf_keywords", "recrawl_schedule", "bitext_mine",
     "url_templates", "image_near_dup", "audio_near_dup",
+    "video_near_dup",
 ]
 
 

@@ -601,9 +601,119 @@ ORDER BY id_a, id_b
 """
 
 
+# ------------------------------------------------------- video near-dup
+# Frame-hash video near-dup (the standard video dedup: hash every frame,
+# two videos are near-dups when they share ≥ K frame hashes — re-encoded
+# or re-cut uploads keep most frames byte-identical).  Frames come out of
+# the REAL MP4 container (encode_mp4 → demux_mp4 sample-table walk, byte
+# ranges sliced at the demuxed offsets), and the frame hash is md5 of the
+# actual sample bytes — a mux/demux off-by-one breaks parity.  The oracle
+# never parses a container: frame content is the ASCII hex of
+# md5(seed) repeated 8× (256 bytes), so DuckDB re-derives each frame hash
+# as md5(repeat(md5(seed), 8)).  Seeds: frame f of video k uses the
+# FAMILY seed 42:vseed:fam{k%6}:{f} (shared across the family) unless
+# md5i(42:vm:k:f) % 4 == 0 mutates it to the private 42:vseed:{k}:{f} —
+# so family members share most frames and strangers share none.
+#
+# Scale: per-video hashing rides the payload scan (one Arrow stage); the
+# pair search joins the exploded (video, frame_hash) relation on the
+# hash key — shuffle ∝ matching frames, never |videos|²; the shared
+# count is one map-side-combinable pair agg.
+_VF_N = 36
+_VF_FAMS = 6
+_VF_MIN_SHARED = 3
+
+
+def neardup_videos_df(spark: SparkSession, n: int = _VF_N) -> DataFrame:
+    """Synthetic MP4 set: per-family shared frames + per-video mutations."""
+    import hashlib
+    base = spark.range(n)
+    schema = StructType([StructField("vid_id", LongType(), False),
+                         StructField("payload", BinaryType(), False)])
+
+    def md5i(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"]:
+                k = int(k)
+                nf = 6 + k % 5
+                frames = []
+                for f in range(nf):
+                    mut = md5i(f"42:vm:{k}:{f}") % 4 == 0
+                    seed = (f"42:vseed:{k}:{f}" if mut
+                            else f"42:vseed:fam{k % _VF_FAMS}:{f}")
+                    frames.append(
+                        (hashlib.md5(seed.encode()).hexdigest() * 8)
+                        .encode("ascii"))
+                rows.append((k, encode_mp4(frames, width=16, height=16,
+                                           samples_per_chunk=3)))
+            yield pd.DataFrame(rows, columns=["vid_id", "payload"])
+
+    return base.mapInPandas(gen, schema)
+
+
+def video_frame_hashes(videos: DataFrame) -> DataFrame:
+    """(vid_id, fhash): md5 hex of every demuxed sample's actual bytes."""
+    import hashlib
+    schema = StructType([StructField("vid_id", LongType(), False),
+                         StructField("fhash", StringType(), False)])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for k, payload in zip(pdf["vid_id"], pdf["payload"]):
+                data = bytes(payload)
+                info = demux_mp4(data)
+                for off, size, _dts in info["samples"]:
+                    rows.append((int(k), hashlib.md5(
+                        data[off:off + size]).hexdigest()))
+            yield pd.DataFrame(rows, columns=["vid_id", "fhash"])
+
+    return videos.mapInPandas(run, schema)
+
+
+def video_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = (video_frame_hashes(neardup_videos_df(spark))
+         .distinct())
+    a = h.select(F.col("vid_id").alias("id_a"), "fhash")
+    b = h.select(F.col("vid_id").alias("id_b"), "fhash")
+    return (a.join(b, "fhash")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).cast("int").alias("shared_frames"))
+            .filter(F.col("shared_frames") >= _VF_MIN_SHARED)
+            .transform(_ordered("id_a", "id_b")))
+
+
+def _video_near_dup_sql() -> str:
+    from .extract_e2e import _md5i
+    return f"""
+WITH v AS (
+  SELECT k, f,
+         CASE WHEN {_md5i("'42:vm:' || k || ':' || f")} % 4 = 0
+              THEN '42:vseed:' || k || ':' || f
+              ELSE '42:vseed:fam' || (k % {_VF_FAMS}) || ':' || f
+         END AS seed
+  FROM (SELECT unnest(generate_series(0, {_VF_N - 1})) AS k),
+       LATERAL (SELECT unnest(generate_series(0, 6 + k % 5 - 1)) AS f) u),
+h AS (
+  SELECT DISTINCT k, md5(repeat(md5(seed), 8)) AS fhash FROM v)
+SELECT a.k AS id_a, b.k AS id_b,
+       CAST(count(*) AS INTEGER) AS shared_frames
+FROM h a JOIN h b ON a.fhash = b.fhash AND a.k < b.k
+GROUP BY a.k, b.k
+HAVING count(*) >= {_VF_MIN_SHARED}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES = {
     "image_near_dup": (image_near_dup_q, _image_near_dup_sql()),
     "audio_near_dup": (audio_near_dup_q, _audio_near_dup_sql()),
+    "video_near_dup": (video_near_dup_q, _video_near_dup_sql()),
     "media_features": (media_features_q, MEDIA_FEATURES_SQL),
     "media_frames": (media_frames_q, MEDIA_FRAMES_SQL),
     "media_concat": (media_concat_q, MEDIA_CONCAT_SQL),

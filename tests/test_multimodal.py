@@ -434,3 +434,48 @@ class TestAudioNearDup:
         fs = audio_fingerprint(fingerprint_audio_df(spark, 3)).collect()
         assert all(len(r["afp"]) == 32 and set(r["afp"]) <= {"0", "1"}
                    for r in fs)
+
+
+class TestVideoNearDup:
+    def test_matches_pure_python_bruteforce(self, spark):
+        import hashlib
+        from collections import defaultdict
+
+        from ragflow_core16_spark.operators.multimodal import (
+            _VF_FAMS, _VF_MIN_SHARED, _VF_N, video_near_dup_q)
+
+        def md5i(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        hashes = defaultdict(set)
+        for k in range(_VF_N):
+            for f in range(6 + k % 5):
+                mut = md5i(f"42:vm:{k}:{f}") % 4 == 0
+                seed = (f"42:vseed:{k}:{f}" if mut
+                        else f"42:vseed:fam{k % _VF_FAMS}:{f}")
+                content = (hashlib.md5(seed.encode()).hexdigest() * 8) \
+                    .encode("ascii")
+                hashes[k].add(hashlib.md5(content).hexdigest())
+        want = {}
+        for i in range(_VF_N):
+            for j in range(i + 1, _VF_N):
+                n = len(hashes[i] & hashes[j])
+                if n >= _VF_MIN_SHARED:
+                    want[(i, j)] = n
+        got = {(r["id_a"], r["id_b"]): r["shared_frames"]
+               for r in video_near_dup_q(spark, None).collect()}
+        assert got == want and want
+        # sharing only happens inside a family by construction
+        assert all(a % _VF_FAMS == b % _VF_FAMS for a, b in got)
+
+    def test_mp4_demux_feeds_the_hashes(self, spark):
+        from ragflow_core16_spark.media.mp4 import demux_mp4
+        from ragflow_core16_spark.operators.multimodal import (
+            neardup_videos_df, video_frame_hashes)
+        vids = {r["vid_id"]: bytes(r["payload"])
+                for r in neardup_videos_df(spark, 3).collect()}
+        for k, p in vids.items():
+            assert p[4:8] == b"ftyp"
+            assert demux_mp4(p)["n_samples"] == 6 + k % 5
+        hs = video_frame_hashes(neardup_videos_df(spark, 3)).collect()
+        assert len(hs) == sum(6 + k % 5 for k in range(3))
