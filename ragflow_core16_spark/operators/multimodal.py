@@ -370,13 +370,10 @@ _AH_MAX_HAMMING = 6
 def ahash_images_df(spark: SparkSession, n: int = _AH_N) -> DataFrame:
     """Synthetic grayscale PNG set for the perceptual-hash operator (its
     own pixel law — gradients per a_k so hashes cluster by slope)."""
-    import hashlib
+    from ..datagen.pages import _md5i as md5i   # ONE md5-bridge law
     base = spark.range(n)
     schema = StructType([StructField("img_id", LongType(), False),
                          StructField("payload", BinaryType(), False)])
-
-    def md5i(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
     def gen(batches):
         for pdf in batches:
@@ -500,13 +497,10 @@ _AF_MAX_HAMMING = 3
 
 def fingerprint_audio_df(spark: SparkSession, n: int = _AF_N) -> DataFrame:
     """Synthetic PCM16 WAV set for the acoustic-fingerprint operator."""
-    import hashlib
+    from ..datagen.pages import _md5i as md5i   # ONE md5-bridge law
     base = spark.range(n)
     schema = StructType([StructField("clip_id", LongType(), False),
                          StructField("payload", BinaryType(), False)])
-
-    def md5i(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
     def gen(batches):
         for pdf in batches:
@@ -627,12 +621,11 @@ _VF_MIN_SHARED = 3
 def neardup_videos_df(spark: SparkSession, n: int = _VF_N) -> DataFrame:
     """Synthetic MP4 set: per-family shared frames + per-video mutations."""
     import hashlib
+
+    from ..datagen.pages import _md5i as md5i   # ONE md5-bridge law
     base = spark.range(n)
     schema = StructType([StructField("vid_id", LongType(), False),
                          StructField("payload", BinaryType(), False)])
-
-    def md5i(s: str) -> int:
-        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
     def gen(batches):
         for pdf in batches:
@@ -677,7 +670,8 @@ def video_frame_hashes(videos: DataFrame) -> DataFrame:
 
 def video_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = (video_frame_hashes(neardup_videos_df(spark))
-         .distinct())
+         .distinct()
+         .localCheckpoint(eager=False))  # one mux+demux pass, both sides
     a = h.select(F.col("vid_id").alias("id_a"), "fhash")
     b = h.select(F.col("vid_id").alias("id_b"), "fhash")
     return (a.join(b, "fhash")

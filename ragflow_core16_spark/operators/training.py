@@ -724,9 +724,11 @@ def _md5i_col(key):
 #
 # All arithmetic is integer "milli" units.  score_sum is the sum of
 # per-gram weights in [-1000, 1000]; score_milli = score_sum / n_grams
-# truncated TOWARD ZERO on an explicit sign split, because Spark `div`
-# truncates while DuckDB `//` floors — on negative numerators the two
-# engines disagree, so the division only ever sees non-negative operands.
+# truncated TOWARD ZERO on an explicit sign split: Spark `div` truncates
+# and the pinned DuckDB's integer `//` also truncates, but `//` is
+# DOCUMENTED as flooring division and floors in other DuckDB versions —
+# the sign split keeps the oracle law version-independent by never
+# dividing a negative numerator.
 # The lottery admits a below-parity doc when a deterministic md5 dice
 # (‰) falls under 1000 + score_milli — the linear-decay analogue of
 # GPT-3's `pareto(9) > 1 - score` draw, reproducible across reruns.

@@ -54,8 +54,13 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(_ordered("url")))
 
 
-WARC_RECORDS_SQL = f"""
-WITH meta AS (
+
+def _url_ts_meta_cte(ts_alias: str = "ts_micros") -> str:
+    """Shared synthetic url/ts derivation for this module's oracles — ONE
+    statement of the generator's url law (webclean has `_host_sql` for
+    the same reason: a scheme change must break every oracle loudly, not
+    leave one silently testing a different universe)."""
+    return f"""meta AS (
   SELECT doc_id,
     'https://host' ||
       lpad(CAST({_md5i(f"'{_SEED}:url:' || doc_id")} % 500 AS VARCHAR),
@@ -68,8 +73,12 @@ WITH meta AS (
         CAST({_md5i(f"'{_SEED}:sec:' || doc_id")} % 4 AS INTEGER) + 1] ||
       '/' || doc_id AS url,
     {_md5i(f"'{_SEED}:ts:' || doc_id")} % (730::BIGINT * 86400 * 1000000)
-      AS ts_micros
-  FROM documents)
+      AS {ts_alias}
+  FROM documents"""
+
+
+WARC_RECORDS_SQL = f"""
+WITH {_url_ts_meta_cte()})
 SELECT CAST(doc_id % {_N_FILES} AS INTEGER) AS file_id,
        CAST(row_number() OVER (PARTITION BY doc_id % {_N_FILES}
                                ORDER BY doc_id) - 1 AS INTEGER) AS rec_seq,
@@ -344,21 +353,7 @@ def q_warc_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DAY_MICROS = 86400 * 1_000_000
 
 WARC_REVISITS_SQL = f"""
-WITH meta AS (
-  SELECT doc_id,
-    'https://host' ||
-      lpad(CAST({_md5i(f"'{_SEED}:url:' || doc_id")} % 500 AS VARCHAR),
-           4, '0') ||
-      '.example.' ||
-      (['com','org','net','cn'])[
-        CAST({_md5i(f"'{_SEED}:tld:' || doc_id")} % 4 AS INTEGER) + 1] ||
-      '/' ||
-      (['news','blog','docs','wiki'])[
-        CAST({_md5i(f"'{_SEED}:sec:' || doc_id")} % 4 AS INTEGER) + 1] ||
-      '/' || doc_id AS url,
-    {_md5i(f"'{_SEED}:ts:' || doc_id")} % (730::BIGINT * 86400 * 1000000)
-      AS orig_ts
-  FROM documents
+WITH {_url_ts_meta_cte("orig_ts")}
   WHERE {_md5i(f"'{_SEED}:rv:' || doc_id")} % 4 = 0)
 SELECT url,
        orig_ts + {_DAY_MICROS} AS ts_micros,

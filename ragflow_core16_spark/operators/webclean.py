@@ -1192,19 +1192,20 @@ def _bp_base(spark, sf_dir):
             .select("doc_id", "site", paras.alias("paras")))
 
 
-def _bp_paras(spark, sf_dir):
-    return (_bp_base(spark, sf_dir)
-            .select("doc_id", "site", F.explode("paras").alias("p"))
+def _bp_explode(base):
+    return (base.select("doc_id", "site", F.explode("paras").alias("p"))
             .select("doc_id", "site", F.col("p.idx").alias("idx"),
                     F.col("p.ptext").alias("ptext")))
+
+
+def _bp_paras(spark, sf_dir):
+    return _bp_explode(_bp_base(spark, sf_dir))
 
 
 def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import ordered as _ordered
     base = _bp_base(spark, sf_dir)
-    paras = (base.select("doc_id", "site", F.explode("paras").alias("p"))
-             .select("doc_id", "site", F.col("p.idx").alias("idx"),
-                     F.col("p.ptext").alias("ptext")))
+    paras = _bp_explode(base)
     # DISTINCT documents per (site, paragraph) — a doc whose two body
     # halves coincide must count once, or a 6-doc site would strip a
     # paragraph seen in a single document (c=2 ≥ 6·0.3)

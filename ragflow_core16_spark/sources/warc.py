@@ -356,7 +356,10 @@ def capture_records_df(files: DataFrame) -> DataFrame:
     """Every capture record (``response`` AND ``revisit``) with the fields
     revisit resolution needs: responses carry the sha1-b32 digest computed
     from their actual payload bytes; revisits carry the pointer headers and
-    the digest the crawler RECORDED (``sha1:`` prefix stripped)."""
+    the digest the crawler RECORDED (``sha1:`` prefix stripped).  Records
+    whose FRAMING failed (bad magic / content-length / truncated header)
+    surface as ``kind='error'`` rows — a corrupted shard must show up in
+    the capture census, not silently shrink it."""
     from .cdx import sha1_b32
 
     def _micros(ts):
@@ -372,6 +375,9 @@ def capture_records_df(files: DataFrame) -> DataFrame:
                         out.append(("response", r["url"], _micros(r["ts"]),
                                     sha1_b32(r["payload"]), None, None,
                                     None))
+                    elif r["type"] == "error" or r["error"] is not None:
+                        out.append(("error", r["url"], _micros(r["ts"]),
+                                    None, None, None, None))
                     elif r["type"] == "revisit":
                         rec = r.get("payload_digest") or ""
                         rts = None

@@ -437,3 +437,19 @@ class TestRevisits:
         assert rows[url]["orig_found"] and rows[url]["digest_match"]
         orph = rows["https://gone.example.com/x"]
         assert not orph["orig_found"] and not orph["digest_match"]
+
+    def test_framing_error_records_surface_in_capture_census(self, spark):
+        from ragflow_core16_spark.sources.warc import capture_records_df
+        url, ts, html = document_page(7, "alpha beta " * 30)
+        rec = build_response_record(url, ts, html)
+        # truncate payload but keep the WARC Content-Length: framing error
+        broken = rec[:-14]
+        data = build_warc_gz([build_response_record(url, ts, html)]) + \
+            gzip.compress(broken, mtime=0)
+        files = spark.createDataFrame([(0, 2, bytearray(data))],
+                                      "file_id int, n_records int,"
+                                      " data binary")
+        kinds = [r["kind"] for r in capture_records_df(files).collect()]
+        assert kinds.count("response") == 1
+        assert kinds.count("error") == 1, \
+            "a framing-failed record must appear as kind='error'"
