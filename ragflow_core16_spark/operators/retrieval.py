@@ -132,10 +132,16 @@ def bm25_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated (doc, term, tf) relation (≤ |docs|·|terms| rows) so the
     token explode runs once; doc lengths are computed scan-side (no second
     pass over tokens) and avgdl is a broadcast 1-row agg.  The only big
-    shuffle is the per-doc score agg — same shape at 10^12 rows."""
+    shuffle is the per-doc score agg — same shape at 10^12 rows.
+
+    Determinism (round-2 ADVICE): each per-term score part is rounded to
+    an integer ppm BEFORE the per-doc sum, so ranking at the LIMIT
+    boundary compares integers — no dependence on double summation order
+    between engines.  The corpus count is a broadcast 1-row agg (no extra
+    eager job per invocation)."""
     from pyspark.sql import Window
     d = _docs(spark, sf_dir)
-    n_docs = d.count()  # tiny scalar, computed once
+    n_docs_rel = d.agg(F.count(F.lit(1)).alias("n_docs"))
     dl_rel = d.select(
         "doc_id",
         F.size(F.split(F.regexp_replace(F.lower(F.trim("text")),
@@ -146,18 +152,25 @@ def bm25_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (t.join(F.broadcast(terms), t.tok == terms.term)
           .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
     df_ = F.count(F.lit(1)).over(Window.partitionBy("term"))
-    idf = F.log(1.0 + (F.lit(n_docs) - df_ + 0.5) / (df_ + 0.5))
-    scored = (tf.withColumn("idf", idf)
+    idf = F.log(1.0 + (F.col("n_docs") - df_ + 0.5) / (df_ + 0.5))
+    scored = (tf.crossJoin(F.broadcast(n_docs_rel))
+              .withColumn("idf", idf)
               .join(dl_rel, "doc_id")
               .crossJoin(F.broadcast(avgdl)))
     part = (F.col("idf") * F.col("tf") * (_BM25_K1 + 1.0) /
             (F.col("tf") + _BM25_K1 * (1.0 - _BM25_B +
                                        _BM25_B * F.col("dl") / F.col("avgdl"))))
+    part_ppm = F.round(part * 1e6, 0).cast("long")
     return (scored.groupBy("doc_id")
-            .agg(F.round(F.sum(part), 4).alias("bm25"),
+            .agg(F.sum(part_ppm).alias("ppm"),
                  F.count(F.lit(1)).alias("n_terms_hit"))
-            .orderBy(F.desc("bm25"), "doc_id")
-            .limit(TOP_N))
+            .select("doc_id",
+                    F.round(F.col("ppm").cast("double") / 1e6, 4)
+                     .alias("bm25"),
+                    "n_terms_hit", "ppm")
+            .orderBy(F.desc("ppm"), "doc_id")
+            .limit(TOP_N)
+            .drop("ppm"))
 
 
 BM25_TOPN_SQL = rf"""
@@ -179,14 +192,18 @@ idf AS (
          ln(1.0 + ((SELECT count(*) FROM documents) - count(DISTINCT doc_id) + 0.5)
                   / (count(DISTINCT doc_id) + 0.5)) AS idf
   FROM tf GROUP BY term)
-SELECT tf.doc_id,
-       round(sum(idf.idf * tf.tf * ({_BM25_K1} + 1.0) /
-                 (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} +
-                    {_BM25_B} * dl.dl / avgdl.avgdl))), 4) AS bm25,
-       count(*) AS n_terms_hit
-FROM tf JOIN idf ON tf.term = idf.term
-JOIN dl ON dl.doc_id = tf.doc_id, avgdl
-GROUP BY tf.doc_id ORDER BY bm25 DESC, tf.doc_id LIMIT {TOP_N}
+SELECT doc_id, round(CAST(ppm AS DOUBLE) / 1e6, 4) AS bm25, n_terms_hit
+FROM (
+  SELECT tf.doc_id,
+         sum(CAST(round(idf.idf * tf.tf * ({_BM25_K1} + 1.0) /
+                        (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} +
+                           {_BM25_B} * dl.dl / avgdl.avgdl)) * 1e6)
+                  AS BIGINT)) AS ppm,
+         count(*) AS n_terms_hit
+  FROM tf JOIN idf ON tf.term = idf.term
+  JOIN dl ON dl.doc_id = tf.doc_id, avgdl
+  GROUP BY tf.doc_id ORDER BY ppm DESC, tf.doc_id LIMIT {TOP_N})
+ORDER BY ppm DESC, doc_id
 """
 
 

@@ -309,6 +309,15 @@ def ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram model per language (the kenlm slot); score = negative mean
     token log-prob, so lower = more fluent = head.
 
+    Determinism: each token's log-prob is rounded to an INTEGER micro-nat
+    (ppm) before any summation, so the per-doc score is an integer sum —
+    associative, partition-order-independent, and bit-identical between
+    Spark's partial aggregation and DuckDB's single-threaded sum.  Ranking
+    happens on the integer (nano-nat mean, doc_id) key; the float in the
+    output is derived from that integer by one division.  (Ranking on
+    round(avg(double),6) was flagged in round-2 ADVICE: summation order
+    near a tercile boundary could flip a bucket between engines.)
+
     Scale: the per-language frequency table is a first-pass job output
     (a few million rows across languages) BROADCAST to the scoring pass;
     scoring is one per-doc agg.  The tercile cut here is exact rank
@@ -324,14 +333,20 @@ def ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     freqs = t.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     totals = freqs.groupBy("lang").agg(F.sum("cnt").alias("total"),
                                        F.count(F.lit(1)).alias("vocab"))
+    lp = F.log((F.col("cnt") + 1.0) / (F.col("total") + F.col("vocab")))
     scored = (t.join(F.broadcast(freqs), ["lang", "tok"])
               .join(F.broadcast(totals), "lang")
               .select("doc_id", "lang",
-                      F.log((F.col("cnt") + 1.0) /
-                            (F.col("total") + F.col("vocab"))).alias("lp")))
+                      F.round(lp * 1e6, 0).cast("long").alias("lp_ppm")))
     per_doc = (scored.groupBy("doc_id", "lang")
-               .agg(F.round(-F.avg("lp"), 6).alias("ppl_score")))
-    w = Window.partitionBy("lang").orderBy("ppl_score", "doc_id")
+               .agg(F.sum("lp_ppm").alias("sum_ppm"),
+                    F.count(F.lit(1)).alias("n_toks"))
+               .select("doc_id", "lang",
+                       F.expr("((-sum_ppm) * 1000) DIV n_toks")
+                        .alias("score_nano"))
+               .withColumn("ppl_score",
+                           F.col("score_nano").cast("double") / F.lit(1e9)))
+    w = Window.partitionBy("lang").orderBy("score_nano", "doc_id")
     n = F.count(F.lit(1)).over(Window.partitionBy("lang"))
     r = F.row_number().over(w)
     return (per_doc
@@ -353,16 +368,17 @@ totals AS (SELECT lang, CAST(sum(cnt) AS DOUBLE) AS total,
            FROM freqs GROUP BY lang),
 per_doc AS (
   SELECT t.doc_id, t.lang,
-         round(-avg(ln((f.cnt + 1.0) / (tt.total + tt.vocab))), 6)
-           AS ppl_score
+         ((-sum(CAST(round(ln((f.cnt + 1.0) / (tt.total + tt.vocab)) * 1e6)
+                     AS BIGINT))) * 1000) // count(*) AS score_nano
   FROM toks t
   JOIN freqs f ON f.lang = t.lang AND f.tok = t.tok
   JOIN totals tt ON tt.lang = t.lang
   GROUP BY t.doc_id, t.lang),
 ranked AS (
-  SELECT doc_id, lang, ppl_score,
+  SELECT doc_id, lang,
+         CAST(score_nano AS DOUBLE) / 1e9 AS ppl_score,
          row_number() OVER (PARTITION BY lang
-                            ORDER BY ppl_score, doc_id) AS r,
+                            ORDER BY score_nano, doc_id) AS r,
          count(*) OVER (PARTITION BY lang) AS n
   FROM per_doc)
 SELECT doc_id, lang, ppl_score,

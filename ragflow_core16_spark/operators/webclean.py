@@ -1281,6 +1281,23 @@ FROM kept GROUP BY doc_id, site ORDER BY doc_id
 # plus one bounded shuffle (|hosts|·|templates| keys).
 _TRAP_MIN_D = 3   # ≥3 {d} segments ⇒ calendar-shaped url space
 
+# Hex run of length ≥ 8 that contains AT LEAST ONE a-f letter (round-2
+# ADVICE: a bare [0-9a-f]{8,} also swallowed pure-digit runs — large
+# doc_ids, 8-digit dates — turning {d} segments into {hex} and silently
+# undercounting calendar-trap digit segments).  No lookahead (DuckDB's
+# RE2 has none): enumerate the position p ∈ 0..7+ of the FIRST letter
+# with enough hex tail to reach total length 8; a greedy [0-9a-f]* then
+# extends each alternative to the end of the run.  Pure-digit runs match
+# no alternative and fall through to the [0-9]+ → {d} pass.
+_HEX_RUN_RE = ("(?:[a-f][0-9a-f]{7}"
+               "|[0-9][a-f][0-9a-f]{6}"
+               "|[0-9]{2}[a-f][0-9a-f]{5}"
+               "|[0-9]{3}[a-f][0-9a-f]{4}"
+               "|[0-9]{4}[a-f][0-9a-f]{3}"
+               "|[0-9]{5}[a-f][0-9a-f]{2}"
+               "|[0-9]{6}[a-f][0-9a-f]"
+               "|[0-9]{7}[0-9]*[a-f])[0-9a-f]*")
+
 
 def url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..session import ordered as _ordered
@@ -1309,11 +1326,12 @@ def url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
                            .cast("string"))).otherwise(F.lit(""))
     path = F.concat(F.lit("/"), sec, F.lit("/"), did, cal, sess, page)
     tmpl = F.regexp_replace(
-        F.regexp_replace(path, r"[0-9a-f]{8,}", "{hex}"),
+        F.regexp_replace(path, _HEX_RUN_RE, "{hex}"),
         r"[0-9]+", "{d}")
     t = d.select(_host_col().alias("host"), tmpl.alias("template"))
     n_d = F.size(F.split(F.col("template"), r"\{d\}")) - 1
     is_trap = (F.col("template").contains(";jsessionid={hex}")
+               | F.col("template").contains(";jsessionid={d}")
                | (n_d >= _TRAP_MIN_D))
     return (t.groupBy("host", "template")
             .agg(F.count(F.lit(1)).cast("int").alias("n_urls"))
@@ -1346,12 +1364,13 @@ WITH u AS (
   FROM documents),
 t AS (
   SELECT host,
-         regexp_replace(regexp_replace(path, '[0-9a-f]{{8,}}', '{{hex}}',
+         regexp_replace(regexp_replace(path, '{_HEX_RUN_RE}', '{{hex}}',
                                        'g'),
                         '[0-9]+', '{{d}}', 'g') AS template
   FROM u)
 SELECT host, template, CAST(count(*) AS INTEGER) AS n_urls,
        contains(template, ';jsessionid={{hex}}')
+         OR contains(template, ';jsessionid={{d}}')
          OR len(string_split(template, '{{d}}')) - 1 >= {_TRAP_MIN_D}
          AS is_trap
 FROM t GROUP BY host, template
