@@ -547,6 +547,14 @@ def dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle bounded by |docs|, and the label side — only docs that hit an
     LSH collision — is a vanishing fraction at 100 TB, so AQE broadcasts
     it)."""
+    return dedup_keep_decisions(spark, sf_dir).orderBy("doc_id")
+
+
+def dedup_keep_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_keep`` before presentation ordering — composition inputs
+    (``corpus_keep``/``web_keep``) join this relation; sorting it first
+    would add a full range exchange the join immediately re-partitions
+    away."""
     labels = _cluster_labels(spark, sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id")
     lab = labels.select(F.col("node").alias("doc_id"),
@@ -554,8 +562,7 @@ def dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id = F.coalesce(F.col("cl"), F.col("doc_id"))
     return (docs.join(lab, "doc_id", "left")
             .select("doc_id", cluster_id.alias("cluster_id"),
-                    (F.col("doc_id") == cluster_id).alias("kept"))
-            .orderBy("doc_id"))
+                    (F.col("doc_id") == cluster_id).alias("kept")))
 
 
 DEDUP_KEEP_SQL = _CLUSTERS_CTE + r"""

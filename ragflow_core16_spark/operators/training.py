@@ -102,6 +102,13 @@ ORDER BY lang, seq_id, doc_id
 
 
 def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_quality_decisions(spark, sf_dir).orderBy("doc_id")
+
+
+def repetition_quality_decisions(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """``repetition_quality`` before presentation ordering (composition
+    inputs join this — see ``webclean.corpus_keep``)."""
     d = (_docs(spark, sf_dir)
          .filter(F.length(F.trim("text")) > 0)
          .select("doc_id", F.split("text", " ").alias("w"),
@@ -138,8 +145,7 @@ def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                     top_word_frac.alias("top_word_frac"),
                     big.alias("top_bigram_char_frac"),
                     ((uniq_ratio >= 0.2) & (top_word_frac <= 0.2) &
-                     (big <= 0.2)).alias("gopher_pass"))
-            .orderBy("doc_id"))
+                     (big <= 0.2)).alias("gopher_pass")))
 
 
 REPETITION_QUALITY_SQL = r"""
@@ -201,6 +207,12 @@ _BENCH_MOD = 97
 
 
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontaminate_decisions(spark, sf_dir).orderBy("doc_id")
+
+
+def decontaminate_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``decontaminate`` before presentation ordering (composition inputs
+    join this — see ``webclean.corpus_keep``)."""
     n = _DECON_N
     d = (_docs(spark, sf_dir)
          .filter(F.length(F.trim("text")) > 0)
@@ -215,8 +227,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id", "gram").distinct())
     return (train.join(bench, "gram")
             .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_shared_grams"))
-            .orderBy("doc_id"))
+            .agg(F.count(F.lit(1)).alias("n_shared_grams")))
 
 
 DECONTAMINATE_SQL = rf"""
