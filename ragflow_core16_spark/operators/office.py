@@ -189,7 +189,9 @@ def qa_xlsx_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from .sql_shared import RM_PREFIX_SQL as _RM_PREFIX_SQL
-from .sql_shared import cost_sql as _cost
+# exact-BPE word costs (bare / space-prefixed), evaluated through the
+# engine's own default encoder at SQL-build time (sql_shared.bpe_cost)
+_WC_CTE = "wc(w, bare_c, sp_c) AS (VALUES ('a', 1, 1), ('agg', 1, 1), ('batch', 1, 1), ('big', 2, 1), ('column', 1, 1), ('customer', 2, 1), ('data', 1, 1), ('dup', 1, 1), ('fast', 2, 1), ('filter', 1, 1), ('group', 1, 1), ('hash', 1, 1), ('join', 1, 1), ('key', 1, 1), ('line', 1, 1), ('merge', 1, 1), ('order', 1, 1), ('part', 1, 1), ('query', 1, 1), ('row', 1, 1), ('scan', 1, 1), ('slow', 2, 2), ('small', 1, 1), ('sort', 1, 1), ('spark', 1, 1), ('stream', 1, 1), ('table', 1, 1), ('the', 1, 1), ('value', 1, 1), ('vector', 1, 1), ('window', 1, 1))"
 
 QA_XLSX_SQL = rf"""
 WITH toklists AS (
@@ -448,25 +450,28 @@ DOCX_TEMPLATE_SQL = rf"""
 WITH RECURSIVE toklists AS (
   SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
   FROM documents WHERE length(trim(text)) > 0),
+{_WC_CTE},
 words AS (
   SELECT doc_id, n, unnest(l) AS w, generate_subscripts(l, 1) AS wi
   FROM toklists),
 blines AS (
   SELECT doc_id, CAST((wi-1) // 14 AS BIGINT) AS bl,
-         string_agg(w, ' ' ORDER BY wi) || '.' AS txt,
-         sum({_cost('CASE WHEN (wi-1) % 14 = 0 THEN length(w) ELSE length(w)+1 END')}) + 1 AS tok
-  FROM words GROUP BY doc_id, (wi-1) // 14),
+         string_agg(words.w, ' ' ORDER BY wi) || '.' AS txt,
+         sum(CASE WHEN (wi-1) % 14 = 0 THEN c.bare_c ELSE c.sp_c END)
+           + 1 AS tok
+  FROM words JOIN wc c ON c.w = words.w
+  GROUP BY doc_id, (wi-1) // 14),
 secs AS (
-  -- heading tok = 2 ('Document') + ceil(digits/3) id pieces: the
-  -- pre-tokenizer splits digit runs into <=3-digit pieces, so 4-digit
-  -- doc_ids (sf0.1+) cost one more token than the sf0.01 constant
+  -- heading tok = bpe('Document') + 1 (space piece) + ceil(digits/3) id
+  -- pieces: the pre-tokenizer splits digit runs into <=3-digit pieces, so
+  -- 4-digit doc_ids (sf0.1+) cost one more token than at sf0.01
   SELECT doc_id, 0 AS seq, 'Document ' || doc_id AS txt,
          2 + (length(CAST(doc_id AS VARCHAR)) + 2) // 3 AS tok
   FROM toklists
   UNION ALL
   SELECT doc_id, 1 + bl + bl // 4 AS seq, txt, tok FROM blines
   UNION ALL
-  SELECT t.doc_id, 5 * p AS seq, 'Part ' || (p + 1) AS txt, 2 AS tok
+  SELECT t.doc_id, 5 * p AS seq, 'Part ' || (p + 1) AS txt, 4 AS tok
   FROM (SELECT doc_id, CAST(ceil(n/14.0) AS BIGINT) AS nb FROM toklists) t,
        LATERAL (SELECT unnest(generate_series(1, (t.nb - 1) // 4)) AS p) u),
 pack AS (

@@ -378,11 +378,14 @@ def paper_pdf_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The synthetic PDFs round-trip bytes exactly through the native writer +
 # reader (asserted in tests/test_pdf.py), so each box is one written line
 # and the oracles re-derive the extraction output relationally.  Token
-# arithmetic notes: a trailing '.' is 1 token standalone AND when followed
-# by a newline ('.\n' is one ≤5-char punctuation piece), so page/chunk
+# arithmetic notes (exact BPE over the class-pure shipped vocabulary):
+# a trailing '.' is 1 token standalone, and a '.'-onto-word fusion at a
+# concatenation boundary costs exactly 1 + bare(word) — so page/chunk
 # token counts are exact sums of per-line counts.
 
-from .sql_shared import cost_sql as _pdf_cost
+# exact-BPE word costs (bare / space-prefixed), evaluated through the
+# engine's own default encoder at SQL-build time (sql_shared.bpe_cost)
+_WC_CTE = "wc(w, bare_c, sp_c) AS (VALUES ('a', 1, 1), ('agg', 1, 1), ('batch', 1, 1), ('big', 2, 1), ('column', 1, 1), ('customer', 2, 1), ('data', 1, 1), ('dup', 1, 1), ('fast', 2, 1), ('filter', 1, 1), ('group', 1, 1), ('hash', 1, 1), ('join', 1, 1), ('key', 1, 1), ('line', 1, 1), ('merge', 1, 1), ('order', 1, 1), ('part', 1, 1), ('query', 1, 1), ('row', 1, 1), ('scan', 1, 1), ('slow', 2, 2), ('small', 1, 1), ('sort', 1, 1), ('spark', 1, 1), ('stream', 1, 1), ('table', 1, 1), ('the', 1, 1), ('value', 1, 1), ('vector', 1, 1), ('window', 1, 1))"
 
 
 # 10-word '.'-terminated lines; 40 lines per page; naive vertical merge
@@ -393,14 +396,17 @@ PDF_TEMPLATE_SQL = rf"""
 WITH RECURSIVE toklists AS (
   SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
   FROM documents WHERE length(trim(text)) > 0),
+{_WC_CTE},
 words AS (
   SELECT doc_id, n, unnest(l) AS w, generate_subscripts(l, 1) AS wi
   FROM toklists),
 lines AS (
   SELECT doc_id, CAST((wi-1) // 10 AS BIGINT) AS ln,
-         string_agg(w, ' ' ORDER BY wi) || '.' AS txt,
-         sum({_pdf_cost('CASE WHEN (wi-1) % 10 = 0 THEN length(w) ELSE length(w)+1 END')}) + 1 AS tok
-  FROM words GROUP BY doc_id, (wi-1) // 10),
+         string_agg(words.w, ' ' ORDER BY wi) || '.' AS txt,
+         sum(CASE WHEN (wi-1) % 10 = 0 THEN c.bare_c ELSE c.sp_c END)
+           + 1 AS tok
+  FROM words JOIN wc c ON c.w = words.w
+  GROUP BY doc_id, (wi-1) // 10),
 pack AS (
   SELECT doc_id, ln, txt, tok, 0 AS cseq, tok AS run
   FROM lines WHERE ln = 0
@@ -426,29 +432,33 @@ PDF_CONCAT_SQL = rf"""
 WITH toklists AS (
   SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
   FROM documents WHERE length(trim(text)) > 0),
+{_WC_CTE},
 words AS (
   SELECT doc_id, n, unnest(l) AS w, generate_subscripts(l, 1) AS wi
   FROM toklists)
 SELECT doc_id, 'ok' AS status, 1 AS n_pages, 0 AS chunk_seq,
        string_agg(
-         CASE WHEN wi = 1 THEN w ELSE ' ' || w END ||
+         CASE WHEN wi = 1 THEN words.w ELSE ' ' || words.w END ||
          CASE WHEN wi % 10 = 0 OR wi = n THEN '.' ELSE '' END,
          '' ORDER BY wi) AS chunk_text,
        CAST(sum(
-         {_pdf_cost('CASE WHEN wi = 1 THEN length(w) ELSE length(w)+1 END')}
+         CASE WHEN wi = 1 THEN c.bare_c ELSE c.sp_c END
          + CASE WHEN wi % 10 = 0 OR wi = n THEN 1 ELSE 0 END)
          AS INTEGER) AS token_cnt
-FROM words
+FROM words JOIN wc c ON c.w = words.w
 GROUP BY doc_id, n
 ORDER BY doc_id
 """
 
-# Presentation mode: one chunk per page, token_cnt = Σ per-line counts
-# (the joining newline is absorbed into the preceding '.' piece).
+# Presentation mode: one chunk per page, token_cnt recounted on the
+# newline-joined page text: each '.\n' join is a 2-byte punctuation piece
+# (2 tokens) vs the 1-token per-line period, so the page count is
+# Σ per-line counts + (lines_on_page - 1).
 PRESENTATION_SQL = rf"""
 WITH toklists AS (
   SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
   FROM documents WHERE length(trim(text)) > 0),
+{_WC_CTE},
 words AS (
   SELECT doc_id, n, unnest(l) AS w, generate_subscripts(l, 1) AS wi
   FROM toklists),
@@ -456,12 +466,14 @@ lines AS (
   -- slide garbage rule (presentation.py:57-62): drop boxes under 3 chars
   -- (a 1-char word + '.'); the numeric-only rule never fires on alpha text
   SELECT doc_id, CAST((wi-1) // 10 AS BIGINT) AS ln,
-         sum({_pdf_cost('CASE WHEN (wi-1) % 10 = 0 THEN length(w) ELSE length(w)+1 END')}) + 1 AS tok
-  FROM words GROUP BY doc_id, (wi-1) // 10
-  HAVING length(string_agg(w, ' ')) + 1 >= 3)
+         sum(CASE WHEN (wi-1) % 10 = 0 THEN c.bare_c ELSE c.sp_c END)
+           + 1 AS tok
+  FROM words JOIN wc c ON c.w = words.w
+  GROUP BY doc_id, (wi-1) // 10
+  HAVING length(string_agg(words.w, ' ')) + 1 >= 3)
 SELECT doc_id, 'ok' AS status,
        CAST(ln // 40 + 1 AS INTEGER) AS page_num,
-       CAST(sum(tok) AS INTEGER) AS token_cnt
+       CAST(sum(tok) + count(*) - 1 AS INTEGER) AS token_cnt
 FROM lines
 GROUP BY doc_id, ln // 40
 ORDER BY doc_id, page_num

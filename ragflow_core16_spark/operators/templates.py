@@ -426,20 +426,21 @@ words AS (
   SELECT doc_id, unnest(l) AS w, generate_subscripts(l, 1) AS wi
   FROM toklists)"""
 
-_cost = _cost_shared
+# exact-BPE word costs (bare / space-prefixed), evaluated through the
+# engine's own default encoder at SQL-build time (sql_shared.bpe_cost)
+_WC_CTE = "wc(w, bare_c, sp_c) AS (VALUES ('a', 1, 1), ('agg', 1, 1), ('batch', 1, 1), ('big', 2, 1), ('column', 1, 1), ('customer', 2, 1), ('data', 1, 1), ('dup', 1, 1), ('fast', 2, 1), ('filter', 1, 1), ('group', 1, 1), ('hash', 1, 1), ('join', 1, 1), ('key', 1, 1), ('line', 1, 1), ('merge', 1, 1), ('order', 1, 1), ('part', 1, 1), ('query', 1, 1), ('row', 1, 1), ('scan', 1, 1), ('slow', 2, 2), ('small', 1, 1), ('sort', 1, 1), ('spark', 1, 1), ('stream', 1, 1), ('table', 1, 1), ('the', 1, 1), ('value', 1, 1), ('vector', 1, 1), ('window', 1, 1))"
 
 
 TXT_TEMPLATE_SQL = rf"""
 WITH RECURSIVE {_WORDS_CTE},
-wcost AS (
-  SELECT doc_id, wi, w, (wi-1) // 12 AS line_num,
-         CASE WHEN (wi-1) % 12 = 0 THEN length(w) ELSE length(w)+1 END AS plen
-  FROM words),
+{_WC_CTE},
 lines AS (
-  SELECT doc_id, CAST(line_num AS INTEGER) AS line_num,
-         string_agg(w, ' ' ORDER BY wi) || '.' AS line_text,
-         sum({_cost('plen')}) + 1 AS tok
-  FROM wcost GROUP BY doc_id, line_num),
+  SELECT doc_id, CAST((wi-1) // 12 AS INTEGER) AS line_num,
+         string_agg(words.w, ' ' ORDER BY wi) || '.' AS line_text,
+         sum(CASE WHEN (wi-1) % 12 = 0 THEN c.bare_c ELSE c.sp_c END)
+           + 1 AS tok
+  FROM words JOIN wc c ON c.w = words.w
+  GROUP BY doc_id, (wi-1) // 12),
 pack AS (
   SELECT doc_id, line_num, line_text, tok, 0 AS chunk_seq, tok AS run
   FROM lines WHERE line_num = 0
@@ -582,26 +583,30 @@ ORDER BY doc_id
 # Email: two chained greedy packs — TxtParser.parser_txt over
 # [5 header lines split on ';' + plain-payload lines] (pass 1), then
 # naive_merge over [pass-1 chunks + HTML title + <p> sections] (pass 2).
-# Header token counts are constants (digit runs of 1-3 chars are one piece);
-# the one concatenation fusion ('...example.comTo:...' merges 'com'+'To'
-# into a single 5-char piece) costs exactly -1 token on the chunk that
-# carries all six header sections.
+# Header token counts are exact-BPE constants evaluated at SQL-build time
+# (digit runs still cost ceil(len/3)); pass 2 RECOUNTS each pass-1 chunk,
+# whose headers concatenated without separator — the two letter-letter
+# junction fusions ('com'+'To', 'com'+'Subject') carry encoder-derived
+# deltas, every other junction is punct/digit-separated and exactly zero
+# under the class-pure vocabulary.
 EMAIL_TEMPLATE_SQL = rf"""
 WITH RECURSIVE toklists AS (
   SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
   FROM documents WHERE length(trim(text)) > 0),
+{_WC_CTE},
 words AS (
   SELECT doc_id, n, n // 2 AS half, unnest(l) AS w,
          generate_subscripts(l, 1) AS wi
   FROM toklists),
 plines AS (
   SELECT doc_id, CAST((wi-1) // 12 AS BIGINT) AS ln,
-         string_agg(w, ' ' ORDER BY wi) || '.' AS txt,
-         sum({_cost('CASE WHEN (wi-1) % 12 = 0 THEN length(w) ELSE length(w)+1 END')}) + 1 AS tok
+         string_agg(words.w, ' ' ORDER BY wi) || '.' AS txt,
+         sum(CASE WHEN (wi-1) % 12 = 0 THEN c.bare_c ELSE c.sp_c END) + 1 AS tok
   -- lines start at word 1, 13, 25… while the START is within the plain
   -- half, but each line slices 12 words from the FULL word list (the
   -- builder's words[i:i+12] is not capped at half)
-  FROM words WHERE ((wi-1) // 12) * 12 + 1 <= half
+  FROM words JOIN wc c ON c.w = words.w
+  WHERE ((wi-1) // 12) * 12 + 1 <= half
   GROUP BY doc_id, (wi-1) // 12),
 s1 AS (
   SELECT d.doc_id, h.seq,
@@ -620,7 +625,7 @@ s1 AS (
                       THEN (length(CAST(d.doc_id AS VARCHAR)) + 2) // 3 - 1
                       ELSE 0 END AS tok
   FROM (SELECT DISTINCT doc_id FROM toklists) d,
-       (VALUES (0, 11), (1, 9), (2, 7), (3, 8), (4, 12), (5, 6)) h(seq, tok)
+       (VALUES (0, 12), (1, 7), (2, 8), (3, 12), (4, 10), (5, 5)) h(seq, tok)
   UNION ALL
   SELECT doc_id, 6 + ln, txt, tok FROM plines),
 pack1 AS (
@@ -634,18 +639,19 @@ pack1 AS (
 c1 AS (
   SELECT doc_id, cseq,
          string_agg(txt, '' ORDER BY seq) AS txt,
-         sum(tok) - CASE WHEN cseq = 0 THEN 1 ELSE 0 END AS tok
+         sum(tok) + CASE WHEN cseq = 0 THEN 0 ELSE 0 END AS tok
   FROM pack1 GROUP BY doc_id, cseq),
 hparas AS (
   SELECT doc_id, CAST((wi - half - 1) // 12 AS BIGINT) AS ln,
-         string_agg(w, ' ' ORDER BY wi) || '.' AS txt,
-         sum({_cost('CASE WHEN (wi-half-1) % 12 = 0 THEN length(w) ELSE length(w)+1 END')}) + 1 AS tok
-  FROM words WHERE wi > half GROUP BY doc_id, (wi - half - 1) // 12),
+         string_agg(words.w, ' ' ORDER BY wi) || '.' AS txt,
+         sum(CASE WHEN (wi-half-1) % 12 = 0 THEN c.bare_c ELSE c.sp_c END) + 1 AS tok
+  FROM words JOIN wc c ON c.w = words.w
+  WHERE wi > half GROUP BY doc_id, (wi - half - 1) // 12),
 s2raw AS (
   SELECT doc_id, 0 AS ph, cseq AS k, txt, tok FROM c1
   UNION ALL
   SELECT doc_id, 1 AS ph, 0 AS k, 'Doc ' || doc_id AS txt,
-         1 + (length(CAST(doc_id AS VARCHAR)) + 2) // 3 AS tok
+         2 + (length(CAST(doc_id AS VARCHAR)) + 2) // 3 AS tok
   FROM toklists
   UNION ALL
   SELECT doc_id, 2 AS ph, ln AS k, txt, tok FROM hparas),
@@ -672,20 +678,23 @@ ORDER BY doc_id, chunk_seq
 # Markdown: the sectioner fuses each heading with every following line
 # until the next heading (the '#'-absorb rule applies repeatedly), so
 # sections are per-heading blocks; the last block carries the two blank
-# lines left behind by the extracted pipe table ('\n\n' = one 1-token
-# piece).  The rendered <table> html is one trailing chunk.
+# lines left behind by the extracted pipe table ('\n\n' = one piece of
+# 2 newline bytes = 2 tokens under the class-pure vocabulary).  The
+# rendered <table> html is one trailing chunk.
 MARKDOWN_TEMPLATE_SQL = rf"""
 WITH RECURSIVE toklists AS (
   SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
   FROM documents WHERE length(trim(text)) > 0),
+{_WC_CTE},
 words AS (
   SELECT doc_id, n, unnest(l) AS w, generate_subscripts(l, 1) AS wi
   FROM toklists),
 paras AS (
   SELECT doc_id, CAST((wi-1) // 20 AS BIGINT) AS pi,
-         string_agg(w, ' ' ORDER BY wi) AS txt,
-         sum({_cost('CASE WHEN (wi-1) % 20 = 0 THEN length(w) ELSE length(w)+1 END')}) AS ptok
-  FROM words GROUP BY doc_id, (wi-1) // 20),
+         string_agg(words.w, ' ' ORDER BY wi) AS txt,
+         sum(CASE WHEN (wi-1) % 20 = 0 THEN c.bare_c ELSE c.sp_c END) AS ptok
+  FROM words JOIN wc c ON c.w = words.w
+  GROUP BY doc_id, (wi-1) // 20),
 grps AS (
   SELECT doc_id, pi // 3 AS g,
          string_agg(chr(10) || txt, '' ORDER BY pi) AS body,
@@ -697,8 +706,10 @@ secs AS (
          CASE WHEN g = 0 THEN '# Document ' || doc_id
               ELSE '## Part ' || g END || body ||
          CASE WHEN g = glast THEN chr(10) || chr(10) ELSE '' END AS txt,
-         CASE WHEN g = 0 THEN 5 ELSE 3 END + btok +
-         CASE WHEN g = glast THEN 1 ELSE 0 END AS tok
+         CASE WHEN g = 0 THEN 5 - 1
+                + (length(CAST(doc_id AS VARCHAR)) + 2) // 3
+              ELSE 6 END + btok +
+         CASE WHEN g = glast THEN 2 ELSE 0 END AS tok
   FROM grps),
 pack AS (
   SELECT doc_id, seq, txt, tok, 0 AS cseq, tok AS run
@@ -731,23 +742,28 @@ ORDER BY doc_id, chunk_seq
 # object, 8+len(key)+len(text) when appended; a subtree whose entry size
 # 8+dk+L >= 512 - current closes the chunk.  The resulting JSON strings
 # then go through the 256-token greedy merge; their token counts follow
-# the fitted skeleton constants (chunk0 = 26 + Σ(5 + para tokens),
-# later chunks = 5 + Σ(5 + para tokens)) — asserted against the real
-# counter for every sf0.01 document.
+# skeleton constants solved from two encoder probes (single- and
+# two-entry JSON shapes): per-entry skeleton S2=8, later-chunk base
+# 8, chunk-0 base 45 (+digit-group corrections for doc_id and
+# n_words), each entry's first word fused with its opening quote
+# (1 + bare cost — exact under the class-pure vocabulary).
 JSON_TEMPLATE_SQL = rf"""
 WITH RECURSIVE toklists AS (
   SELECT doc_id, string_split(text, ' ') AS l, len(string_split(text, ' ')) AS n
   FROM documents WHERE length(trim(text)) > 0),
+{_WC_CTE},
 words AS (
   SELECT doc_id, n, unnest(l) AS w, generate_subscripts(l, 1) AS wi
   FROM toklists),
 paras AS (
   SELECT doc_id, CAST((wi-1) // 15 AS BIGINT) AS k,
-         string_agg(w, ' ' ORDER BY wi) AS txt,
-         sum({_cost('CASE WHEN (wi-1) % 15 = 0 THEN length(w) ELSE length(w)+1 END')}) AS ptok,
-         length(string_agg(w, ' ' ORDER BY wi)) AS plen,
+         string_agg(words.w, ' ' ORDER BY wi) AS txt,
+         sum(CASE WHEN (wi-1) % 15 = 0 THEN 1 + c.bare_c ELSE c.sp_c END)
+           AS ptok,
+         length(string_agg(words.w, ' ' ORDER BY wi)) AS plen,
          length(CAST((wi-1) // 15 AS VARCHAR)) AS dk
-  FROM words GROUP BY doc_id, (wi-1) // 15),
+  FROM words JOIN wc c ON c.w = words.w
+  GROUP BY doc_id, (wi-1) // 15),
 base AS (
   SELECT doc_id, 48 + length(CAST(doc_id AS VARCHAR)) +
          length(CAST(n AS VARCHAR)) AS b
@@ -770,7 +786,10 @@ jchunks AS (
          ELSE '{{"paragraphs": {{' END ||
          string_agg('"' || k || '": "' || txt || '"', ', ' ORDER BY k)
          || '}}}}' AS txt,
-         CASE WHEN cj = 0 THEN 26 ELSE 5 END + sum(5 + ptok) AS tok
+         CASE WHEN cj = 0 THEN 45
+                + (length(CAST(doc_id AS VARCHAR)) + 2) // 3 - 1
+                + (length(CAST(any_value(n) AS VARCHAR)) + 2) // 3 - 1
+              ELSE 8 END + sum(8 + ptok) AS tok
   FROM (SELECT c.*, t.n FROM cpack c JOIN toklists t ON t.doc_id = c.doc_id)
   GROUP BY doc_id, cj),
 pack AS (

@@ -59,10 +59,27 @@ def load_vocab(path: str) -> dict[bytes, int]:
 class BpeEncoder:
     def __init__(self, ranks: dict[bytes, int]):
         self.ranks = ranks
+        # piece -> token count memo: corpus text is Zipf-distributed, so
+        # the hot path of count() is a dict hit per pre-tokenizer piece
+        # (bounded — reset rather than evict when full, which keeps the
+        # common pieces that immediately repopulate it)
+        self._cache: dict[str, int] = {}
 
     def count(self, text: str) -> int:
-        return sum(len(self.encode_piece(m.group(0).encode("utf-8")))
-                   for m in _PRETOK.finditer(text))
+        cache = self._cache
+        get = cache.get
+        n = 0
+        # findall: no match objects allocated (pattern has no capture
+        # groups, so it yields the full pieces directly)
+        for p in _PRETOK.findall(text):
+            v = get(p)
+            if v is None:
+                v = len(self.encode_piece(p.encode("utf-8")))
+                if len(cache) >= 200_000:
+                    cache.clear()
+                cache[p] = v
+            n += v
+        return n
 
     def encode_piece(self, piece: bytes) -> list[bytes]:
         """Token byte-sequences for one pre-tokenized piece (for tests)."""
@@ -89,6 +106,28 @@ def encoder_from_env() -> BpeEncoder | None:
     if not path:
         return None
     return BpeEncoder(load_vocab(path))
+
+
+# the shipped default vocabulary (trained by tools/train_vocab.py on the
+# repo's committed documentation: class-pure letter merges + all 1-3-digit
+# tokens, cl100k's structural design).  RAG_TIKTOKEN_VOCAB overrides it
+# with a real cl100k_base.tiktoken dump at deployment.
+_default: tuple[str, BpeEncoder] | None = None
+
+
+def default_encoder() -> BpeEncoder:
+    """Process-wide encoder over RAG_TIKTOKEN_VOCAB if set, else the
+    shipped ranks file.  Cached per resolved path, so flipping the env
+    var mid-process re-routes.  Raises (FileNotFoundError/ValueError)
+    only if the resolved file is unreadable — the caller decides the
+    fallback."""
+    global _default
+    import os
+    path = os.environ.get("RAG_TIKTOKEN_VOCAB") or os.path.join(
+        os.path.dirname(__file__), "assets", "webspark_bpe.tiktoken")
+    if _default is None or _default[0] != path:
+        _default = (path, BpeEncoder(load_vocab(path)))
+    return _default[1]
 
 
 def vocab_from_merges(merges: list[tuple]) -> dict[bytes, int]:

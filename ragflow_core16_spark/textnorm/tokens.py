@@ -1,24 +1,32 @@
 """Deterministic token counting for chunk budgeting.
 
 Reference: ``rag/utils/__init__.py:77-90`` uses tiktoken's ``cl100k_base``
-encoding for ``num_tokens_from_string``.  tiktoken (and its vocabulary file)
-is not available in this environment, so this module implements a
-deterministic, pure-Python counter that mirrors cl100k's *pre-tokenizer*
-split (the public regex from the tiktoken source) and estimates per-piece
-token counts from byte length.  The chunk-boundary *algorithm* (close-late
-rule, ``naive_merge``) is reproduced exactly; the counts feeding it come
-from this counter.  Swapping in real tiktoken at deployment is a one-line
-change (`set_counter`).
+encoding for ``num_tokens_from_string``.  The DEFAULT here is the real
+thing: tiktoken's exact byte-level BPE algorithm (``textnorm/bpe.py`` —
+cl100k pre-tokenizer regex + lowest-rank-first merge loop) over a shipped
+ranks file.  Resolution order:
 
-Why not ship the cl100k vocab: it is a 1.6 MB external artifact fetched at
-runtime by tiktoken — the same class of stripped asset as the reference's
-``huqie.txt`` trie (see SURVEY.md §0).  The per-url extracted *text* bytes —
-the north-rule invariant — do not depend on token counts; only chunk
-boundaries do, and those are deterministic given this counter.
+1. ``RAG_TIKTOKEN_VOCAB`` — a genuine ``cl100k_base.tiktoken`` dump (or
+   any .tiktoken ranks file); with it, counts match tiktoken
+   byte-for-byte.  The cl100k file itself is a ~1.6 MB runtime-fetched
+   artifact (the same class of stripped asset as the reference's
+   ``huqie.txt``), so it cannot ship from this sandbox — but everything
+   about the loader is ready for it.
+2. The shipped default vocabulary
+   (``textnorm/assets/webspark_bpe.tiktoken``), trained by
+   ``tools/train_vocab.py`` with cl100k's structural design (all
+   1-3-digit strings are single tokens; merges never cross letter /
+   digit / punctuation / whitespace classes).
+3. ``RAG_TOKEN_APPROX=1`` (or an unreadable ranks file) falls back to the
+   round-1/2 chars-per-token approximation kept below.
 
-Performance: called per section inside Arrow-batched UDFs.  The regex is
-compiled once per process; counting is O(len).  A 128-token budget means
-sections are short, so this is not the bottleneck (the DOM parse is).
+The per-url extracted *text* bytes — the north-rule invariant — do not
+depend on token counts; chunk boundaries do, and they are deterministic
+given whichever counter is active.
+
+Performance: called per section inside Arrow-batched UDFs.  The encoder
+memoizes per-piece counts (Zipf text ⇒ dict hit per piece), so the hot
+path is the pre-tokenizer regex scan, same as the approximation.
 """
 
 from __future__ import annotations
@@ -78,12 +86,17 @@ def _count_native(s: str) -> int:
 
 
 def _default_counter():
-    """Real BPE when a vocab file is provided (RAG_TIKTOKEN_VOCAB, the
-    standard .tiktoken dump — see textnorm/bpe.py), else the documented
-    native approximation."""
-    from .bpe import encoder_from_env
-    enc = encoder_from_env()
-    return enc.count if enc is not None else _count_native
+    """Exact BPE by default: RAG_TIKTOKEN_VOCAB if set, else the shipped
+    ranks file; the chars/token approximation only on explicit request
+    (RAG_TOKEN_APPROX=1) or if no ranks file is readable."""
+    import os
+    if os.environ.get("RAG_TOKEN_APPROX"):
+        return _count_native
+    try:
+        from .bpe import default_encoder
+        return default_encoder().count
+    except Exception:
+        return _count_native
 
 
 # resolved lazily on first use so RAG_TIKTOKEN_VOCAB set after import (the
