@@ -271,6 +271,91 @@ def pages_from_documents(spark: SparkSession, sf_dir: str,
     return docs.select("doc_id", "text", "lang").mapInPandas(gen, PAGES_SCHEMA)
 
 
+def hostile_page(doc_id: int, text: str, seed: int = 42):
+    """Adversarial-markup twin of ``document_page``: SAME derivable title
+    and paragraphs (``doc_page_fields``), wrapped in hostile real-world
+    constructs the extractor must survive WITHOUT changing one output
+    byte — the e2e oracle is therefore literally the clean-pages oracle:
+
+      * an HTML comment containing markup (``<!-- <p>fake…</p> -->``);
+      * a CDATA-wrapped script body carrying fake paragraphs;
+      * a tables-in-tables link farm (link density 1 → stripped, as
+        readability-0.8.1 kills link-heavy blocks);
+      * a definition list of nav links (boilerplate, stripped);
+      * entity soup and a 'read more' teaser in an ad div (unlikely
+        class → stripped before scoring);
+      * inline SVG with no text content inside the article;
+      * mis-nesting in the article itself: an unclosed ``<b>`` in one
+        paragraph, a stray ``</i>`` in another, unquoted attributes on
+        the content div, duplicate attributes on a ``<p>``.
+
+    Every hostile block is either outside the winning candidate or
+    text-free inside it, so 0.8.1 semantics leave the extraction output
+    byte-identical to the clean page's."""
+    url, ts, title, paras = doc_page_fields(doc_id, text or "", seed)
+    # deterministic per-paragraph mutation choice (md5-keyed like every
+    # output-reaching choice — but none of these REACH the output)
+    ps = []
+    for i, p in enumerate(paras):
+        kind = _md5i(f"{seed}:hk:{doc_id}:{i}") % 4
+        if kind == 0:
+            # unclosed <b> mid-paragraph (0.8.1 text extraction is
+            # tag-insensitive for inline elements)
+            half = len(p) // 2
+            sp = p.rfind(" ", 0, half)
+            if sp > 0:
+                p = p[:sp] + " <b>" + p[sp + 1:]
+        elif kind == 1:
+            p = p + "</i>"                     # stray close tag
+            ps.append(f"<p data-x=1 data-x=2>{p}</p>")
+            continue
+        elif kind == 2:
+            ps.append(f"<p class=txt>{p}</p>"  # unquoted attr + comment
+                      f"<!-- <p>fake paragraph {i} should never "
+                      f"surface</p> -->")
+            continue
+        ps.append(f"<p>{p}</p>")
+    body = "".join(ps)
+    farm = ("<table><tr><td><table><tr><td>"
+            + "".join(f'<a href="/t{j}">trap {j}</a> ' for j in range(12))
+            + "</td></tr></table></td></tr></table>")
+    dl = ("<dl><dt>Nav</dt>"
+          + "".join(f'<dd><a href="/d{j}">link {j}</a></dd>'
+                    for j in range(6)) + "</dl>")
+    ad = ('<div class="ad">&amp;&lt;&gt;&#65;&nbsp;'
+          '<a href="/more">read&nbsp;more&hellip;</a></div>')
+    script = ('<script>/*<![CDATA[*/ var fake = "<p>cdata paragraph '
+              'must not leak</p>"; /*]]>*/</script>')
+    svg = ('<svg viewBox="0 0 10 10"><path d="M0 0L10 10"/>'
+           '<circle cx=5 cy=5 r=2/></svg>')
+    html_s = (f"<html><head><title>{title}</title>{script}</head><body>"
+              f'<div class="nav">{dl}</div>{farm}{ad}'
+              f"<div class=content id=main>{svg}{body}</div>"
+              f"</body></html>")
+    return url, ts, html_s.encode("utf-8")
+
+
+def hostile_pages_from_documents(spark: SparkSession, sf_dir: str,
+                                 seed: int = 42) -> DataFrame:
+    """Adversarial-markup pages keyed 1:1 to documents.parquet — the
+    extraction output must be byte-identical to ``pages_from_documents``'s
+    (see ``hostile_page``)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text, lang in zip(pdf["doc_id"], pdf["text"],
+                                          pdf["lang"]):
+                url, ts, html = hostile_page(int(doc_id), text, seed)
+                out.append((url, ts, html, text, lang))
+            yield pd.DataFrame(
+                out, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(gen,
+                                                             PAGES_SCHEMA)
+
+
 def captures_from_documents(spark: SparkSession, sf_dir: str,
                             seed: int = 42) -> DataFrame:
     """Re-crawl corpus: every url appears ``1 + md5i(f"{seed}:ncap:{doc}")

@@ -81,6 +81,26 @@ def q_extract_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(_ordered("url", "chunk_seq")))
 
 
+def q_extract_hostile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial-markup robustness, oracle-pinned to the CLEAN pages
+    derivation: ``hostile_pages_from_documents`` wraps the same derivable
+    title/paragraphs in hostile constructs (markup inside comments, CDATA
+    script bodies, tables-in-tables link farms, definition-list navs,
+    entity soup, inline SVG, mis-nested/unquoted/duplicate-attribute
+    tags — see ``datagen/pages.py::hostile_page``), and the oracle is
+    LITERALLY ``EXTRACT_PAGES_SQL``: under readability-0.8.1 semantics
+    none of it may move a single output byte, so any parser wobble breaks
+    the value hash."""
+    from ..datagen.pages import hostile_pages_from_documents
+    from ..operators.extract import extract_pages
+    _tune(spark)
+    return (extract_pages(hostile_pages_from_documents(spark, sf_dir,
+                                                       seed=_SEED))
+            .select("url", "lang", "status", "title", "n_sections",
+                    "n_chunks", "n_tokens")
+            .transform(_ordered("url")))
+
+
 def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-crawl collapse then extraction: every url carries 1-3 captures
     (``captures_from_documents``); keep ONLY the newest before parsing.
@@ -348,6 +368,7 @@ ORDER BY m.url
 
 QUERIES = {
     "extract_pages_e2e": (q_extract_pages, EXTRACT_PAGES_SQL),
+    "extract_hostile_e2e": (q_extract_hostile, EXTRACT_PAGES_SQL),
     "latest_capture_extract": (q_latest_capture, LATEST_CAPTURE_SQL),
     "extract_chunks_e2e": (q_extract_chunks, EXTRACT_CHUNKS_SQL),
     "extract_book_template": (q_extract_book, EXTRACT_BOOK_SQL),
