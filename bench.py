@@ -327,12 +327,116 @@ memory-bandwidth ceiling of the one physical box.
                       "one_group": a, "two_groups": results}))
 
 
+def one_run_cluster(n_exec: int, cores: int, mem_mb: int) -> None:
+    """One extraction measurement on Spark's multi-JVM local cluster:
+    ``local-cluster[n, c, m]`` spawns n REAL Worker/Executor JVMs — real
+    inter-process shuffle, serialization, and per-executor Python worker
+    pools — the closest a single box gets to a genuine cluster."""
+    import pyspark
+    os.environ.setdefault("SPARK_HOME",
+                          os.path.dirname(pyspark.__file__))
+    from ragflow_core16_spark.session import get_spark
+    spark = get_spark(
+        f"local-cluster[{n_exec},{cores},{mem_mb}]",
+        app_name=f"bench-cluster[{n_exec}x{cores}]",
+        extra_conf={
+            "spark.executor.memory": f"{mem_mb - 512}m",
+            "spark.executorEnv.PYTHONPATH": REPO,
+            "spark.sql.shuffle.partitions": str(max(n_exec * cores, 8)),
+            "spark.ui.enabled": "false",
+        })
+    spark.sparkContext.setLogLevel("ERROR")
+    extraction_run(spark, "/root/testdata/sf0.001")  # warm-up
+    r = extraction_run(spark, SF_DIR)
+    r["executors"] = n_exec
+    r["cores_per_executor"] = cores
+    print("ONE_RUN_JSON:" + json.dumps(r))
+    spark.stop()
+
+
+def scaling_cluster() -> None:
+    """North-rule N→4N evidence on REAL multi-JVM executors
+    (``local-cluster``): level A = 1 executor JVM, level B = 4 executor
+    JVMs (same cores each), each level CPU-pinned to exactly its total
+    core budget, same deterministic input, output hash compared.  Unlike
+    ``--scaling`` (threads in one JVM) and ``--scaling-groups``
+    (independent JVMs on disjoint inputs), this pair exercises real
+    executor registration, inter-process shuffle and Arrow transfer to
+    per-executor Python worker pools."""
+    import shutil as _sh
+    env = {**os.environ}
+    env.setdefault("SPARK_GRAFT_BENCH_DOCS", "60000")
+    env.setdefault("SPARK_GRAFT_BENCH_PASSES", "2")
+    cores = int(os.environ.get("SPARK_GRAFT_CLUSTER_CORES", "4"))
+    mem = int(os.environ.get("SPARK_GRAFT_CLUSTER_MEM_MB", "4096"))
+    lo, hi = (int(x) for x in os.environ.get(
+        "SPARK_GRAFT_CLUSTER_EXECUTORS", "1,4").split(","))
+    runs = {}
+    for n_exec in (lo, hi):
+        cmd = [sys.executable, __file__, "--one-run-cluster",
+               str(n_exec), str(cores), str(mem)]
+        if _sh.which("taskset"):
+            # pin driver + master + all worker JVMs + python workers to
+            # exactly the level's core budget (children inherit affinity)
+            cmd = ["taskset", "-c", f"0-{n_exec * cores - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        line = next(l for l in out.stdout.splitlines()
+                    if l.startswith("ONE_RUN_JSON:"))
+        runs[n_exec] = json.loads(line[len("ONE_RUN_JSON:"):])
+    a, b = runs[lo], runs[hi]
+    eff = (b["docs_per_sec"] / a["docs_per_sec"]) / (hi / lo)
+    hash_equal = a["output_hash"] == b["output_hash"]
+    md = f"""
+
+## Real multi-JVM executor scaling (local-cluster[{lo}|{hi},{cores},{mem}])
+
+Spark's multi-JVM local cluster: every executor is a SEPARATE Worker
+JVM — real executor registration, real inter-process shuffle blocks,
+real Arrow streams into per-executor Python worker pools.  Level A =
+{lo} executor, level B = {hi} executors ({cores} cores each), each level
+taskset-pinned to its total core budget, {a['docs']} docs, identical
+input bytes.
+
+| metric | {lo} executor ({lo * cores} cores) | {hi} executors ({hi * cores} cores) | efficiency |
+|---|---|---|---|
+| wall sec | {a['wall_sec']} | {b['wall_sec']} | — |
+| docs/sec | {a['docs_per_sec']} | {b['docs_per_sec']} | {eff:.3f} |
+| extracted MB/sec | {a['mb_per_sec']} | {b['mb_per_sec']} | — |
+| output hash identical | — | — | {'YES' if hash_equal else 'NO — INVESTIGATE'} ({a['output_hash']}) |
+
+efficiency = (docs_per_sec_B / docs_per_sec_A) / ({hi}/{lo}) = {eff:.3f}
+(target ≥ 0.8 per BASELINE.json)
+"""
+    path = f"{REPO}/BENCH/BASELINE.md"
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    # replace any previous local-cluster section, keep everything else
+    if os.path.exists(path):
+        prev = open(path).read()
+        idx = prev.find("## Real multi-JVM executor scaling")
+        if idx >= 0:
+            end = prev.find("\n## ", idx + 10)
+            prev = prev[:idx].rstrip("\n") + (prev[end:] if end >= 0
+                                              else "\n")
+        open(path, "w").write(prev + md)
+    else:
+        open(path, "w").write(md)
+    print(json.dumps({"cluster_efficiency": round(eff, 3),
+                      "hash_equal": hash_equal,
+                      f"exec{lo}": a, f"exec{hi}": b}))
+
+
 if __name__ == "__main__":
     if "--one-run" in sys.argv:
         one_run(int(sys.argv[sys.argv.index("--one-run") + 1]))
+    elif "--one-run-cluster" in sys.argv:
+        i = sys.argv.index("--one-run-cluster")
+        one_run_cluster(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
+                        int(sys.argv[i + 3]))
     elif "--scaling" in sys.argv:
         scaling()
     elif "--scaling-groups" in sys.argv:
         scaling_groups()
+    elif "--scaling-cluster" in sys.argv:
+        scaling_cluster()
     else:
         print(json.dumps(default_bench()))

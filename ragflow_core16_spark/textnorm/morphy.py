@@ -18,7 +18,7 @@ morphy only.  That algorithm (public, from WordNet's morphy and NLTK's
     (``min(lemmas, key=len)``), or the word itself when none validate.
 
 The algorithm is exact; the WordNet lexicon itself is an external asset
-(same situation as ``huqie.txt`` for the CJK dict): a built-in ~1.1k
+(same situation as ``huqie.txt`` for the CJK dict): a built-in ~3.7k
 common-noun lexicon plus the full irregular-plural table ships by
 default, and ``RAG_WORDNET_NOUNS`` loads a full ``index.noun``-derived
 wordlist (one lemma per line) for deployment parity.
@@ -69,7 +69,7 @@ _NOUN_EXC = {
     "women": ["woman"],
 }
 
-# built-in noun lexicon: ~1.1k common English nouns (web/tech register
+# built-in noun lexicon: ~3.7k common English nouns (web/tech register
 # weighted — this engine processes web text) + every exception lemma.
 # RAG_WORDNET_NOUNS replaces it with a full index.noun wordlist.
 _BUILTIN_NOUNS = """
@@ -315,6 +315,325 @@ weed well whale wharf wheat whisker whistle wick wig wigwam willow
 wilt wince windmill windshield wink wolf wombat wool workbench
 worm wreath wren wrench wrist yacht yak yarn yeast yoke yolk zebra
 zephyr zinc zipper
+""".split() + """
+ability absence abstraction academy accent acceptance access accident
+accommodation accomplishment accountability accountant accumulation
+accuracy accusation achievement acquisition action activation activity
+adaptation addition address adjustment administration administrator
+admission adoption advance advantage adventure advertisement advice
+adviser advocacy affair affection agency agenda aggregate aggregation
+agreement agriculture aid aim alarm album alert algorithm alignment
+allegation alliance allocation allowance alternative altitude amateur
+ambassador ambition amendment amount analogy analysis analyst ancestor
+anchor angle anniversary announcement annotation anomaly answer
+anticipation anxiety apartment apology apparatus appeal appearance
+appendix appetite applause applicant application appointment
+appreciation apprentice approach approval arc architect architecture
+archive arena argument arithmetic arrangement arrest arrival arrow
+article artifact artillery artist aspect aspiration assembly assertion
+assessment asset assignment assistance assistant association
+assumption assurance asylum athlete atmosphere atom attachment attack
+attempt attendance attention attitude attorney attraction attribute
+auction audience audit auditor authentication author authority
+authorization automation autonomy availability average aviation
+awareness backbone background backup bacterium badge balance ballot
+bandwidth banner bargain barrier baseline basis batch battery battle
+beginning behavior belief benchmark benefit bias bibliography bid
+billing biography biology birth bit blade blame blanket blend block
+blockade blueprint board bond bonus booking boost border boundary
+bracket brand breach breadth break breakdown breakthrough breath
+brick bridge briefing broadcast browser budget buffer bug bulk
+bulletin bundle burden bureau bureaucracy burst bus business byte
+cabinet cache calculation calculator calendar campaign canal
+cancellation candidate capability capacity capital caption carbon
+career cargo carrier cartridge case cash catalog catalyst category
+cattle caution ceiling celebration cell census ceremony certainty
+certificate certification chain chairman challenge chamber champion
+championship chancellor change channel chaos chapter character
+characteristic charge charity chart charter chase checklist checkout
+checkpoint chemistry childhood chip choice chord chronicle
+circulation circumstance citation citizen citizenship civilization
+claim clarification clarity class classification classroom clause
+clearance click client climate clinic clock closure cloud cluster
+coach coalition code coefficient coincidence collaboration collapse
+colleague collection collector college collision column combination
+combo comfort command commander comment commentary commerce
+commission commitment committee commodity communication community
+companion company comparison compassion compatibility compensation
+competence competition competitor compilation compiler complaint
+complement completion complexity compliance component composition
+compound compression compromise computation computer concentration
+concept conception concern concert concession conclusion concurrency
+condition conductor conference confidence configuration confirmation
+conflict confusion congress conjunction connection consciousness
+consensus consent consequence conservation consideration consistency
+console consolidation conspiracy constant constellation constituency
+constitution constraint construction consultant consultation
+consumption contact container content contention contest context
+continent contingency continuation contract contractor contradiction
+contrast contribution contributor control controller controversy
+convention conversation conversion converter conviction cooperation
+coordinate coordination coordinator copy copyright core corner
+corporation correction correlation correspondence correspondent
+corridor corruption cost costume cottage council counsel counselor
+count counter country county courage course court courtyard
+covenant coverage creation creativity creator creature credential
+credibility credit crew crime crisis criterion critic criticism
+critique crop crossing crowd crown cruise cube cue cuisine culture
+cure curiosity currency curriculum cursor curve custody custom
+customer cut cycle cylinder dairy damage dance danger dashboard
+database dataset date datum deadline dealer debate debt debut decade
+decision deck declaration decline decomposition decoration decrease
+decree deduction deed default defeat defect defendant defense
+deficiency deficit definition degree delay delegate delegation
+deletion delight delivery demand democracy demonstration denial
+density department departure dependence dependency deployment deposit
+depression depth deputy derivative descendant descent description
+descriptor desert design designer desire desk destination
+destruction detail detection detective detector determination
+developer development deviation device devotion diagnosis diagram
+dialect dialogue diameter dictionary diet difference difficulty
+digest digit dignity dilemma dimension diploma diplomacy diplomat
+direction directive director directory disability disadvantage
+disagreement disappointment disaster discharge discipline disclosure
+discount discourse discovery discrepancy discretion discrimination
+discussion disease dish disk dismissal disorder dispatch display
+displacement dispute disruption dissent distance distinction
+distribution district diversity dividend division doctrine document
+documentation domain dominance donation donor dose draft drama
+drawing dream drift drill driver drop drought duration duty dynamic
+earnings economics economist economy edge edition editor education
+educator effect efficiency effort election electricity electron
+elegance element elevation eligibility elimination elite emergence
+emergency emission emotion emphasis empire employee employer
+employment encoding encounter encouragement encryption encyclopedia
+endeavor endorsement endpoint enemy energy enforcement engagement
+engine engineer engineering enrollment enterprise entertainment
+enthusiasm entity entrance entrepreneur entry envelope environment
+episode equality equation equilibrium equipment equity equivalent
+era error escalation escape essay essence establishment estate
+estimate estimation ethic evaluation event evidence evolution
+examination example exception excerpt excess exchange excitement
+exclusion excuse execution executive exemption exercise exhaustion
+exhibit exhibition existence exit expansion expectation expedition
+expenditure expense experience experiment expert expertise
+expiration explanation exploration explosion exponent export
+exposure expression extension extent extraction eyewitness fabric
+facility factor factory faculty failure fairness faith fallback
+fame familiarity family fare farmer fashion fate fatigue fault favor
+feature federation fee feedback feeling fellowship festival fiber
+fiction field fighter figure file filter finance finding firm
+firmware fitness fixture flag flavor fleet flexibility flight flood
+floor flow fluctuation fluid focus folder footage footprint force
+forecast foreigner forest forgiveness format formation formula
+fortune forum foundation founder fraction fragment frame framework
+franchise fraud freedom freight frequency friendship frontier
+frustration fuel fulfillment function functionality fund
+fundamental funding funeral furniture fusion future gain gallery
+gap garbage gateway gathering gender gene generation generator
+genius genre gentleman geography geometry gesture giant glance
+globe glossary goal governance government governor grace grade
+gradient graduate grain grammar grant graph graphic gratitude
+gravity grief grocery growth guarantee guardian guidance guide
+guideline guilt habit habitat hallway handler happiness harassment
+hardware harmony harvest hazard header headline headquarters heap
+height heritage hierarchy highlight highway hint histogram
+historian hobby holder holding holiday homeland homework honesty
+honor hook horizon hormone hospital hospitality host hostage
+hostility household housing hub humanity humidity humor hurricane
+hybrid hydrogen hygiene hypothesis icon idea ideal identification
+identifier identity ideology idiom ignorance illusion illustration
+image imagination imbalance imitation immigrant immigration immunity
+impact implementation implication import importance imprisonment
+improvement impulse incentive incident inclination inclusion income
+increase increment independence index indication indicator
+individual industry inequality infancy infant infection inference
+inflation influence information infrastructure ingredient
+inhabitant inheritance initiative injection injury injustice
+innovation input inquiry insertion insight inspection inspector
+inspiration installation instance instinct institute institution
+instruction instructor instrument insurance intake integer
+integration integrity intelligence intensity intent intention
+interaction interest interface interference intermediary
+interpretation interruption intersection interval intervention
+interview introduction intuition invasion invention inventory
+investigation investigator investment investor invitation invoice
+involvement iron irony island isolation issue item iteration
+jacket jail jargon jaw jazz jeopardy job journal journalism
+journalist journey judge judgment junction jurisdiction juror jury
+justice justification keyboard keyword kind kindness kingdom kit
+knowledge lab label labor laboratory landing landlord landmark
+landscape lane language laptop latitude launch law lawsuit lawyer
+layer layout leader leadership league leak lease lecture legacy
+legend legislation legislature legitimacy leisure length lens lesson
+letter level liability liberation liberty librarian library license
+lifestyle lifetime lift limb limit limitation line lineage liner
+linguist link liquid list listener listing literacy literature
+litigation load loan lobby location lock log logic login logistics
+longitude lookup loop loss lot lottery loyalty luck luggage lumber
+luxury machine machinery magazine magnitude mainframe maintenance
+majority management manager mandate maneuver manifest manipulation
+manner manor manual manufacturer manufacturing manuscript map margin
+marker market marketing marketplace marriage mask mass master
+mastery match material mathematician mathematics matrix matter
+maximum mayor meal meaning measure measurement mechanic mechanism
+medal media median medication medicine medium meeting member
+membership memo memoir memorial memory mention mentor menu merchant
+mercy merger merit mesh message metadata metal metaphor meter method
+methodology metric microphone middleware migration milestone
+military milk mill mind mine miner mineral minimum minister
+ministry minority minute miracle mirror misery mission missionary
+mistake mixture mob mobility mode moderator modification module
+moisture molecule moment momentum monarchy monastery money monitor
+monopoly monument mood morale morality morning mortality mortgage
+motion motivation motive motor motto mouse movement movie multitude
+municipality muscle museum musician mutation mystery myth namespace
+narrative nation nationality necessity need negligence negotiation
+neighbor neighborhood nerve nest network neuron neutrality newsletter
+niche night nitrogen node noise nomination nominee norm notation
+note notebook notice notification notion novel novelist nucleus
+number nurse nursery nutrition oak oath obedience object objection
+objective obligation observation observer obsession obstacle
+occasion occupation occurrence ocean offense offer offering office
+officer official offset offspring opening opera operation operator
+opinion opponent opportunity opposition optimism optimization
+option oracle orbit orchestra order ordinance organ organism
+organization orientation origin originality ornament orphan outbreak
+outcome outfit outlet outline outlook output outrage outsider oven
+overflow overhead overlap oversight overview owner ownership oxygen
+pace pack package packet pact pad page pain painter painting pair
+palace palette pamphlet panel panic paper paperwork parade paradigm
+paradox paragraph parallel parameter parcel pardon parent parish
+parliament parser part participant participation particle partition
+partner partnership party passage passenger passion password past
+pastor patch path patience patient patriot patrol patron pattern
+pause pavement payload payment payroll peace peak peasant penalty
+pension percentage perception performance perimeter period
+permission persistence person personality personnel perspective
+persuasion pessimism pet petition phase phenomenon philosopher
+philosophy phrase physician physicist physics pick picture piece
+pile pilgrim pillar pilot pipeline pity pixel place placement
+plain plaintiff plan plane planet planner planning plant plantation
+plate platform play player plaza plea pleasure pledge plot plugin
+plumber plunge pocket poem poet poetry point pointer poison policy
+politician politics poll pollution pool population port porter
+portfolio portion portrait position possession possibility post
+poster posture potential pottery poverty powder power practice
+practitioner praise prayer precaution precedent precision predator
+predecessor prediction preference prefix pregnancy prejudice
+premise premium preparation prescription presence presentation
+preservation presidency president press pressure prestige pretext
+prevention preview prey price pride priest primary prince princess
+principal principle print printer priority prison prisoner privacy
+privilege prize probability probe problem procedure proceeding
+process procession processor producer product production
+productivity profession professional professor profile profit
+prognosis program programmer progress prohibition project
+projection promise promotion prompt proof propaganda property
+prophecy prophet proportion proposal proposition proprietor prose
+prosecution prosecutor prospect prosperity protection protein
+protest protocol prototype province provision proxy psychologist
+psychology publication publicity publisher punctuation punishment
+pupil purchase purity purpose pursuit puzzle pyramid qualification
+quality quantity quarter query quest question questionnaire queue
+quota quotation quote radiation radius rage raid rail railway
+rainbow rally range rank ranking ratio ration rationale reaction
+reader reading reality realization realm reason reasoning rebellion
+receipt receiver reception recipe recipient recognition
+recommendation record recorder recovery recruit recruitment
+rectangle redemption reduction redundancy reference referendum
+refinement reflection reform refuge refugee refund refusal regime
+regiment region register registration registry regression regret
+regulation regulator rehabilitation reign rejection relation
+relationship relaxation release relevance reliability relief
+religion reluctance remainder remark remedy reminder remnant
+removal renaissance rendering renewal rent repair repetition
+replacement replica reply report reporter repository
+representation representative reputation request requirement
+rescue research researcher resemblance reservation reservoir
+residence resident residue resignation resilience resistance
+resolution resort resource respect respondent response
+responsibility restaurant restoration restraint restriction result
+resume retailer retention retirement retreat retrieval return
+reunion revelation revenge revenue reverse review reviewer revision
+revival revolution reward rhetoric rhythm riddle ridge rifle right
+ring riot risk ritual rival rivalry river roadmap robot rocket role
+rollback rollout roof room root rope roster rotation route router
+routine row royalty rubric ruin rule ruler rumor runtime rush
+sabotage sack sacrifice saddle safeguard safety saint salad salary
+sale salesman salvation sample sanction sanctuary sand satellite
+satisfaction sauce saving scale scan scanner scandal scenario scene
+scenery schedule schema scheme scholar scholarship school science
+scientist scope score scratch screen screening script scripture
+scrutiny sculpture seal search season seat secret secretary section
+sector security sediment segment selection self semester seminar
+senate senator sensation sense sensitivity sensor sentence
+sentiment separation sequel sequence sergeant series sermon servant
+server service session setting settlement settler setup severity
+shade shadow shaft shape share shareholder shelf shell shelter
+shepherd sheriff shift shipment shipping shock shortage shortcut
+shoulder showcase shower shrine sibling side siege sight sign
+signal signature significance silence silk similarity simulation
+sin singer sink sir site situation size skeleton sketch skill
+skin skyline slavery sleep slice slide slogan slope slot smell
+smile snapshot society sociology software soil soldier solicitor
+solidarity solo solution solvent sophistication sort soul sound
+source sovereignty space spam span speaker specialist specialty
+species specification specimen spectacle spectator spectrum
+speculation speech speed spelling sphere spirit spite spokesman
+sponsor sponsorship sport spot spouse spread spreadsheet spring
+sprint spy square stability stack stadium staff stage stake
+stakeholder stall stamp stance standard standing stanza staple
+star start startup state statement station statistic statue
+status statute stay steam steel stem stereotype stick stimulus
+stock stomach stone storage store storm story stove strain strand
+stranger strategy stream street strength stress stretch strike
+string strip stroke structure struggle student studio study stuff
+style subject submission subscriber subscription subsidiary subsidy
+substance substitute substitution subtlety suburb subway success
+succession successor suffering sufficiency suffix sugar suggestion
+suit suite sum summary summit summons sunlight sunrise sunset
+supermarket supervision supervisor supplement supplier supply
+support supporter suppression supremacy surface surgeon surgery
+surplus surprise surrender surveillance survey survival survivor
+suspect suspension suspicion sustainability syllable symbol
+symmetry sympathy symptom syndrome synthesis syntax system table
+tactic tag tail tailor talent talk tank tape target tariff task
+taste tax taxonomy taxpayer teacher teaching team teamwork
+technique technology temper temperature template temple tempo
+tenant tendency tender tenure term terminal termination
+terminology territory terror terrorism terrorist test testament
+testimony text textbook texture thanks theater theft theme theology
+theorem theory therapist therapy thesis thief thing thinker
+thinking thought threat threshold thrill throat throughput thumb
+ticket tie timeline timeout timestamp timing tip tissue title
+token tolerance toll tone tongue tool toolkit tooth topic topology
+torture total touch tour tourism tourist tournament tower town
+trace track trade trademark tradition traffic tragedy trainer
+training trait traitor transaction transcript transfer
+transformation transit transition translation translator
+transmission transparency transplant transport transportation trap
+trauma travel traveler treasurer treasury treatment treaty tree
+trend trial tribunal tribute trick trigger trip triumph troop
+trophy trouble truce truck trust trustee truth tuition tune turn
+turnaround turnout turnover tutorial type typing tyranny
+uncertainty underdog understanding undertaking unemployment
+uniform union unit unity universe university update upgrade upload
+uprising upset usage use user utility vacancy vacation
+vaccination vaccine validation validity variable variance
+variation variety vegetable vehicle velocity vendor venture venue
+verdict verification verse version vessel veteran veto vicinity
+victim victory view viewer viewpoint village villain violation
+violence virtue virus visa visibility vision visit visitor
+vitality vocabulary voice void volume volunteer vote voter voting
+voucher vulnerability wage walk wall war ward warehouse warfare
+warmth warning warrant warranty warrior waste watch water
+watershed wave wealth weapon weather web website wedding week
+weekend weight welfare wellness wheel whisper wholesaler width
+wildlife will window wine winner winter wire wisdom wish
+withdrawal witness wonder word work worker workflow workforce
+workload workout workplace workshop world worry worship worth
+wound wrapper writer writing yard year yield youth zone
 """.split()
 
 
