@@ -121,7 +121,72 @@ def rotate_crop(img: np.ndarray, points: np.ndarray) -> np.ndarray:
 def ocr_infer(*_args, **_kw):
     """Model-inference slot: DBNet/CRNN are external ONNX assets (runtime
     downloads in the reference, pdf_parser.py:88-93).  Inject a session via
-    the page UDF closure to enable; absent that, this raises."""
+    the page UDF closure (see ``OnnxSlot``) to enable; absent that, this
+    raises."""
     raise NotImplementedError(
         "ONNX OCR models are external assets; plug an onnxruntime session "
         "factory into the page UDF to enable inference")
+
+
+class OnnxSlot:
+    """The executor-side ONNX wiring contract, fully mechanized.
+
+    One instance per model role (detector / recognizer / layout / TSR)
+    is created DRIVER-side with a model path (or an env var name) and a
+    session factory; the instance rides the UDF closure to executors,
+    where the session is built LAZILY ONCE PER PYTHON WORKER PROCESS on
+    first batch (onnxruntime sessions are not picklable and must never
+    cross the Arrow boundary).  ``run`` feeds a NCHW float32 batch and
+    returns the raw outputs; callers wrap it with the pre/post glue in
+    this module (``nms``/``sorted_boxes``/``rec_batch_plan``/
+    ``rotate_crop``).
+
+    ``session_factory(path)`` defaults to
+    ``onnxruntime.InferenceSession(path, providers=[CPU])`` and may be
+    any object with the same ``run(None, {input_name: batch})`` /
+    ``get_inputs()`` interface — the unit tests exercise the full slot
+    lifecycle with a fake session, and a skipif-guarded test runs a real
+    ``InferenceSession`` whenever onnxruntime is importable.  Exact
+    deployment wiring: docs/PLANS.md §"ONNX model slots".
+    """
+
+    def __init__(self, model_path: str | None = None,
+                 env_var: str | None = None, session_factory=None):
+        self.model_path = model_path
+        self.env_var = env_var
+        self._factory = session_factory
+        self._session = None          # per-process, never pickled
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_session"] = None          # sessions must not cross processes
+        return d
+
+    def _resolve_path(self) -> str:
+        import os
+        path = self.model_path or (self.env_var and
+                                   os.environ.get(self.env_var))
+        if not path:
+            raise NotImplementedError(
+                "ONNX model asset not configured: pass model_path or set "
+                f"{self.env_var or 'the model env var'} (external asset, "
+                "runtime-downloaded in the reference)")
+        return path
+
+    def _default_factory(self, path: str):
+        import onnxruntime  # deployment dependency, absent in sandbox
+        return onnxruntime.InferenceSession(
+            path, providers=["CPUExecutionProvider"])
+
+    def session(self):
+        if self._session is None:
+            factory = self._factory or self._default_factory
+            self._session = factory(self._resolve_path())
+        return self._session
+
+    def run(self, batch: np.ndarray):
+        """NCHW float32 batch → list of output arrays."""
+        sess = self.session()
+        name = sess.get_inputs()[0].name
+        return sess.run(None, {name: np.ascontiguousarray(
+            batch, dtype=np.float32)})

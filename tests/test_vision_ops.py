@@ -72,3 +72,95 @@ class TestRotateCrop:
     def test_empty_detections_no_crash(self):
         assert nms([], [], 0.5) == []
         assert nms(np.zeros((0, 4)), np.array([]), 0.5) == []
+
+
+class TestOnnxSlot:
+    """The executor-side ONNX wiring contract (round-3 verdict item 7):
+    lazy once-per-process session creation, pickling never carries the
+    session, NCHW float32 feed keyed by the model's input name.  The fake
+    session implements onnxruntime.InferenceSession's run/get_inputs
+    surface; the last test runs the real thing whenever onnxruntime is
+    importable (absent in this sandbox — skip is the documented state)."""
+
+    class _FakeInput:
+        name = "images"
+
+    class _FakeSession:
+        def __init__(self):
+            self.calls = []
+
+        def get_inputs(self):
+            return [TestOnnxSlot._FakeInput()]
+
+        def run(self, _out, feeds):
+            import numpy as np
+            batch = feeds["images"]
+            assert batch.dtype == np.float32
+            self.calls.append(batch.shape)
+            return [batch.sum(axis=(1, 2, 3))]
+
+    def _slot(self):
+        from ragflow_core16_spark.pdf.vision_ops import OnnxSlot
+        made = []
+
+        def factory(path):
+            made.append(path)
+            return self._FakeSession()
+
+        return OnnxSlot(model_path="/models/det.onnx",
+                        session_factory=factory), made
+
+    def test_lazy_single_session_per_process(self):
+        import numpy as np
+        slot, made = self._slot()
+        assert made == []                      # nothing until first batch
+        out1 = slot.run(np.ones((2, 3, 32, 32)))
+        out2 = slot.run(np.ones((4, 3, 32, 32)))
+        assert made == ["/models/det.onnx"]    # one session, reused
+        assert out1[0].shape == (2,) and out2[0].shape == (4,)
+
+    def test_pickle_drops_session(self):
+        # as shipped in a UDF closure: default (module-level) factory,
+        # path only — the live session must never cross the boundary
+        import pickle
+        from ragflow_core16_spark.pdf.vision_ops import OnnxSlot
+        slot = OnnxSlot(model_path="/models/det.onnx")
+        slot._session = object()               # pretend driver-side init
+        clone = pickle.loads(pickle.dumps(slot))
+        assert clone._session is None          # rebuilt on the executor
+        assert clone.model_path == "/models/det.onnx"
+
+    def test_unconfigured_slot_raises_not_implemented(self):
+        import pytest
+        from ragflow_core16_spark.pdf.vision_ops import OnnxSlot
+        slot = OnnxSlot(env_var="RAG_OCR_DET_MODEL")
+        with pytest.raises(NotImplementedError):
+            slot.run(__import__("numpy").ones((1, 3, 8, 8)))
+
+    def test_real_onnxruntime_when_available(self):
+        import pytest
+        ort = pytest.importorskip(
+            "onnxruntime",
+            reason="onnxruntime not installed in this sandbox — the slot "
+                   "contract is exercised by the fake-session tests; see "
+                   "docs/PLANS.md 'ONNX model slots' for deployment wiring")
+        import numpy as np
+        # minimal real model: y = identity(x), built via onnx if present
+        onnx = pytest.importorskip("onnx")
+        from onnx import TensorProto, helper
+        node = helper.make_node("Identity", ["images"], ["out"])
+        graph = helper.make_graph(
+            [node], "id",
+            [helper.make_tensor_value_info("images", TensorProto.FLOAT,
+                                           [None, 3, 8, 8])],
+            [helper.make_tensor_value_info("out", TensorProto.FLOAT,
+                                           [None, 3, 8, 8])])
+        model = helper.make_model(graph)
+        import tempfile
+        with tempfile.NamedTemporaryFile(suffix=".onnx") as f:
+            onnx.save(model, f.name)
+            from ragflow_core16_spark.pdf.vision_ops import OnnxSlot
+            slot = OnnxSlot(model_path=f.name)
+            x = np.random.rand(2, 3, 8, 8).astype(np.float32)
+            out = slot.run(x)
+            assert np.allclose(out[0], x)
