@@ -195,10 +195,10 @@ class _DomBuilder(HTMLParser):
         pass
 
 
-def parse_html(text: str) -> Node:
-    """Parse (possibly malformed) HTML into a DOM; never raises on bad
-    markup — worst case the content lands as text under a wrong parent,
-    mirroring lenient browser behavior."""
+def parse_html_stdlib(text: str) -> Node:
+    """stdlib-``HTMLParser``-driven parse — the reference tokenizer the
+    fast path is differential-tested against (and the fallback when the
+    fast path hits anything unexpected)."""
     b = _DomBuilder()
     try:
         b.feed(text)
@@ -207,6 +207,219 @@ def parse_html(text: str) -> Node:
         # extremely malformed input: salvage whatever tree was built
         pass
     return b.root
+
+
+# ------------------------------------------------------------ fast path
+#
+# The stdlib event loop (goahead → parse_starttag → handle_*) costs ~50%
+# of the extraction UDF: per-event method dispatch, incremental rawdata
+# buffering, and line/column bookkeeping (updatepos) that a batch parser
+# doesn't need.  This tokenizer reuses the stdlib's OWN compiled regexes
+# (tagfind_tolerant / attrfind_tolerant / locatestarttagend_tolerant /
+# endtagfind / commentclose / piclose), so token boundaries match the
+# stdlib exactly where they matter, and builds Nodes inline.  Fidelity is
+# pinned by a differential test over every adversarial fixture, generator
+# page, and a malformed-snippet fuzz corpus
+# (tests/test_html.py::TestFastParserDifferential); any internal surprise
+# falls back to the stdlib builder wholesale.  RAG_HTML_PARSER=stdlib
+# forces the fallback.
+
+import re as _re
+
+from html import unescape as _unescape
+from html.parser import (attrfind_tolerant as _ATTR,
+                         commentclose as _COMMENT_END,
+                         endtagfind as _ENDTAG,
+                         locatestarttagend_tolerant as _STARTEND,
+                         piclose as _PICLOSE,
+                         tagfind_tolerant as _TAGNAME)
+
+_CDATA_CLOSE = {t: _re.compile(r"</\s*%s" % t, _re.IGNORECASE)
+                for t in ("script", "style")}
+
+
+def _fast_parse(text: str) -> Node:
+    root = Node("#document")
+    stack = [root]
+    i, n = 0, len(text)
+    cdata: _re.Pattern | None = None
+    find = text.find
+    startswith = text.startswith
+
+    def _recover(i: int) -> int:
+        """stdlib goahead's close() recovery for an unterminated
+        construct: emit (unescaped) data up to and including the next
+        '>', else up to the next '<', else one char — then resume."""
+        k = find(">", i + 1)
+        if k < 0:
+            k = find("<", i + 1)
+            if k < 0:
+                k = i + 1
+        else:
+            k += 1
+        chunk = text[i:k]
+        if "&" in chunk:
+            chunk = _unescape(chunk)
+        if chunk:
+            stack[-1].children.append(chunk)
+        return k
+    while i < n:
+        from_cdata = cdata
+        if cdata is not None:
+            m = cdata.search(text, i)
+            cdata = None
+            if m is None:
+                break           # stdlib drops unterminated cdata at EOF
+            if m.start() > i:
+                stack[-1].children.append(text[i:m.start()])  # raw
+            i = m.start()
+            # fall through: text[i:] starts with '</tagname'
+        lt = find("<", i)
+        if lt < 0:
+            lt = n
+        if lt > i:
+            data = text[i:lt]
+            if "&" in data:
+                data = _unescape(data)
+            if data:                      # charref of a stripped control
+                stack[-1].children.append(data)
+            i = lt
+        if i >= n:
+            break
+        c = text[i + 1:i + 2]
+        if c and (("a" <= c <= "z") or ("A" <= c <= "Z")):
+            # ----- start tag (mirrors parse_starttag, tolerant mode)
+            m = _STARTEND.match(text, i)
+            k = m.end()
+            if startswith(">", k):
+                end = k + 1
+            elif startswith("/>", k):
+                end = k + 2
+            else:
+                i = _recover(i)     # unterminated tag at EOF
+                continue
+            # tagfind_tolerant consumes the name plus trailing
+            # whitespace/non-final slashes, exactly like parse_starttag
+            tm = _TAGNAME.match(text, i + 1)
+            tag = tm.group(1).lower()
+            attrs = []
+            j = tm.end()
+            while j < k:
+                am = _ATTR.match(text, j)
+                if not am:
+                    break
+                name, rest, value = am.group(1, 2, 3)
+                if not rest:
+                    value = None
+                elif value[:1] == "'" == value[-1:] or \
+                        value[:1] == '"' == value[-1:]:
+                    value = value[1:-1]
+                if value and "&" in value:
+                    value = _unescape(value)
+                attrs.append((name.lower(), value))
+                j = am.end()
+            # stdlib: the stretch between the last attribute and the
+            # located end must be exactly '>' or '/>', else the whole
+            # tag text is emitted as data (parse_starttag's junk check)
+            rem = text[j:end].strip()
+            if rem == ">":
+                selfclosing = False
+            elif rem == "/>":
+                selfclosing = True
+            else:
+                stack[-1].children.append(text[i:end])  # raw, no unescape
+                i = end
+                continue
+            # ----- tree insertion (same rules as _DomBuilder)
+            top = stack[-1]
+            if selfclosing:
+                top.children.append(Node(tag, attrs, top))
+                i = end
+                continue
+            closers = _IMPLICIT_CLOSE.get(tag)
+            if tag in _P_CLOSERS and top.tag == "p":
+                stack.pop()
+                top = stack[-1]
+            elif closers and top.tag in closers:
+                stack.pop()
+                if tag == "tr" and stack[-1].tag == "tr":
+                    stack.pop()
+                top = stack[-1]
+            node = Node(tag, attrs, top)
+            top.children.append(node)
+            if tag not in VOID_TAGS and len(stack) < MAX_DEPTH:
+                stack.append(node)
+            if tag in _CDATA_CLOSE:
+                cdata = _CDATA_CLOSE[tag]
+            i = end
+        elif c == "/":
+            gt = find(">", i + 1)
+            if gt < 0:
+                i = _recover(i)     # unterminated '</…' at EOF
+                continue
+            m = _ENDTAG.match(text, i)
+            if m:
+                tag = m.group(1).lower()
+                i = m.end()
+            else:
+                if from_cdata is not None:
+                    # stdlib: a non-conforming end tag inside script/style
+                    # is DATA and cdata mode continues
+                    stack[-1].children.append(text[i:gt + 1])
+                    cdata = from_cdata
+                    i = gt + 1
+                    continue
+                nm = _TAGNAME.match(text, i + 2)
+                if nm:
+                    # '</p junk>' still closes p (parse_endtag's
+                    # consume-and-ignore path)
+                    tag = nm.group(1).lower()
+                    i = gt + 1
+                elif startswith("</>", i):
+                    i += 3          # html5 end-tag-open: ignored
+                    continue
+                else:
+                    # bogus comment: '</' + junk swallowed up to '>'
+                    i = gt + 1
+                    continue
+            if tag not in VOID_TAGS:
+                for d in range(len(stack) - 1, 0, -1):
+                    if stack[d].tag == tag:
+                        del stack[d:]
+                        break
+        elif c == "!":
+            if startswith("<!--", i):
+                m = _COMMENT_END.search(text, i + 4)
+                i = m.end() if m else _recover(i)
+            elif startswith("<![", i):
+                # marked section: stdlib scans for ']>' / ']]>'
+                gt = find("]>", i + 3)
+                i = (gt + 2) if gt >= 0 else _recover(i)
+            else:
+                gt = find(">", i + 2)
+                i = (gt + 1) if gt >= 0 else _recover(i)
+        elif c == "?":
+            m = _PICLOSE.search(text, i + 2)
+            i = m.end() if m else _recover(i)
+        else:
+            stack[-1].children.append("<")
+            i += 1
+    return root
+
+
+def parse_html(text: str) -> Node:
+    """Parse (possibly malformed) HTML into a DOM; never raises on bad
+    markup — worst case the content lands as text under a wrong parent,
+    mirroring lenient browser behavior.  Fast batch tokenizer by default
+    (differential-tested against the stdlib builder), stdlib on
+    RAG_HTML_PARSER=stdlib or on any fast-path surprise."""
+    import os
+    if os.environ.get("RAG_HTML_PARSER") == "stdlib":
+        return parse_html_stdlib(text)
+    try:
+        return _fast_parse(text)
+    except Exception:
+        return parse_html_stdlib(text)
 
 
 def inner_html(node: Node) -> str:

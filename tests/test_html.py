@@ -423,3 +423,95 @@ def test_is_chinese_query_tolerates_empty_tokens():
     from ragflow_core16_spark.textnorm.query import FulltextQueryer
     assert FulltextQueryer.is_chinese_query(" a b c d") is not None
     assert FulltextQueryer.is_chinese_query("中文 查询 词语  测试 ")
+
+
+class TestFastParserDifferential:
+    """The fast batch tokenizer (dom.py::_fast_parse) must produce a tree
+    IDENTICAL to the stdlib-HTMLParser builder on: every adversarial
+    fixture, generator pages from both branches, and two fixed-seed
+    malformed-snippet fuzz corpora (14k strings covering unterminated
+    constructs, bogus end tags, marked sections, entity edge cases,
+    attribute soup, cdata modes).  Any fidelity change in either parser
+    breaks this suite before it can touch extraction output."""
+
+    @staticmethod
+    def _ser(n, out):
+        if isinstance(n, str):
+            out.append(("T", n))
+            return
+        out.append(("N", n.tag, tuple(sorted(n.attrs.items()))))
+        for c in n.children:
+            TestFastParserDifferential._ser(c, out)
+        out.append(("E", n.tag))
+
+    @classmethod
+    def _same(cls, text):
+        from ragflow_core16_spark.html.dom import (_fast_parse,
+                                                   parse_html_stdlib)
+        a, b = [], []
+        cls._ser(_fast_parse(text), a)
+        cls._ser(parse_html_stdlib(text), b)
+        return a == b
+
+    def test_fixtures_identical(self):
+        import glob
+        import os
+        fixdir = os.path.join(os.path.dirname(__file__), "fixtures", "html")
+        for p in glob.glob(os.path.join(fixdir, "*.html")):
+            assert self._same(open(p).read()), p
+
+    def test_generator_pages_identical(self):
+        import duckdb
+        from ragflow_core16_spark.datagen.pages import (document_page,
+                                                        generate_page,
+                                                        hostile_page)
+        from ragflow_core16_spark.textnorm.codec import find_codec
+        rows = duckdb.sql(
+            "SELECT doc_id, text FROM "
+            "'/root/testdata/sf0.001/documents.parquet'").fetchall()
+        for d, t in rows:
+            for gen in (document_page, hostile_page):
+                h = gen(int(d), t or "")[2]
+                assert self._same(h.decode(find_codec(h),
+                                           errors="ignore")), (d, gen)
+        for d in range(100):
+            h = generate_page(d)[2]
+            assert self._same(h.decode(find_codec(h), errors="ignore")), d
+
+    def test_malformed_fuzz_identical(self):
+        import random
+        rng = random.Random(7)
+        a1 = (list("<>/=\"' abcdefp!?-&;#x123")
+              + ["<p", "</p>", "<div", "class=", "<!--", "-->",
+                 "<script>", "</script>", "&amp;", "&#65;", "&fake;",
+                 "<![CDATA[", "]]>", "<?pi?>", "<!doctype html>",
+                 "<a href=", "<br/>", "</>", "< ", "<3"])
+        for _ in range(3000):
+            s = "".join(rng.choice(a1) for _ in range(rng.randint(1, 60)))
+            assert self._same(s), repr(s)
+        rng = random.Random(99)
+        a2 = (list("<>/=\"' abcdefp!?-&;#x123\n\t中文é")
+              + ["<p>", "</p>", "<div class='x y'>", "<span id=z>",
+                 "<table><tr><td>", "</td></tr></table>", "<li>", "<ul>",
+                 "<!---->", "<!-- x -->",
+                 "<script type='text/javascript'>", "</script>",
+                 "<style>", "</style>", "&amp;", "&#65;", "&#x42;",
+                 "&nbsp;", "&fake;", "&", ";", "<![CDATA[", "]]>",
+                 "<?xml version='1.0'?>", "<!DOCTYPE html>",
+                 "<a href='/x?a=1&amp;b=2'>", "<img src=x.png/>", "<br>",
+                 "<hr/>", "<input type=text value='a b'>",
+                 "<meta charset=utf-8>", "word another", "<b><i>",
+                 "</i></b>", "<p align=left align=right>"])
+        for _ in range(3000):
+            s = "".join(rng.choice(a2) for _ in range(rng.randint(1, 80)))
+            assert self._same(s), repr(s)
+
+    def test_env_forces_stdlib(self, monkeypatch):
+        from ragflow_core16_spark.html import dom
+        calls = []
+        orig = dom.parse_html_stdlib
+        monkeypatch.setattr(dom, "parse_html_stdlib",
+                            lambda t: calls.append(1) or orig(t))
+        monkeypatch.setenv("RAG_HTML_PARSER", "stdlib")
+        dom.parse_html("<p>x</p>")
+        assert calls
