@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _registry():
     from ragflow_core16_spark.operators import (dedup, embed, extract_e2e,
-                                                graph, ir_metrics,
+                                                graph, graphrag, ir_metrics,
                                                 multimodal, office,
                                                 pdf_extract, relational,
                                                 retrieval, similarity,
@@ -51,7 +51,7 @@ def _registry():
     reg: dict[str, tuple] = {}
     for mod in (textstats, dedup, similarity, retrieval, relational,
                 templates, pdf_extract, multimodal, office, embed,
-                training, webclean, sketches, graph, extract_e2e,
+                training, webclean, sketches, graph, graphrag, extract_e2e,
                 warc_e2e, ir_metrics):
         for name, (fn, sql) in mod.QUERIES.items():
             reg[name] = (fn, sql)
