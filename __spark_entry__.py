@@ -43,7 +43,8 @@ def _registry():
     from ragflow_core16_spark.operators import (dedup, embed, extract_e2e,
                                                 graph, graphrag, ir_metrics,
                                                 multimodal, office,
-                                                pdf_extract, relational,
+                                                pdf_extract, raptor,
+                                                relational,
                                                 retrieval, similarity,
                                                 sketches, templates,
                                                 textstats, training,
@@ -51,7 +52,8 @@ def _registry():
     reg: dict[str, tuple] = {}
     for mod in (textstats, dedup, similarity, retrieval, relational,
                 templates, pdf_extract, multimodal, office, embed,
-                training, webclean, sketches, graph, graphrag, extract_e2e,
+                training, webclean, sketches, graph, graphrag, raptor,
+                extract_e2e,
                 warc_e2e, ir_metrics):
         for name, (fn, sql) in mod.QUERIES.items():
             reg[name] = (fn, sql)
