@@ -46,6 +46,7 @@ def _registry():
                                                 pdf_extract, raptor,
                                                 relational,
                                                 retrieval, similarity,
+                                                tagging,
                                                 sketches, templates,
                                                 textstats, training,
                                                 warc_e2e, webclean)
@@ -53,7 +54,7 @@ def _registry():
     for mod in (textstats, dedup, similarity, retrieval, relational,
                 templates, pdf_extract, multimodal, office, embed,
                 training, webclean, sketches, graph, graphrag, raptor,
-                extract_e2e,
+                tagging, extract_e2e,
                 warc_e2e, ir_metrics):
         for name, (fn, sql) in mod.QUERIES.items():
             reg[name] = (fn, sql)
