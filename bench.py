@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "tfidf_keywords", "recrawl_schedule", "bitext_mine",
     "url_templates", "image_near_dup", "audio_near_dup",
     "video_near_dup",
+    "entity_graph", "graph_communities", "raptor_tree", "tag_content",
 ]
 
 

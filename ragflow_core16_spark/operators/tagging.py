@@ -140,17 +140,50 @@ def _score_expr(c: str, cnt: str, cc: str, t: str, div: str) -> str:
 
 def _tag_content_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsorted tag_content relation (production shape; the sort in
-    ``tag_content`` is driver-compare presentation only)."""
+    ``tag_content`` is driver-compare presentation only).
+
+    c(doc, tag) = |{m : m shares ≥1 top-3 keyword with doc AND m has
+    tag}| is computed by INCLUSION-EXCLUSION over the doc's ≤3 terms —
+    Σ n1(tᵢ, tag) − Σ n2(tᵢ<tⱼ, tag) + n3(t₁<t₂<t₃, tag) — instead of
+    materializing the distinct (doc, match) pair relation.  The pair
+    relation is Σ_term topkw_df² rows (7.4M at sf0.1 because the
+    synthetic vocabulary is small; arbitrarily large under hot keywords
+    at corpus scale); the n1/n2/n3 relations are ≤ 3·|tags-per-doc|·|kw|
+    aggregates that broadcast, so the whole operator is map-side-
+    combinable groupBys plus broadcast joins — no wide distinct, no
+    pair shuffle.  The DuckDB oracle keeps the naive pair formulation;
+    both are exact, so the hashes agree."""
     from .textstats import _tfidf_ranked
-    kw = _tfidf_ranked(spark, sf_dir).select("doc_id", "term")
-    # match set: docs sharing >= 1 top-3 keyword (term-keyed join; volume
-    # = keyword collisions, never |docs|²)
-    other = kw.select(F.col("doc_id").alias("match_id"), "term")
-    matches = (kw.join(other, "term")
-               .select("doc_id", "match_id").distinct())
-    tags = _tags(spark, sf_dir).withColumnRenamed("doc_id", "match_id")
-    aggs = (matches.join(tags, "match_id")
-            .groupBy("doc_id", "tag").agg(F.count(F.lit(1)).alias("c")))
+    kw = (_tfidf_ranked(spark, sf_dir).select("doc_id", "term")
+          .localCheckpoint())  # tiny (3 rows/doc); reused by 4 joins
+    tags = _tags(spark, sf_dir)
+    # n1: per (term, tag), docs having the term in top-3 and the tag
+    n1 = (kw.join(tags, "doc_id")
+          .groupBy("term", "tag").agg(F.count(F.lit(1)).alias("n")))
+    # per-doc ordered term pairs / triple (<= 3 and <= 1 per doc)
+    kwb = kw.select("doc_id", F.col("term").alias("tb"))
+    pairs = (kw.join(kwb, "doc_id")
+             .filter(F.col("term") < F.col("tb")))
+    n2 = (pairs.join(tags, "doc_id")
+          .groupBy("term", "tb", "tag").agg(F.count(F.lit(1)).alias("n")))
+    kwc = kw.select("doc_id", F.col("term").alias("tc"))
+    triples = (pairs.join(kwc, "doc_id")
+               .filter(F.col("tb") < F.col("tc")))
+    n3 = (triples.join(tags, "doc_id")
+          .groupBy("term", "tb", "tc", "tag")
+          .agg(F.count(F.lit(1)).alias("n")))
+    contrib = (
+        kw.join(F.broadcast(n1), "term")
+        .select("doc_id", "tag", F.col("n").alias("v"))
+        .unionByName(
+            pairs.join(F.broadcast(n2), ["term", "tb"])
+            .select("doc_id", "tag", (-F.col("n")).alias("v")))
+        .unionByName(
+            triples.join(F.broadcast(n3), ["term", "tb", "tc"])
+            .select("doc_id", "tag", F.col("n").alias("v"))))
+    aggs = (contrib.groupBy("doc_id", "tag")
+            .agg(F.sum("v").alias("c"))
+            .filter(F.col("c") > 0))
     cnt = aggs.groupBy("doc_id").agg(F.sum("c").alias("cnt"))
     prior = _prior(spark, sf_dir).select("tag", F.col("c").alias("cc"), "t")
     scored = (aggs.join(cnt, "doc_id")

@@ -506,7 +506,15 @@ _KW_MAX_DF_NUM, _KW_MAX_DF_DEN = 4, 5    # drop terms on > 80% of docs
 
 def _tfidf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsorted keyword relation (production shape; the sort in
-    ``tfidf_keywords`` is driver-compare presentation only)."""
+    ``tfidf_keywords`` is driver-compare presentation only).  Memoized
+    (temp-table semantics): the tagging operators read it both as the
+    match-keyword relation and as the kw: tag family."""
+    from .dedup import _memo
+    return _memo("tfidf_ranked", spark, sf_dir,
+                 lambda: _tfidf_ranked_build(spark, sf_dir))
+
+
+def _tfidf_ranked_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     d = (_docs(spark, sf_dir)
          .filter(F.length(F.trim("text")) > 0)
