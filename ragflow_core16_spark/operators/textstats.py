@@ -573,8 +573,42 @@ ORDER BY doc_id, rank
 """
 
 
+def auto_questions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stand-in for the reference's auto-question LLM slot
+    (`/root/reference/rag/svr/task_executor.py:295-374`: per-chunk
+    ``question_proposal`` call → ``question_kwd`` strings →
+    ``question_tks`` via rag_tokenizer, indexed at boost 6,
+    `rag/nlp/search.py:294-301`).  The slot gets an extractive template
+    over the doc's top-2 TF-IDF keywords — same move as
+    ``tfidf_keywords`` for the keyword slot; the surrounding dataflow
+    (per-doc enrich relation, tokenized twin column) is the real
+    deliverable.  ``question_tks`` is the rag_tokenizer output
+    transcribed relationally: for pure-ASCII template text the tokenizer
+    is whitespace splitting (pinned by the tokenizer test suite), so
+    both engines compute it as a column expression."""
+    q = F.concat(F.lit("what is "), F.col("term"), F.lit("?"))
+    qtks = F.concat(F.lit("what is "), F.col("term"))
+    out = (_tfidf_ranked(spark, sf_dir)
+           .filter(F.col("rank") <= 2)
+           .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                   q.alias("question"), qtks.alias("question_tks")))
+    from ..session import ordered as _ordered
+    return out.transform(_ordered("doc_id", "rank"))
+
+
+AUTO_QUESTIONS_SQL = f"""
+WITH ranked AS ({TFIDF_KEYWORDS_SQL.strip()})
+SELECT doc_id, rank,
+       'what is ' || term || '?' AS question,
+       'what is ' || term AS question_tks
+FROM ranked WHERE rank <= 2
+ORDER BY doc_id, rank
+"""
+
+
 QUERIES = {
     "tfidf_keywords": (tfidf_keywords, TFIDF_KEYWORDS_SQL),
+    "auto_questions": (auto_questions, AUTO_QUESTIONS_SQL),
     "unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
     "ccnet_bucket": (ccnet_bucket, CCNET_BUCKET_SQL),
     "zipf_histogram": (zipf_histogram, ZIPF_HISTOGRAM_SQL),
