@@ -49,12 +49,13 @@ def _registry():
                                                 tagging,
                                                 sketches, templates,
                                                 textstats, training,
+                                                vision_llm,
                                                 warc_e2e, webclean)
     reg: dict[str, tuple] = {}
     for mod in (textstats, dedup, similarity, retrieval, relational,
                 templates, pdf_extract, multimodal, office, embed,
                 training, webclean, sketches, graph, graphrag, raptor,
-                tagging, extract_e2e,
+                tagging, vision_llm, extract_e2e,
                 warc_e2e, ir_metrics):
         for name, (fn, sql) in mod.QUERIES.items():
             reg[name] = (fn, sql)
