@@ -34,7 +34,7 @@ from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
 from ..chunkers.naive import naive_merge_with_counts
 from ..html.parser import HtmlParser
 from ..textnorm.codec import find_codec
-from ..textnorm.xxh64 import xxh64_hexdigest
+from ..textnorm.xxh64 import xxh64_hex_batch, xxh64_hexdigest
 
 DOC_MAXIMUM_SIZE = 128 * 1024 * 1024  # rag/settings.py:55
 
@@ -65,7 +65,7 @@ EXTRACTED_SCHEMA = StructType([
 
 
 def _extract_one(url, warc_ts, html, lang, chunk_token_num, delimiter,
-                 template: str = "naive"):
+                 template: str = "naive", defer_ids: bool = False):
     nbytes = len(html) if html is not None else 0
     base = dict(url=url, warc_ts=warc_ts, lang=lang, error=None, title=None,
                 extracted_text=None, codec=None, n_sections=0, n_chunks=0,
@@ -100,7 +100,9 @@ def _extract_one(url, warc_ts, html, lang, chunk_token_num, delimiter,
             # hexdigest (rag/svr/task_executor.py:266)
             ltks = rag_tokenize(ck)
             chunks.append({
-                "chunk_id": xxh64_hexdigest(ck + url),
+                # defer_ids: the Arrow-batch caller hashes every chunk id
+                # of the batch in one vectorized pass (xxh64_hex_batch)
+                "chunk_id": None if defer_ids else xxh64_hexdigest(ck + url),
                 "chunk_seq": i,
                 "chunk_text": ck,
                 "content_ltks": ltks,
@@ -136,6 +138,7 @@ def extract_pages(pages: DataFrame, chunk_token_num: int = 128,
     def run(batches):
         for pdf in batches:
             rows = []
+            pending = []  # (chunk dict, id payload) — batch-hashed below
             for u, t, h, l, nb in zip(pdf["url"], pdf["warc_ts"],
                                       pdf["html"], pdf["lang"],
                                       pdf["nbytes"]):
@@ -147,8 +150,16 @@ def extract_pages(pages: DataFrame, chunk_token_num: int = 128,
                         codec=None, n_sections=0, n_chunks=0, n_tokens=0,
                         bytes_in=nb, chunks=None))
                 else:
-                    rows.append(_extract_one(u, t, h, l, chunk_token_num,
-                                             delimiter, template))
+                    r = _extract_one(u, t, h, l, chunk_token_num,
+                                     delimiter, template, defer_ids=True)
+                    for c in r["chunks"] or ():
+                        pending.append((c, (c["chunk_text"] + u)
+                                        .encode("utf-8")))
+                    rows.append(r)
+            if pending:
+                hexes = xxh64_hex_batch([p[1] for p in pending])
+                for (c, _payload), hx in zip(pending, hexes):
+                    c["chunk_id"] = hx
             yield pd.DataFrame(rows, columns=[f.name for f in EXTRACTED_SCHEMA])
 
     return guarded.mapInPandas(run, EXTRACTED_SCHEMA)

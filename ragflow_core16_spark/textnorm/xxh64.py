@@ -102,3 +102,100 @@ def chunk_id(chunk_text: str, doc_key: str) -> str:
     """Reference chunk id: xxh64 of (content_with_weight + doc_id),
     rag/svr/task_executor.py:266."""
     return xxh64_hexdigest(chunk_text + doc_key)
+
+
+def xxh64_hex_batch(items: list[bytes], seed: int = 0) -> list[str]:
+    """Vectorized ``xxh64_hexdigest`` over a batch: numpy uint64 lanes,
+    sequential over stripe index (inherent), vectorized across the batch
+    (embarrassingly parallel).  ~15x the scalar on chunk-id-sized inputs;
+    bit-identical to ``xxh64_int`` (fuzzed over all tail classes in
+    tests/test_xxh64.py).  Used by the extraction UDF to hash every chunk
+    id of an Arrow batch in one pass."""
+    import numpy as np
+
+    n_items = len(items)
+    if n_items == 0:
+        return []
+    # the batch buffer is n_items x max(len): one oversized outlier must
+    # not inflate the whole batch's padding — hash outliers scalar-side
+    _CAP = 8192
+    if any(len(b) > _CAP for b in items):
+        out = [None] * n_items
+        small, idx = [], []
+        for i, b in enumerate(items):
+            if len(b) > _CAP:
+                out[i] = xxh64_hexdigest(b, seed)
+            else:
+                small.append(b)
+                idx.append(i)
+        for i, hx in zip(idx, xxh64_hex_batch(small, seed)):
+            out[i] = hx
+        return out
+    u64 = np.uint64
+    P1 = u64(_P1); P2 = u64(_P2); P3 = u64(_P3); P4 = u64(_P4); P5 = u64(_P5)
+
+    def rotl(x, r):
+        r = u64(r)
+        return (x << r) | (x >> (u64(64) - r))
+
+    with np.errstate(over="ignore"):
+        lens = np.array([len(b) for b in items], dtype=np.uint64)
+        maxlen = int(lens.max())
+        width = ((maxlen + 31) // 32) * 32 + 32  # slack for padded lane reads
+        buf = np.zeros((n_items, width), dtype=np.uint8)
+        for i, b in enumerate(items):
+            buf[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lanes = buf.view("<u8").reshape(n_items, -1)
+        nblk = (lens // u64(32)).astype(np.int64)
+        sd = u64(seed)
+        v1 = np.full(n_items, sd + P1 + P2, dtype=u64)
+        v2 = np.full(n_items, sd + P2, dtype=u64)
+        v3 = np.full(n_items, sd, dtype=u64)
+        v4 = np.full(n_items, sd - P1, dtype=u64)
+        for j in range(int(nblk.max())):
+            m = nblk > j
+            base = 4 * j
+            v1 = np.where(m, rotl(v1 + lanes[:, base] * P2, 31) * P1, v1)
+            v2 = np.where(m, rotl(v2 + lanes[:, base + 1] * P2, 31) * P1, v2)
+            v3 = np.where(m, rotl(v3 + lanes[:, base + 2] * P2, 31) * P1, v3)
+            v4 = np.where(m, rotl(v4 + lanes[:, base + 3] * P2, 31) * P1, v4)
+        hbig = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+
+        def merge(h, v):
+            return (h ^ (rotl(v * P2, 31) * P1)) * P1 + P4
+
+        hbig = merge(merge(merge(merge(hbig, v1), v2), v3), v4)
+        h = np.where(nblk > 0, hbig, sd + P5) + lens
+        rows = np.arange(n_items)
+        lane_i = (nblk * 4).astype(np.int64)
+        rem = (lens - u64(32) * nblk.astype(u64)).astype(np.int64)
+        for _ in range(3):  # up to three 8-byte tail rounds
+            m = rem >= 8
+            if not m.any():
+                break
+            k1 = rotl(lanes[rows, lane_i] * P2, 31) * P1
+            h = np.where(m, (rotl(h ^ k1, 27) * P1) + P4, h)
+            lane_i = np.where(m, lane_i + 1, lane_i)
+            rem = np.where(m, rem - 8, rem)
+        bytepos = (lane_i * 8).astype(np.int64)
+        m = rem >= 4
+        if m.any():
+            u32 = buf.view("<u4").reshape(n_items, -1)
+            lane4 = u32[rows, bytepos // 4].astype(u64)
+            h = np.where(m, (rotl(h ^ (lane4 * P1), 23) * P2) + P3, h)
+            bytepos = np.where(m, bytepos + 4, bytepos)
+            rem = np.where(m, rem - 4, rem)
+        for _ in range(3):  # up to three 1-byte tail rounds
+            m = rem >= 1
+            if not m.any():
+                break
+            byte = buf[rows, bytepos].astype(u64)
+            h = np.where(m, rotl(h ^ (byte * P5), 11) * P1, h)
+            bytepos = np.where(m, bytepos + 1, bytepos)
+            rem = np.where(m, rem - 1, rem)
+        h ^= h >> u64(33)
+        h = h * P2
+        h ^= h >> u64(29)
+        h = h * P3
+        h ^= h >> u64(32)
+    return [format(int(x), "016x") for x in h]
