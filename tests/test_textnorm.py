@@ -232,3 +232,33 @@ class TestShippedVocab:
                 f"WHERE length(trim(text)) > 0").fetchall()
             extra = {w for (w,) in got if w} - set(DRIVER_DOC_WORDS)
             assert not extra, f"{sf}: words outside the pool: {extra}"
+
+
+class TestXxh64Batch:
+    """xxh64_hex_batch must be bit-identical to the scalar across every
+    tail class (0, <4, <8, 4-aligned, 8-aligned, 32-aligned, >32, mixed)
+    and must route oversized outliers through the scalar fallback."""
+
+    def test_fuzz_all_tail_classes(self):
+        import random
+        from ragflow_core16_spark.textnorm.xxh64 import (xxh64_hex_batch,
+                                                         xxh64_hexdigest)
+        rng = random.Random(11)
+        sizes = [0, 1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 31, 32, 33, 63, 64,
+                 65, 100, 257, 1000, 4095]
+        items = [bytes(rng.randrange(256) for _ in range(rng.choice(sizes)))
+                 for _ in range(400)]
+        assert xxh64_hex_batch(items) == [xxh64_hexdigest(b) for b in items]
+
+    def test_oversized_outlier_fallback(self):
+        from ragflow_core16_spark.textnorm.xxh64 import (xxh64_hex_batch,
+                                                         xxh64_hexdigest)
+        items = [b"small", b"x" * 100_000, b"tail"]
+        assert xxh64_hex_batch(items) == [xxh64_hexdigest(b) for b in items]
+
+    def test_nonzero_seed(self):
+        from ragflow_core16_spark.textnorm.xxh64 import (xxh64_hex_batch,
+                                                         xxh64_hexdigest)
+        items = [b"", b"abc", b"a" * 40]
+        assert (xxh64_hex_batch(items, seed=7)
+                == [xxh64_hexdigest(b, seed=7) for b in items])
