@@ -127,3 +127,24 @@ class TestFigureDescribe:
         assert describe_figure_md("  a  b ") == \
             "- Visual Type: figure\n- Title: a b"
         assert describe_figure_md("") == ""
+
+
+class TestEdgeCases:
+    def test_blank_middle_page_dropped_not_renumbered(self):
+        """Empty transcriptions are dropped but page numbering stays
+        anchored to the PDF page (pdf_parser.py:1291-1304: the loop indexes
+        real pages; only empty answers vanish)."""
+        from ragflow_core16_spark.pdf.plain import build_pdf
+        pdf = build_pdf([[" "], ["real line here"]])
+        secs, _ = VisionParser()(pdf)
+        assert len(secs) == 1
+        assert secs[0][0].endswith("--- Page 2 ---")
+
+    def test_all_blank_pdf_yields_no_sections(self):
+        from ragflow_core16_spark.pdf.plain import build_pdf
+        secs, tbls = VisionParser()(build_pdf([[" "]]))
+        assert secs == [] and tbls == []
+
+    def test_invalid_pdf_bytes_yield_no_sections(self):
+        secs, tbls = VisionParser()(b"not a pdf at all")
+        assert secs == [] and tbls == []
