@@ -22,7 +22,13 @@ DEFAULT_CONF = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.shuffle.partitions": "32",
-    "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
+    # local mode: the driver JVM IS the executor.  8g starved a 32-thread
+    # session late in a long query run (storage + execution + broadcast
+    # remnants share old-gen; G1 thrash inflated late queries 3x — bench
+    # A/B: 8g=235s, 16g=136s, 32g=186s total for the 76-query suite).  On
+    # a real cluster this maps to spark.executor.memory per the usual
+    # ~2g/core rule.
+    "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "16g"),
 }
 
 
