@@ -74,12 +74,20 @@ def _is_div_to_p_blocker(tag: str) -> bool:
 MIN_TEXT_LEN = 25
 
 
-def _norm_text(n: Node) -> str:
+def _norm_text(n: Node, memo: dict | None = None) -> str:
     # ' '.join(s.split()) ≡ re.sub(r'\s+', ' ', s).strip() — verified
     # exhaustively over all codepoints (str.split's whitespace set equals
     # \s) — and the regex-free form is ~2× faster on this hot path
-    # (~50k calls per 1500 pages through scoring + link density)
-    return " ".join(n.text_content().split())
+    # (~50k calls per 1500 pages through scoring + link density).
+    # ``memo`` (id(node) → str) is only valid while the tree is immutable:
+    # scoring + sibling-join share one; sanitize mutates and gets none.
+    if memo is None:
+        return " ".join(n.text_content().split())
+    key = id(n)
+    v = memo.get(key)
+    if v is None:
+        v = memo[key] = " ".join(n.text_content().split())
+    return v
 
 
 def _leading_text(n: Node) -> str:
@@ -119,11 +127,45 @@ def _score_node(n: Node) -> float:
     return score
 
 
-def _link_density(n: Node) -> float:
-    total = len(_norm_text(n))
+def _link_density(n: Node, memo: dict | None = None,
+                  total: int | None = None) -> float:
+    # Semantics identical to readability 0.8.1: total = len(norm_text(n)),
+    # link_len = Σ len(norm_text(a)) over EVERY <a> in the subtree, self
+    # included, nested anchors double-counted — but total-text collection
+    # and anchor discovery share ONE traversal instead of two, and callers
+    # that already hold len(norm_text(n)) pass it as ``total``.
+    anchors = []
+    if total is None and memo is not None:
+        cached = memo.get(id(n))
+        if cached is not None:
+            total = len(cached)
+    if total is None:
+        parts = []
+        stack = [n]
+        while stack:
+            x = stack.pop()
+            if type(x) is str:
+                parts.append(x)
+            else:
+                if x.tag == "a":
+                    anchors.append(x)
+                stack.extend(reversed(x.children))
+        norm = " ".join("".join(parts).split())
+        if memo is not None:
+            memo[id(n)] = norm
+        total = len(norm)
+    else:
+        stack = [n]
+        while stack:
+            x = stack.pop()
+            if x.tag == "a":
+                anchors.append(x)
+            for c in reversed(x.children):
+                if type(c) is Node:
+                    stack.append(c)
     if total == 0:
         return 0.0
-    link_len = sum(len(_norm_text(a)) for a in n.find_all("a"))
+    link_len = sum(len(_norm_text(a, memo)) for a in anchors)
     return min(link_len / total, 1.0)
 
 
@@ -172,12 +214,17 @@ class Document:
             bad.drop()
         self._remove_unlikely(root)
         self._divs_to_paragraphs(root)
-        candidates = self._score_paragraphs(root)
+        # the tree is immutable from here until _join_siblings' final move
+        # loop, so one norm-text memo serves scoring AND the sibling rules;
+        # _sanitize mutates progressively and must not see it
+        memo: dict[int, str] = {}
+        candidates = self._score_paragraphs(root, memo)
         if not candidates:
             return root.find("body") or root
         best = max(candidates.items(), key=lambda kv: kv[1])
         best_node, best_score = best
-        article = self._join_siblings(best_node, best_score, candidates)
+        article = self._join_siblings(best_node, best_score, candidates,
+                                      memo)
         self._sanitize(article, candidates)
         return article
 
@@ -224,7 +271,7 @@ class Document:
                     new_children.append(c)
             n.children[:] = new_children
 
-    def _score_paragraphs(self, root: Node) -> dict:
+    def _score_paragraphs(self, root: Node, memo: dict | None = None) -> dict:
         candidates: dict[Node, float] = {}
         ordered: list[Node] = []
         for p in root.find_all("p", "pre", "td"):
@@ -232,7 +279,7 @@ class Document:
             if parent is None:
                 continue
             grand = parent.parent
-            text = _norm_text(p)
+            text = _norm_text(p, memo)
             if len(text) < MIN_TEXT_LEN:
                 continue
             # 0.8.1: 1 + len(split(',')) + min(len/100, 3) — the split
@@ -247,11 +294,11 @@ class Document:
                     ordered.append(node)
                 candidates[node] += score * share
         for node in ordered:
-            candidates[node] *= (1.0 - _link_density(node))
+            candidates[node] *= (1.0 - _link_density(node, memo))
         return candidates
 
     def _join_siblings(self, best: Node, best_score: float,
-                       candidates: dict) -> Node:
+                       candidates: dict, memo: dict | None = None) -> Node:
         article = Node("div", {})
         threshold = max(10.0, best_score * 0.2)
         parent = best.parent
@@ -270,7 +317,7 @@ class Document:
                 # the full text_content, for these two rules
                 node_content = _leading_text(sib)
                 node_length = len(node_content)
-                ld = _link_density(sib)
+                ld = _link_density(sib, memo)
                 if node_length > 80 and ld < 0.25:
                     keep = True
                 elif node_length <= 80 and ld == 0 \
@@ -324,7 +371,7 @@ class Document:
                 {"p": 0, "img": 0, "li": 0, "input": 0, "embed": 0})
             counts["li"] -= 100
             content_length = len(text)
-            ld = _link_density(n)
+            ld = _link_density(n, total=content_length)
             remove = False
             if counts["img"] > 1 + counts["p"] * 1.3:
                 remove = True           # too many images
