@@ -102,6 +102,12 @@ from .t2s import T2S_TABLE as _T2S
 SPLIT_CHAR = r"([ ,\.<>/?;:'\[\]\\`!@#$%^&*\(\)\{\}\|_+=《》，。？、；‘’：“”【】~！￥%……（）——-]+|[a-zA-Z0-9,\.-]+)"
 _SPLIT_RE = re.compile(SPLIT_CHAR)
 _W_RE = re.compile(r"\W+")
+# precompiled hot-path character-class probes (the inline re.match(str, …)
+# form pays a compile-cache dict probe per call — ~80k calls per 1k docs)
+_EN_TOKEN_RE = re.compile(r"[a-zA-Z_-]+$")
+_ASCII_WORD_RE = re.compile(r"[a-z\.-]+$")
+_NUM_RUN_RE = re.compile(r"[0-9\.-]+$")
+_FG_NUM_RE = re.compile(r"[0-9,\.-]+$")
 DENOMINATOR = 1000000
 
 # full-width → half-width fold as a translate table (fast _strQ2B)
@@ -161,6 +167,29 @@ class RagTokenizer:
         # first-char gate for merge_: a merged dict word must start with the
         # window's first character
         self._first_chars = {w[0] for w in self._freq_str}
+        # every proper prefix of every dict word (lowercased): merge_'s
+        # window probe can stop growing the moment the concatenation is no
+        # longer a prefix of ANY dict word — for web text this gates almost
+        # every English token out of the probe loop entirely
+        self._merge_prefixes = {w[:i] for w in self._freq_str
+                                for i in range(1, len(w) + 1)}
+
+    def add_word(self, word: str, freq: int, tag: str = "n"):
+        """Register one extra dictionary word at runtime (the reference's
+        user-dict seam, ``rag/nlp/rag_tokenizer.py loadUserDict``).  Keeps
+        every derived index (trie, freq/tag tables, first-char gate, merge
+        prefix set) consistent — callers must never mutate ``_freq_str``
+        directly, or merge_'s prefix gate goes stale."""
+        k = self.key_(word)
+        F = int(math.log(float(freq) / DENOMINATOR) + .5)
+        if k not in self.trie_ or self.trie_[k][0] < F:
+            self.trie_[k] = (F, tag)
+            w = word.lower()
+            self._freq_str[w] = int(math.exp(F) * DENOMINATOR + 0.5)
+            self._tag_str[w] = tag
+            self._first_chars.add(w[0])
+            self._merge_prefixes.update(w[:i] for i in range(1, len(w) + 1))
+        self.trie_[self.rkey_(word)] = (1, "")
 
     @staticmethod
     def _read_dict(path):
@@ -314,8 +343,12 @@ class RagTokenizer:
         return v
 
     def english_normalize_(self, tks):
-        return [self._en_norm(t) if re.match(r"[a-zA-Z_-]+$", t) else t
-                for t in tks]
+        cg = self._EN_NORM_CACHE.get
+        en = self._en_norm
+        m = _EN_TOKEN_RE.match
+        # cg(t) or en(t): miss → None → compute+cache ("" recompute is
+        # harmless — the functions are pure and "" never stores anyway)
+        return [(cg(t) or en(t)) if m(t) else t for t in tks]
 
     def _split_by_lang(self, line):
         pairs = []
@@ -352,9 +385,11 @@ class RagTokenizer:
         n = len(tks)
         freq = self._freq_str
         first = self._first_chars
+        prefixes = self._merge_prefixes
         while s < n:
             t0 = tks[s]
-            if not t0 or t0[0].lower() not in first:
+            if not t0 or t0[0].lower() not in first \
+                    or t0.lower() not in prefixes:
                 res.append(t0)
                 s += 1
                 continue
@@ -362,8 +397,11 @@ class RagTokenizer:
             tk = t0
             for e in range(s + 2, min(n + 1, s + 6)):
                 tk = tk + tks[e - 1]
-                if tk.lower() in freq and _SPLIT_RE.search(tk):
+                low = tk.lower()
+                if low in freq and _SPLIT_RE.search(tk):
                     E = e
+                if low not in prefixes:
+                    break   # no dict word extends this concatenation
             res.append(t0 if E == s + 1 else "".join(tks[s:E]))
             s = E
         return " ".join(res)
@@ -377,11 +415,14 @@ class RagTokenizer:
         s = 0
         n = len(tks)
         freq = self._freq_str
-        first = self._first_chars
+        prefixes = self._merge_prefixes
         while s < n:
             t0 = tks[s]
-            if not t0 or t0[0] not in first:
-                # no dict word can start here → no merge possible
+            if not t0 or t0 not in prefixes:
+                # t0 is not a prefix of any dict word → no merged dict word
+                # can start with it → no merge possible (strictly stronger
+                # than the first-char gate; on web text this skips nearly
+                # every English token)
                 res.append(t0)
                 s += 1
                 continue
@@ -396,6 +437,8 @@ class RagTokenizer:
                 tk = tk + tks[e - 1]
                 if tk in freq and _SPLIT_RE.search(tk):
                     E = e
+                if tk not in prefixes:
+                    break   # no dict word extends this concatenation
             res.append(t0 if E == s + 1 else "".join(tks[s:E]))
             s = E
         return res
@@ -409,14 +452,18 @@ class RagTokenizer:
             # as the general path, minus two full-string translates.  ("_"
             # survives \W+ but is a SPLIT_CHAR separator, so underscore
             # lines take the general path.)
+            cg = self._EN_NORM_CACHE.get
+            en = self._en_norm
             return " ".join(self._merge_list(
-                [self._en_norm(t) for t in line.lower().split()]))
+                [cg(t) or en(t) for t in line.lower().split()]))
         line = self._strQ2B(line).lower()
         line = self._tradi2simp(line)
         res = []
+        cg = self._EN_NORM_CACHE.get
+        en = self._en_norm
         for L, zh in self._split_by_lang(line):
             if not zh:
-                res.extend(self._en_norm(t) for t in L.split())
+                res.extend(cg(t) or en(t) for t in L.split())
                 continue
             res.extend(self._zh_span(L))
         return self.merge_(" ".join(res))
@@ -440,7 +487,7 @@ class RagTokenizer:
 
     def _zh_span_pieces(self, L: str) -> list:
         res = []
-        if len(L) < 2 or re.match(r"[a-z\.-]+$", L) or re.match(r"[0-9\.-]+$", L):
+        if len(L) < 2 or _ASCII_WORD_RE.match(L) or _NUM_RUN_RE.match(L):
             res.append(L)
             return res
         tks, s = self.maxForward_(L)
@@ -491,9 +538,9 @@ class RagTokenizer:
         # English branch below — and when no '/' survives either, that
         # branch is the identity re-join (skip 2 Python-level scans/token)
         if tks.isascii():
-            parts = tks.split()
-            if any("/" in t for t in parts):
-                parts = [p for t in parts for p in t.split("/")]
+            if "/" not in tks:
+                return " ".join(tks.split())
+            parts = [p for t in tks.split() for p in t.split("/")]
             return " ".join(parts)
         tks = tks.split()
         zh_num = len([1 for c in tks if c and is_chinese(c[0])])
@@ -514,7 +561,7 @@ class RagTokenizer:
         hit = c.get(tk)
         if hit is not None:
             return hit
-        if len(tk) < 3 or re.match(r"[0-9,\.-]+$", tk):
+        if len(tk) < 3 or _FG_NUM_RE.match(tk):
             stk = tk
         else:
             tkslist = []
@@ -529,7 +576,7 @@ class RagTokenizer:
                 if len(stk) == len(tk):
                     stk = tk
                 else:
-                    if re.match(r"[a-z\.-]+$", tk):
+                    if _ASCII_WORD_RE.match(tk):
                         for t in stk:
                             if len(t) < 3:
                                 stk = tk

@@ -172,21 +172,17 @@ class TestMergePublicContract:
         """merge_() is public API: probes are case-folded (reference
         semantics) while output keeps the caller's casing; the lowercase
         fast path must agree with the general path."""
-        from ragflow_core16_spark.textnorm.rag_tokenizer import get_tokenizer
-        tk = get_tokenizer()
-        added_first = "n" not in tk._first_chars
-        tk._freq_str["newyork"] = 1000
-        tk._first_chars.add("n")
-        try:
-            assert tk.merge_("New York") == "NewYork"
-            assert tk.merge_("NEW YORK") == "NEWYORK"
-            assert tk.merge_("new york") == "newyork"
-            assert tk.merge_("new york") == \
-                " ".join(tk._merge_list(["new", "york"]))
-        finally:
-            del tk._freq_str["newyork"]
-            if added_first:
-                tk._first_chars.discard("n")
+        # a fresh instance: add_word (the user-dict seam) is the ONLY
+        # supported way to extend the dictionary — it keeps merge_'s
+        # prefix index consistent with the freq table
+        from ragflow_core16_spark.textnorm.rag_tokenizer import RagTokenizer
+        tk = RagTokenizer()
+        tk.add_word("newyork", 1000, "n")
+        assert tk.merge_("New York") == "NewYork"
+        assert tk.merge_("NEW YORK") == "NEWYORK"
+        assert tk.merge_("new york") == "newyork"
+        assert tk.merge_("new york") == \
+            " ".join(tk._merge_list(["new", "york"]))
 
 
 class TestMixedScriptFixtures:
