@@ -209,10 +209,30 @@ class Document:
         # 0.8.1's lxml Cleaner pass (scripts/javascript/style); forms are
         # NOT cleaned here (Cleaner(forms=False)) — form/textarea drop at
         # the START of sanitize, and input/button/select survive
-        # throughout so sanitize's input-density rule has inputs to count
-        for bad in root.find_all("script", "style", "noscript", "iframe"):
-            bad.drop()
-        self._remove_unlikely(root)
+        # throughout so sanitize's input-density rule has inputs to count.
+        # The Cleaner drop and remove_unlikely_candidates share ONE
+        # traversal: both snapshot the same original tree, and the drops
+        # are order-independent (script subtrees hold no element nodes, and
+        # a double-detach of a node inside an already-dropped subtree is a
+        # no-op on the final tree).
+        bad_tags = []
+        unlikely = []
+        for n in root.iter():
+            t = n.tag
+            if t in ("script", "style", "noscript", "iframe"):
+                bad_tags.append(n)
+                continue
+            if t in ("#document", "html", "body"):
+                continue
+            attrs = f"{n.get('class', '')} {n.get('id', '')}"
+            if len(attrs) < 2:
+                continue
+            if UNLIKELY_RE.search(attrs) and not MAYBE_RE.search(attrs):
+                unlikely.append(n)
+        for n in bad_tags:
+            n.drop()
+        for n in unlikely:
+            n.drop()
         self._divs_to_paragraphs(root)
         # the tree is immutable from here until _join_siblings' final move
         # loop, so one norm-text memo serves scoring AND the sibling rules;
@@ -243,14 +263,28 @@ class Document:
     def _divs_to_paragraphs(self, root: Node):
         # pass 1 (0.8.1): a div whose SERIALIZED subtree markup contains no
         # block tag becomes a <p> — the test is over tostring(children),
-        # so a block element at ANY depth keeps the div
-        for n in root.find_all("div"):
-            # equivalent to searching tostring(children): text/tails cannot
-            # contain a literal '<' post-parse, so the descendant tag
-            # openings are exactly what the regex can match; any() stops at
-            # the first block descendant
-            if not any(_is_div_to_p_blocker(c.tag)
-                       for c in n.iter() if c is not n):
+        # so a block element at ANY depth keeps the div.  Equivalent to
+        # searching tostring(children): text/tails cannot contain a literal
+        # '<' post-parse, so the descendant tag openings are exactly what
+        # the regex can match.  Computed bottom-up in ONE traversal (the
+        # per-div subtree scan was quadratic on div-heavy pages): a node
+        # "has a block" if any element child is a blocker tag or itself
+        # has one.  Reversed preorder visits every child before its parent.
+        preorder = list(root.iter())
+        has_block: dict[int, bool] = {}
+        divs = []
+        for n in reversed(preorder):
+            hb = False
+            for c in n.children:
+                if type(c) is Node and (_is_div_to_p_blocker(c.tag)
+                                        or has_block[id(c)]):
+                    hb = True
+                    break
+            has_block[id(n)] = hb
+            if n.tag == "div":
+                divs.append(n)
+        for n in divs:
+            if not has_block[id(n)]:
                 n.tag = "p"
         # pass 2 (0.8.1): wrap stray div text/tails into <p>, drop <br>s
         for n in root.find_all("div"):

@@ -25,8 +25,6 @@ UDFs.
 
 from __future__ import annotations
 
-import re
-
 from .dom import Node, parse_html
 
 # html-text 0.6.2's EXACT newline-forcing tags (NEWLINE_TAGS ∪
@@ -47,11 +45,15 @@ BLOCK_TAGS = frozenset(
 # guards direct full-document calls against title duplication.
 _SKIP_TAGS = frozenset(("script", "style", "noscript", "title", "head"))
 
-# 0.6.2's exact rules
-_PUNCT_AFTER = re.compile(r'^[,:;.!?")]')
-_OPEN_BRACKET_BEFORE = re.compile(r"\($")
-_TRAILING_WS = re.compile(r"\s$")
-_WS = re.compile(r"\s+")
+# 0.6.2's exact rules, expressed regex-free on this hot path:
+#   ^[,:;.!?")]  →  first char in _PUNCT_CHARS (fragments are pre-stripped)
+#   \s$ on raw   →  raw[-1].isspace()   (str.split's whitespace set equals
+#                   \s — verified exhaustively over all codepoints, see
+#                   readability._norm_text)
+#   \($ on raw   →  raw.endswith("(")
+_PUNCT_CHARS = frozenset(',:;.!?")')
+
+_FLUSH = object()   # post-children sentinel for the iterative walk
 
 
 def extract_text(html: str) -> str:
@@ -63,7 +65,7 @@ def extract_text(html: str) -> str:
 
 def extract_text_from_node(root: Node) -> str:
     lines: list[str] = []
-    cur: list[tuple[str, str]] = []  # (normalized fragment, raw fragment)
+    cur: list[tuple[str, str]] = []  # (stripped-normalized, raw fragment)
 
     def flush():
         if cur:
@@ -72,43 +74,42 @@ def extract_text_from_node(root: Node) -> str:
                 lines.append(line)
             cur.clear()
 
-    def walk(n):
-        if isinstance(n, str):
-            t = _WS.sub(" ", n)
-            if t.strip():
+    # iterative DFS (the recursive form dominated deep fragments); _FLUSH
+    # sentinel marks a block element's exit
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if n is _FLUSH:
+            flush()
+            continue
+        if type(n) is str:
+            # " ".join(split()) ≡ strip(_WS.sub(" ", n)) — downstream only
+            # ever sees the stripped form (0.6.2 strips the text_content
+            # before its punct rules run), so normalize pre-stripped
+            t = " ".join(n.split())
+            if t:
                 cur.append((t, n))
-            return
+            continue
         if n.tag in _SKIP_TAGS:
-            return
-        is_block = n.tag in BLOCK_TAGS
-        if is_block:
+            continue
+        if n.tag in BLOCK_TAGS:
             flush()
-        for c in n.children:
-            walk(c)
-        if is_block:
-            flush()
-
-    walk(root)
+            stack.append(_FLUSH)
+        stack.extend(reversed(n.children))
     flush()
     return "\n".join(lines)
 
 
 def _join_inline(chunks: list[tuple[str, str]]) -> str:
-    out = chunks[0][0].strip()
+    out = chunks[0][0]
     prev_raw = chunks[0][1]
-    for norm, raw in chunks[1:]:
-        stripped = norm.strip()
-        if not stripped:
-            continue
+    for stripped, raw in chunks[1:]:
         # 0.6.2 guess_punct_space: trailing whitespace on the RAW previous
         # fragment always wins; only a tight join may suppress the space.
-        # The punct test runs on the STRIPPED fragment (0.6.2 strips the
-        # text_content before _has_punct_after sees it).
-        if not _TRAILING_WS.search(prev_raw) and (
-                _PUNCT_AFTER.match(stripped) or
-                _OPEN_BRACKET_BEFORE.search(prev_raw)):
+        if not prev_raw[-1].isspace() and (
+                stripped[0] in _PUNCT_CHARS or prev_raw.endswith("(")):
             out += stripped
         else:
             out += " " + stripped
         prev_raw = raw
-    return out.strip()
+    return out

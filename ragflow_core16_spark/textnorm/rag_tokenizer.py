@@ -411,11 +411,15 @@ class RagTokenizer:
         feeds its list directly, skipping a full-string join+re-split.
         Tokens must be lowercase (every tokenize path lowers before merge;
         ``_freq_str``/``_first_chars`` keys are stored lowered)."""
+        prefixes = self._merge_prefixes
+        # C-speed gate: if no token is a prefix of any dict word, no merge
+        # window can open anywhere — the common case for English text
+        if prefixes.isdisjoint(tks):
+            return tks
         res = []
         s = 0
         n = len(tks)
         freq = self._freq_str
-        prefixes = self._merge_prefixes
         while s < n:
             t0 = tks[s]
             if not t0 or t0 not in prefixes:
