@@ -270,22 +270,27 @@ class Document:
         # per-div subtree scan was quadratic on div-heavy pages): a node
         # "has a block" if any element child is a blocker tag or itself
         # has one.  Reversed preorder visits every child before its parent.
-        preorder = list(root.iter())
-        has_block: dict[int, bool] = {}
-        divs = []
-        for n in reversed(preorder):
-            hb = False
-            for c in n.children:
-                if type(c) is Node and (_is_div_to_p_blocker(c.tag)
-                                        or has_block[id(c)]):
-                    hb = True
-                    break
-            has_block[id(n)] = hb
-            if n.tag == "div":
-                divs.append(n)
-        for n in divs:
-            if not has_block[id(n)]:
-                n.tag = "p"
+        divs = root.find_all("div")
+        if len(divs) <= 12:
+            # few divs: the early-exit subtree scan beats building flags
+            # for the whole tree (typical article pages)
+            for n in divs:
+                if not any(_is_div_to_p_blocker(c.tag)
+                           for c in n.iter() if c is not n):
+                    n.tag = "p"
+        else:
+            has_block: dict[int, bool] = {}
+            for n in reversed(list(root.iter())):
+                hb = False
+                for c in n.children:
+                    if type(c) is Node and (_is_div_to_p_blocker(c.tag)
+                                            or has_block[id(c)]):
+                        hb = True
+                        break
+                has_block[id(n)] = hb
+            for n in divs:
+                if not has_block[id(n)]:
+                    n.tag = "p"
         # pass 2 (0.8.1): wrap stray div text/tails into <p>, drop <br>s
         for n in root.find_all("div"):
             new_children = []
