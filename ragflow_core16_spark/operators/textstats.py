@@ -606,10 +606,122 @@ ORDER BY doc_id, rank
 """
 
 
+# ---------------------------------------------------- kn_bigram_logprob
+def kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring — one fidelity step up
+    from ``unigram_logprob`` toward CCNet's real filter (Wenzek et al.
+    2020 score with a 5-gram Kneser-Ney KenLM; ``ccnet_bucket`` holds the
+    bucketing logic, this holds the smoothing math at bigram order):
+
+        P(w2|w1) = max(c(w1,w2) − D, 0) / c(w1)
+                 + (D · N1+(w1,·) / c(w1)) · N1+(·,w2) / N1+(·,·)
+
+    with absolute discount D = 0.75 and the standard continuation
+    probability (distinct left contexts over total bigram types).  The
+    model is trained on the corpus itself, so every scored bigram exists
+    in the count table — no unseen-context backoff branch is reachable.
+
+    Plan shape (and the 100 TB story):
+      * bigram construction is IN-ROW — the token array is zipped with
+        its own tail JVM-side before the explode, so pairing costs zero
+        shuffles (a window/lag formulation would shuffle the full token
+        stream);
+      * one groupBy(w1,w2) builds the count table (map-side combinable);
+        the context and continuation relations derive from THAT table
+        (|bigram types| rows, not |tokens|), as does the scalar type
+        count;
+      * scoring is a key join of doc-bigrams against the per-bigram-type
+        logprob relation — broadcast at bench scale; at 10^12 docs this
+        is the standard first-pass-counts → co-keyed scoring join with
+        AQE handling skewed function words.
+
+    Determinism: each bigram's logprob is rounded to an INTEGER micro-nat
+    before any summation (the ADVICE.md fixed-point rule); per-doc mean
+    is integer DIV, so cross-engine aggregation order cannot flip a
+    digit."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+                   " ")
+    pairs = F.expr(
+        "transform(slice(toks, 1, size(toks) - 1),"
+        " (x, i) -> struct(x AS w1, toks[i + 1] AS w2))")
+    big = (d.select("doc_id", toks.alias("toks"))
+           .filter(F.size("toks") >= 2)
+           .select("doc_id", F.explode(pairs).alias("p"))
+           .select("doc_id", F.col("p.w1").alias("w1"),
+                   F.col("p.w2").alias("w2")))
+    bg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = bg.groupBy("w1").agg(F.sum("cnt").alias("ctx_cnt"),
+                               F.count(F.lit(1)).alias("n1_fwd"))
+    cont = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_back"))
+    types = bg.agg(F.count(F.lit(1)).alias("n_types"))
+    # the expression is written with IDENTICAL parenthesization in the
+    # DuckDB oracle: same integer inputs + same IEEE op order = same bits
+    p = ((F.greatest(F.col("cnt") - 0.75, F.lit(0.0)) / F.col("ctx_cnt"))
+         + (0.75 * F.col("n1_fwd") / F.col("ctx_cnt"))
+         * (F.col("n1_back") / F.col("n_types")))
+    scored = (bg.join(F.broadcast(ctx), "w1")
+              .join(F.broadcast(cont), "w2")
+              .crossJoin(F.broadcast(types))
+              .select("w1", "w2",
+                      F.round(F.log(p) * 1e6, 0).cast("long")
+                       .alias("lp_ppm")))
+    return (big.join(F.broadcast(scored), ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(F.sum("lp_ppm").alias("sum_ppm"),
+                 F.count(F.lit(1)).alias("n_bigrams"))
+            .select("doc_id",
+                    # negate-first (ccnet_bucket pattern): lp_ppm ≤ 0 so
+                    # the integer division runs on a NON-NEGATIVE
+                    # numerator, where Spark's DIV (truncate) and
+                    # DuckDB's // (floor) agree
+                    (F.expr("-((-sum_ppm) DIV n_bigrams)").cast("double")
+                     / 1e6).alias("mean_logprob"),
+                    "n_bigrams")
+            .orderBy("doc_id"))
+
+
+KN_BIGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok,
+         generate_subscripts(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), 1) AS ord
+  FROM documents),
+big AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, tok AS w1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+    FROM toks)
+  WHERE w2 IS NOT NULL),
+bg AS (SELECT w1, w2, count(*) AS cnt FROM big GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(cnt) AS ctx_cnt, count(*) AS n1_fwd
+        FROM bg GROUP BY w1),
+cont AS (SELECT w2, count(*) AS n1_back FROM bg GROUP BY w2),
+types AS (SELECT count(*) AS n_types FROM bg),
+scored AS (
+  SELECT b.w1, b.w2,
+         CAST(round(ln((greatest(b.cnt - 0.75, 0.0) / c.ctx_cnt)
+                       + (0.75 * c.n1_fwd / c.ctx_cnt)
+                       * (k.n1_back / t.n_types)) * 1e6)
+              AS BIGINT) AS lp_ppm
+  FROM bg b
+  JOIN ctx c ON c.w1 = b.w1
+  JOIN cont k ON k.w2 = b.w2, types t)
+SELECT g.doc_id,
+       CAST(-((-sum(s.lp_ppm)) // count(*)) AS DOUBLE) / 1e6
+         AS mean_logprob,
+       count(*) AS n_bigrams
+FROM big g JOIN scored s ON s.w1 = g.w1 AND s.w2 = g.w2
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 QUERIES = {
     "tfidf_keywords": (tfidf_keywords, TFIDF_KEYWORDS_SQL),
     "auto_questions": (auto_questions, AUTO_QUESTIONS_SQL),
     "unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
+    "kn_bigram_logprob": (kn_bigram_logprob, KN_BIGRAM_SQL),
     "ccnet_bucket": (ccnet_bucket, CCNET_BUCKET_SQL),
     "zipf_histogram": (zipf_histogram, ZIPF_HISTOGRAM_SQL),
     "readability_scores": (readability_scores, READABILITY_SQL),

@@ -149,3 +149,65 @@ class TestTfidfKeywords:
         plan = _formatted(_tfidf_ranked(spark, SF))
         # the corpus total joins in as a broadcast, not a collected scalar
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+class TestKnBigram:
+    """Interpolated Kneser-Ney bigram LM (kn_bigram_logprob)."""
+
+    def _model(self, toks):
+        """Pure-Python KN reference over the same whitespace tokens."""
+        from collections import Counter
+        bg = Counter()
+        for t in toks.values():
+            for a, b in zip(t, t[1:]):
+                bg[(a, b)] += 1
+        ctx = Counter(); n1_fwd = Counter(); n1_back = Counter()
+        for (a, b), c in bg.items():
+            ctx[a] += c
+            n1_fwd[a] += 1
+            n1_back[b] += 1
+        types = len(bg)
+        D = 0.75
+
+        def p(a, b):
+            return (max(bg[(a, b)] - D, 0.0) / ctx[a]
+                    + (D * n1_fwd[a] / ctx[a]) * (n1_back[b] / types))
+        return bg, ctx, n1_fwd, n1_back, types, p
+
+    def test_matches_pure_python_kn(self, spark):
+        from ragflow_core16_spark.operators.textstats import \
+            kn_bigram_logprob
+        import math
+        toks, _ = _doc_tokens(spark)
+        _bg, _ctx, _f, _b, _types, p = self._model(toks)
+        want = {}
+        for d, t in toks.items():
+            if len(t) < 2:
+                continue
+            s = sum(int(round(math.log(p(a, b)) * 1e6))
+                    for a, b in zip(t, t[1:]))
+            n = len(t) - 1
+            want[d] = (-((-s) // n) / 1e6, n)
+        got = {r["doc_id"]: (r["mean_logprob"], r["n_bigrams"])
+               for r in kn_bigram_logprob(spark, SF).collect()}
+        assert got == want
+
+    def test_kn_distribution_sums_to_one(self, spark):
+        """Σ_b P(b|a) = 1 for every context — the property that makes the
+        smoothed model a real probability distribution (and the reason
+        every scored logprob is finite and negative)."""
+        toks, _ = _doc_tokens(spark)
+        bg, ctx, _f, _b, _types, p = self._model(toks)
+        vocab = {b for (_a, b) in bg}
+        import itertools
+        for a in list(ctx)[:25]:
+            total = sum(p(a, b) for b in vocab)
+            assert abs(total - 1.0) < 1e-9
+
+    def test_plan_broadcasts_stats(self, spark):
+        from ragflow_core16_spark.operators.textstats import \
+            kn_bigram_logprob
+        plan = _formatted(kn_bigram_logprob(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        # in-row pair construction: no window exchange for the bigrams
+        assert "Window" not in plan
