@@ -237,6 +237,12 @@ from html.parser import (attrfind_tolerant as _ATTR,
 _CDATA_CLOSE = {t: _re.compile(r"</\s*%s" % t, _re.IGNORECASE)
                 for t in ("script", "style")}
 
+# attribute-less start tag (~40% of start tags on web text): one match
+# replaces the STARTEND + TAGNAME + attr-loop machinery.  The name class
+# is NARROWER than tagfind_tolerant's ([a-zA-Z][^\t\n\r\f />\x00]*), so
+# anything this doesn't match falls through to the exact stdlib path.
+_SIMPLE_START = _re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)\s*(/?)>")
+
 
 def _fast_parse(text: str) -> Node:
     root = Node("#document")
@@ -288,6 +294,33 @@ def _fast_parse(text: str) -> Node:
             break
         c = text[i + 1:i + 2]
         if c and (("a" <= c <= "z") or ("A" <= c <= "Z")):
+            # ----- attribute-less fast path: '<name>' / '<name/>'
+            sm = _SIMPLE_START.match(text, i)
+            if sm:
+                tag = sm.group(1).lower()
+                end = sm.end()
+                top = stack[-1]
+                if sm.group(2):            # self-closing
+                    top.children.append(Node(tag, (), top))
+                    i = end
+                    continue
+                closers = _IMPLICIT_CLOSE.get(tag)
+                if tag in _P_CLOSERS and top.tag == "p":
+                    stack.pop()
+                    top = stack[-1]
+                elif closers and top.tag in closers:
+                    stack.pop()
+                    if tag == "tr" and stack[-1].tag == "tr":
+                        stack.pop()
+                    top = stack[-1]
+                node = Node(tag, (), top)
+                top.children.append(node)
+                if tag not in VOID_TAGS and len(stack) < MAX_DEPTH:
+                    stack.append(node)
+                if tag in _CDATA_CLOSE:
+                    cdata = _CDATA_CLOSE[tag]
+                i = end
+                continue
             # ----- start tag (mirrors parse_starttag, tolerant mode)
             m = _STARTEND.match(text, i)
             k = m.end()
