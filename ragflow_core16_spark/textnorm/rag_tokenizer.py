@@ -102,6 +102,11 @@ from .t2s import T2S_TABLE as _T2S
 SPLIT_CHAR = r"([ ,\.<>/?;:'\[\]\\`!@#$%^&*\(\)\{\}\|_+=《》，。？、；‘’：“”【】~！￥%……（）——-]+|[a-zA-Z0-9,\.-]+)"
 _SPLIT_RE = re.compile(SPLIT_CHAR)
 _W_RE = re.compile(r"\W+")
+# ascii \W → " " as a C-speed translate table: for a pure-ascii line,
+# translate+split ≡ _W_RE.sub(" ", line).split() (run collapsing is moot
+# under split), and "_" membership is unchanged by either
+_ASCII_W_TABLE = {i: " " for i in range(128)
+                  if re.match(r"\W", chr(i), re.UNICODE)}
 # precompiled hot-path character-class probes (the inline re.match(str, …)
 # form pays a compile-cache dict probe per call — ~80k calls per 1k docs)
 _EN_TOKEN_RE = re.compile(r"[a-zA-Z_-]+$")
@@ -449,7 +454,20 @@ class RagTokenizer:
 
     # -- public API ------------------------------------------------------
     def tokenize(self, line: str) -> str:
-        line = _W_RE.sub(" ", line)
+        if line.isascii():
+            # ascii input: \W+→" " via the translate table (C speed; run
+            # collapsing is moot under split()).  Underscore membership is
+            # unchanged by either form, so the routing below is identical.
+            if "_" not in line:
+                cg = self._EN_NORM_CACHE.get
+                en = self._en_norm
+                return " ".join(self._merge_list(
+                    [cg(t) or en(t)
+                     for t in line.translate(_ASCII_W_TABLE).lower()
+                     .split()]))
+            line = _W_RE.sub(" ", line)
+        else:
+            line = _W_RE.sub(" ", line)
         if line.isascii() and "_" not in line:
             # pure-ascii fast path: Q2B and tradi→simp are identity maps and
             # every space-separated token is a single alnum run — same output
