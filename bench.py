@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "url_templates", "image_near_dup", "audio_near_dup",
     "video_near_dup",
     "entity_graph", "graph_communities", "raptor_tree", "tag_content",
-    "vision_pdf_template", "auto_questions", "kn_bigram_logprob",
+    "vision_pdf_template", "auto_questions", "kn_bigram_logprob", "hits",
 ]
 
 

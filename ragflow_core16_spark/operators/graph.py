@@ -107,6 +107,93 @@ ORDER BY rank_ppm DESC, doc_id LIMIT 50
 """
 
 
+def hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) over the same md5-derived
+    link graph as ``pagerank`` — the complementary link-quality prior: a
+    good hub links to good authorities, a good authority is linked from
+    good hubs.  Directory/index pages score as hubs, canonical content
+    pages as authorities; both are selection signals a PageRank-style
+    prestige score misses.
+
+    Spark shape: each iteration is two keyed aggs (contributions grouped
+    by dst for authorities, by src for hubs) — both map-side combinable,
+    same co-partitioned join family as pagerank.  Normalization divides
+    by the iteration's max score, carried as a one-row BROADCAST (never a
+    driver collect), so the whole loop stays one lazy plan.
+
+    Determinism: scores are ppm BIGINTs; normalization is
+    ``score·PPM div max`` with truncating integer division — no floats,
+    so partial-aggregation order cannot perturb a digit and the DuckDB
+    oracle (the same iterations unrolled as CTEs, max as a scalar
+    subquery) matches bit-for-bit."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    n = d.count()
+    edges = _edges(d, F.lit(n)).select("src", "dst")
+    hubs = d.select("doc_id", F.lit(PPM).cast("bigint").alias("h_ppm"))
+    auths = None
+    for _ in range(N_ITER):
+        a_raw = (edges.join(hubs, edges.src == hubs.doc_id)
+                 .groupBy("dst").agg(F.sum("h_ppm").alias("a_raw")))
+        a_max = a_raw.agg(F.max("a_raw").alias("m"))
+        auths = (d.join(a_raw, d.doc_id == a_raw.dst, "left")
+                 .crossJoin(F.broadcast(a_max))
+                 .select("doc_id",
+                         F.expr(f"coalesce(a_raw, 0) * {PPM} div m")
+                         .cast("bigint").alias("a_ppm")))
+        h_raw = (edges.join(auths, edges.dst == auths.doc_id)
+                 .groupBy("src").agg(F.sum("a_ppm").alias("h_raw")))
+        h_max = h_raw.agg(F.max("h_raw").alias("m"))
+        hubs = (d.join(h_raw, d.doc_id == h_raw.src, "left")
+                .crossJoin(F.broadcast(h_max))
+                .select("doc_id",
+                        F.expr(f"coalesce(h_raw, 0) * {PPM} div m")
+                        .cast("bigint").alias("h_ppm")))
+    return (hubs.join(auths, "doc_id")
+            .orderBy(F.desc("a_ppm"), F.desc("h_ppm"), "doc_id")
+            .limit(50)
+            .select("doc_id", "h_ppm", "a_ppm"))
+
+
+def _hits_sql() -> str:
+    it = """
+a{i}_raw AS (
+  SELECT e.dst AS doc_id, sum(r.h_ppm) AS a_raw
+  FROM edges e JOIN {prev} r ON e.src = r.doc_id GROUP BY e.dst),
+a{i} AS (
+  SELECT n.doc_id,
+         CAST(coalesce(s.a_raw, 0) * {ppm}
+              // (SELECT max(a_raw) FROM a{i}_raw) AS BIGINT) AS a_ppm
+  FROM nodes n LEFT JOIN a{i}_raw s ON n.doc_id = s.doc_id),
+h{i}_raw AS (
+  SELECT e.src AS doc_id, sum(r.a_ppm) AS h_raw
+  FROM edges e JOIN a{i} r ON e.dst = r.doc_id GROUP BY e.src),
+h{i} AS (
+  SELECT n.doc_id,
+         CAST(coalesce(s.h_raw, 0) * {ppm}
+              // (SELECT max(h_raw) FROM h{i}_raw) AS BIGINT) AS h_ppm
+  FROM nodes n LEFT JOIN h{i}_raw s ON n.doc_id = s.doc_id)"""
+    its = ",".join(
+        it.format(i=i + 1, prev=("h0" if i == 0 else f"h{i}"), ppm=PPM)
+        for i in range(N_ITER))
+    return f"""
+WITH nodes AS (SELECT doc_id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+edges AS (
+  SELECT doc_id AS src,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                             || CAST(k AS VARCHAR)), 1, 15))::BIGINT
+           % (SELECT n FROM nn) AS dst
+  FROM nodes, unnest(generate_series(1, 3)) AS t(k)
+  WHERE k <= doc_id % 3 + 1),
+h0 AS (SELECT doc_id, CAST({PPM} AS BIGINT) AS h_ppm FROM nodes),
+{its}
+SELECT h.doc_id, h.h_ppm, a.a_ppm
+FROM h{N_ITER} h JOIN a{N_ITER} a USING (doc_id)
+ORDER BY a.a_ppm DESC, h.h_ppm DESC, doc_id LIMIT 50
+"""
+
+
 QUERIES = {
     "pagerank": (pagerank, _pagerank_sql()),
+    "hits": (hits, _hits_sql()),
 }

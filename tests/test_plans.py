@@ -424,3 +424,12 @@ def test_sitemap_coverage_join_and_rollups_partial_agg(spark):
     plan = _formatted(sitemap_rollup(spark, SF))
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert plan.count("HashAggregate") >= 4    # partial+final × 2 rollups
+
+
+def test_hits_iteration_partial_aggs(spark):
+    """HITS iterations: map-side partial sums, broadcast max (one-row
+    normalizer), no cartesian degradation."""
+    plan = _formatted(E._registry()["hits"][0](spark, SF))
+    assert "partial_sum" in plan
+    assert "partial_max" in plan
+    assert "CartesianProduct" not in plan

@@ -211,3 +211,40 @@ class TestKnBigram:
         assert "BroadcastHashJoin" in plan
         # in-row pair construction: no window exchange for the bigrams
         assert "Window" not in plan
+
+
+class TestHits:
+    def test_matches_pure_python_hits(self, spark):
+        """Integer-exact HITS vs an independent pure-Python evaluator over
+        the same md5-derived edge set."""
+        import hashlib
+        from ragflow_core16_spark.operators.graph import (N_ITER, PPM, hits)
+        SF0 = "/root/testdata/sf0.001"
+        ids = sorted(r["doc_id"] for r in
+                     spark.read.parquet(f"{SF0}/documents.parquet")
+                     .select("doc_id").collect())
+        n = len(ids)
+        edges = []
+        for d in ids:
+            for k in range(1, d % 3 + 2):
+                dst = int(hashlib.md5(f"{d}:{k}".encode())
+                          .hexdigest()[:15], 16) % n
+                edges.append((d, dst))
+        h = {d: PPM for d in ids}
+        a = {}
+        for _ in range(N_ITER):
+            raw = {}
+            for s, t in edges:
+                raw[t] = raw.get(t, 0) + h[s]
+            m = max(raw.values())
+            a = {d: raw.get(d, 0) * PPM // m for d in ids}
+            raw = {}
+            for s, t in edges:
+                raw[s] = raw.get(s, 0) + a[t]
+            m = max(raw.values())
+            h = {d: raw.get(d, 0) * PPM // m for d in ids}
+        want = sorted(((d, h[d], a[d]) for d in ids),
+                      key=lambda r: (-r[2], -r[1], r[0]))[:50]
+        got = [(r["doc_id"], r["h_ppm"], r["a_ppm"])
+               for r in hits(spark, SF0).collect()]
+        assert got == want
