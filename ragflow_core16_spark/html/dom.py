@@ -242,6 +242,16 @@ _CDATA_CLOSE = {t: _re.compile(r"</\s*%s" % t, _re.IGNORECASE)
 # is NARROWER than tagfind_tolerant's ([a-zA-Z][^\t\n\r\f />\x00]*), so
 # anything this doesn't match falls through to the exact stdlib path.
 _SIMPLE_START = _re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)\s*(/?)>")
+# quoted-attribute start tag (the other ~60%): every attribute is
+# whitespace-separated, name=quoted-value, with no '&' in the value (no
+# unescape needed).  Within this shape the stdlib path produces exactly
+# name.lower() → raw value, duplicates resolved last-wins by the Node
+# dict — identical to the pair scan below.  Anything wider (valueless
+# attrs, unquoted values, entities, junk between attrs) falls through.
+_ATTRS_START = _re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z][-a-zA-Z0-9_:.]*=(?:\"[^\"&]*\"|'[^'&]*'))+)\s*(/?)>")
+_ATTR_PAIR = _re.compile(r"([a-zA-Z][-a-zA-Z0-9_:.]*)=(\"[^\"]*\"|'[^']*')")
 
 
 def _fast_parse(text: str) -> Node:
@@ -294,14 +304,27 @@ def _fast_parse(text: str) -> Node:
             break
         c = text[i + 1:i + 2]
         if c and (("a" <= c <= "z") or ("A" <= c <= "Z")):
-            # ----- attribute-less fast path: '<name>' / '<name/>'
+            # ----- fast paths: '<name>' and '<name a="v" ...>' shapes
             sm = _SIMPLE_START.match(text, i)
             if sm:
                 tag = sm.group(1).lower()
+                fattrs: tuple | list = ()
+                fself = sm.group(2)
                 end = sm.end()
+            else:
+                am = _ATTRS_START.match(text, i)
+                if am:
+                    tag = am.group(1).lower()
+                    fattrs = [(a.lower(), v[1:-1])
+                              for a, v in _ATTR_PAIR.findall(am.group(2))]
+                    fself = am.group(3)
+                    end = am.end()
+                else:
+                    tag = None
+            if tag is not None:
                 top = stack[-1]
-                if sm.group(2):            # self-closing
-                    top.children.append(Node(tag, (), top))
+                if fself:                  # self-closing
+                    top.children.append(Node(tag, fattrs, top))
                     i = end
                     continue
                 closers = _IMPLICIT_CLOSE.get(tag)
@@ -313,7 +336,7 @@ def _fast_parse(text: str) -> Node:
                     if tag == "tr" and stack[-1].tag == "tr":
                         stack.pop()
                     top = stack[-1]
-                node = Node(tag, (), top)
+                node = Node(tag, fattrs, top)
                 top.children.append(node)
                 if tag not in VOID_TAGS and len(stack) < MAX_DEPTH:
                     stack.append(node)
