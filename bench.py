@@ -185,6 +185,29 @@ def one_run(cpus: int) -> None:
     spark.stop()
 
 
+_BASELINE_HEADER = "# BENCH — scaling evidence (BASELINE.md §3 protocol)\n"
+
+
+def _replace_section(path: str, heading_prefix: str, section_md: str) -> None:
+    """Replace (in place) the one section whose ``## `` heading starts with
+    ``heading_prefix``; append it if absent.  Never touches any other
+    section — hand-written prose (Summary, Cross-round notes) survives
+    re-measures."""
+    if os.path.exists(path):
+        prev = open(path).read()
+    else:
+        prev = _BASELINE_HEADER
+    idx = prev.find(heading_prefix)
+    if idx >= 0:
+        end = prev.find("\n## ", idx + len(heading_prefix))
+        tail = prev[end + 1:] if end >= 0 else ""
+        new = (prev[:idx].rstrip("\n") + section_md.rstrip("\n")
+               + ("\n\n\n" + tail if tail else "\n"))
+    else:
+        new = prev.rstrip("\n") + section_md.rstrip("\n") + "\n"
+    open(path, "w").write(new)
+
+
 def scaling() -> None:
     runs = {}
     # best-of-2 timed passes per level; ~180k docs keeps the small-level
@@ -216,7 +239,9 @@ def scaling() -> None:
     a, b = runs[lo], runs[hi]
     eff = (b["docs_per_sec"] / a["docs_per_sec"]) / (hi / lo)
     hash_equal = a["output_hash"] == b["output_hash"]
-    md = f"""# BENCH — scaling evidence (BASELINE.md §3 protocol)
+    md = f"""
+
+## Pinned single-JVM pair (local[{lo}] → local[{hi}])
 
 Same deterministic input ({SF_DIR}, {a['docs']} docs, {a['mb_in']} MB html),
 identical code, two CPU-pinned parallelism levels (taskset to exactly the
@@ -242,15 +267,7 @@ memory channels, so the 4→16 pair is the faithful N→4N analogue.
 """
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     path = f"{REPO}/BENCH/BASELINE.md"
-    # preserve an existing executor-group section across rewrites
-    groups_md = ""
-    if os.path.exists(path):
-        prev = open(path).read()
-        idx = prev.find("## Executor-group scaling")
-        if idx >= 0:
-            groups_md = "\n" + prev[idx:]
-    with open(path, "w") as f:
-        f.write(md + groups_md)
+    _replace_section(path, "## Pinned single-JVM pair", md)
     print(json.dumps({"efficiency": round(eff, 3), "hash_equal": hash_equal,
                       f"local{lo}": a, f"local{hi}": b}))
 
@@ -322,8 +339,9 @@ memory-bandwidth ceiling of the one physical box.
 """
     path = f"{REPO}/BENCH/BASELINE.md"
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    with open(path, "a") as f:
-        f.write(md)
+    _replace_section(
+        path,
+        f"## Executor-group scaling ({groups_b}×{group_cores}", md)
     print(json.dumps({"group_efficiency": round(eff, 3),
                       "hash_equal": len(hashes) == 1,
                       "one_group": a, "two_groups": results}))
@@ -411,17 +429,7 @@ efficiency = (docs_per_sec_B / docs_per_sec_A) / ({hi}/{lo}) = {eff:.3f}
 """
     path = f"{REPO}/BENCH/BASELINE.md"
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    # replace any previous local-cluster section, keep everything else
-    if os.path.exists(path):
-        prev = open(path).read()
-        idx = prev.find("## Real multi-JVM executor scaling")
-        if idx >= 0:
-            end = prev.find("\n## ", idx + 10)
-            prev = prev[:idx].rstrip("\n") + (prev[end:] if end >= 0
-                                              else "\n")
-        open(path, "w").write(prev + md)
-    else:
-        open(path, "w").write(md)
+    _replace_section(path, "## Real multi-JVM executor scaling", md)
     print(json.dumps({"cluster_efficiency": round(eff, 3),
                       "hash_equal": hash_equal,
                       f"exec{lo}": a, f"exec{hi}": b}))
