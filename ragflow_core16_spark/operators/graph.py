@@ -125,7 +125,16 @@ def hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``score·PPM div max`` with truncating integer division — no floats,
     so partial-aggregation order cannot perturb a digit and the DuckDB
     oracle (the same iterations unrolled as CTEs, max as a scalar
-    subquery) matches bit-for-bit."""
+    subquery) matches bit-for-bit.
+
+    Lineage: each iteration's raw-contribution relation is lazily
+    localCheckpointed — it feeds BOTH its max-broadcast and the
+    normalization join, and without the checkpoint every scalar
+    broadcast re-executes its entire upstream plan as a separate job
+    (6 broadcasts × a deepening 6-join lineage ⇒ compounding recompute;
+    same pathology dedup_clusters hit).  The checkpointed relation is
+    one row per linked node — node-table sized, executor-local storage,
+    fine at any scale."""
     d = _docs(spark, sf_dir).select("doc_id")
     n = d.count()
     edges = _edges(d, F.lit(n)).select("src", "dst")
@@ -133,7 +142,8 @@ def hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     auths = None
     for _ in range(N_ITER):
         a_raw = (edges.join(hubs, edges.src == hubs.doc_id)
-                 .groupBy("dst").agg(F.sum("h_ppm").alias("a_raw")))
+                 .groupBy("dst").agg(F.sum("h_ppm").alias("a_raw"))
+                 .localCheckpoint(eager=False))
         a_max = a_raw.agg(F.max("a_raw").alias("m"))
         auths = (d.join(a_raw, d.doc_id == a_raw.dst, "left")
                  .crossJoin(F.broadcast(a_max))
@@ -141,7 +151,8 @@ def hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.expr(f"coalesce(a_raw, 0) * {PPM} div m")
                          .cast("bigint").alias("a_ppm")))
         h_raw = (edges.join(auths, edges.dst == auths.doc_id)
-                 .groupBy("src").agg(F.sum("a_ppm").alias("h_raw")))
+                 .groupBy("src").agg(F.sum("a_ppm").alias("h_raw"))
+                 .localCheckpoint(eager=False))
         h_max = h_raw.agg(F.max("h_raw").alias("m"))
         hubs = (d.join(h_raw, d.doc_id == h_raw.src, "left")
                 .crossJoin(F.broadcast(h_max))
