@@ -37,12 +37,60 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructField, StructType
 
 _MANIFEST_RE = re.compile(r"^v(\d{5})\.json$")
+
+# legal widening promotions when an append's column type differs from the
+# table's (Iceberg spec §Schemas: int→long, float→double); anything else
+# is a schema conflict and raises
+_WIDENINGS = {("integer", "long"), ("float", "double")}
 
 
 class CommitConflict(RuntimeError):
     """Another writer claimed the version and retries were exhausted."""
+
+
+def _nullable(dt):
+    """Recursively drop NOT-NULL flags: parquet storage erases
+    nullability, so manifests record (and reads reconcile against) the
+    fully-nullable form — casting a round-tripped nullable struct to a
+    NOT-NULL struct type is an AnalysisException."""
+    if isinstance(dt, StructType):
+        return StructType([StructField(f.name, _nullable(f.dataType),
+                                       True, f.metadata)
+                           for f in dt.fields])
+    if isinstance(dt, ArrayType):
+        return ArrayType(_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_nullable(dt.keyType), _nullable(dt.valueType),
+                       True)
+    return dt
+
+
+def _union_fields(a: StructType, b: StructType) -> StructType:
+    """Union-by-name of two schemas (``a``'s order first); same name with
+    different types resolves to the wider of a legal widening pair, else
+    raises CommitConflict (the committer must re-run against the new
+    snapshot)."""
+    out = list(a.fields)
+    by_name = {f.name: i for i, f in enumerate(out)}
+    for g in b.fields:
+        i = by_name.get(g.name)
+        if i is None:
+            by_name[g.name] = len(out)
+            out.append(g)
+        elif out[i].dataType != g.dataType:
+            ta, tb = out[i].dataType.typeName(), g.dataType.typeName()
+            if (ta, tb) in _WIDENINGS:
+                out[i] = g
+            elif (tb, ta) not in _WIDENINGS:
+                raise CommitConflict(
+                    f"schema conflict on column {g.name!r}: "
+                    f"{out[i].dataType.simpleString()} vs "
+                    f"{g.dataType.simpleString()}")
+    return StructType(out)
 
 
 class SnapshotTable:
@@ -76,7 +124,7 @@ class SnapshotTable:
         if not m["files"]:
             raise ValueError(f"{self.path}: empty table at version "
                              f"{m['version']}")
-        return self.spark.read.parquet(*m["files"])
+        return self._read_files(m["files"], m.get("schema"))
 
     def versions(self) -> list[dict]:
         out = []
@@ -96,21 +144,109 @@ class SnapshotTable:
 
     # ----------------------------------------------------------- writes
     def commit_append(self, df: DataFrame, retries: int = 10) -> int:
-        """Append ``df`` as one atomic snapshot; returns the new version."""
-        files = self._write_data(df)
-        return self._commit(lambda parent: parent["files"] + files,
-                            "append", retries)
+        """Append ``df`` as one atomic snapshot; returns the new version.
+
+        Schema evolution (Iceberg add-column / null-fill semantics):
+          * columns the table has but ``df`` lacks → written as typed
+            NULLs (so every data file stays individually well-formed);
+          * columns ``df`` adds → appended to the table schema; READS of
+            older files surface them as NULLs via mergeSchema;
+          * ``df`` column NARROWER than the table's (int vs long, float
+            vs double) → cast up at write time;
+          * ``df`` column WIDER than the table's → raises ValueError
+            (in-place widening would leave old files un-mergeable by the
+            parquet reader; do an explicit ``commit_overwrite`` of the
+            re-cast table instead — one rewrite, as Iceberg's migration
+            tooling does without its per-file schema resolution layer).
+        """
+        table_schema = self._table_schema()
+        aligned, merged = self._align(df, table_schema)
+        files = self._write_data(aligned)
+
+        def build(parent: dict) -> dict:
+            # a rival append may have evolved the schema between our
+            # table read and this commit — union against the PARENT's
+            # recorded schema so rival columns are never dropped
+            base = parent.get("schema")
+            final = (merged if base is None
+                     else _union_fields(StructType.fromJson(base), merged))
+            return {"files": parent["files"] + files,
+                    "schema": final.jsonValue()}
+        return self._commit(build, "append", retries)
 
     def commit_overwrite(self, df: DataFrame, retries: int = 10) -> int:
         files = self._write_data(df)
-        return self._commit(lambda parent: files, "overwrite", retries)
+        return self._commit(
+            lambda parent: {"files": files,
+                            "schema": _nullable(df.schema).jsonValue()},
+            "overwrite", retries)
+
+    def commit_delete(self, predicate, retries: int = 10) -> int:
+        """Row-level DELETE WHERE ``predicate`` (str or Column) as one
+        atomic snapshot — Iceberg's copy-on-write shape: only the data
+        files that actually CONTAIN matching rows are rewritten (their
+        surviving rows re-written to fresh files); untouched files are
+        carried into the new manifest by reference.  At 100 TB a
+        url-purge touches a vanishing fraction of files and the rewrite
+        cost is proportional to those files, not the table.
+
+        Semantics: rows where the predicate is NULL are KEPT (SQL DELETE
+        three-valued logic).  Isolation: snapshot — the matching-file
+        scan runs against the version current at call time; if a
+        concurrent compact/overwrite/delete unpins any affected file
+        before our commit lands, the commit raises ``CommitConflict``
+        rather than resurrecting or double-deleting rows (re-run the
+        delete against the new snapshot).  Concurrent APPENDs compose
+        fine: their files are disjoint from ours and survive untouched
+        (their rows were not visible to this delete's snapshot).
+
+        Returns the new version — or the CURRENT version unchanged when
+        no file contains a matching row (a no-op delete publishes no
+        commit, like Iceberg)."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        m = self.manifest()
+        if not m["files"]:
+            return m["version"]
+        schema_json = m.get("schema")
+        full = self._read_files(m["files"], schema_json)
+        hit = (full.withColumn("_sg_file", F.input_file_name())
+               .filter(F.coalesce(pred, F.lit(False)))
+               .select("_sg_file").distinct().collect())
+        affected = {self._local_path(r["_sg_file"]) for r in hit}
+        if not affected:
+            return m["version"]
+        keep_rows = (self._read_files(sorted(affected), schema_json)
+                     .filter(~F.coalesce(pred, F.lit(False))))
+        new_files = self._write_data(keep_rows)
+
+        def build(parent: dict) -> dict:
+            if not affected <= set(parent["files"]):
+                raise CommitConflict(
+                    f"{self.path}: files scanned for delete were unpinned "
+                    f"by a concurrent commit — re-run the delete")
+            return {"files": [f for f in parent["files"]
+                              if f not in affected] + new_files,
+                    "schema": parent.get("schema") or schema_json,
+                    "rewrote_files": len(affected)}
+        return self._commit(build, "delete", retries)
 
     def compact(self, retries: int = 10) -> int:
         """Rewrite the current file set into a fresh, coalesced one —
         same rows, fewer files; prior snapshots stay readable because
-        their manifests still pin the old (immutable) files."""
+        their manifests still pin the old (immutable) files.  Also
+        homogenizes schema-evolved tables: every rewritten file carries
+        the full current schema."""
+        cur = self.manifest()
         files = self._write_data(self.read().coalesce(1))
-        return self._commit(lambda parent: files, "compact", retries)
+
+        def build(parent: dict) -> dict:
+            if set(parent["files"]) != set(cur["files"]):
+                # a rival commit changed the file set after we read it —
+                # replacing the set now would drop the rival's rows
+                raise CommitConflict(
+                    f"{self.path}: table changed during compact — re-run")
+            return {"files": files, "schema": cur.get("schema")}
+        return self._commit(build, "compact", retries)
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files unreachable from the kept trailing versions;
@@ -138,6 +274,86 @@ class SnapshotTable:
         return removed
 
     # --------------------------------------------------------- internals
+    def _read_files(self, files: list[str], schema_json) -> DataFrame:
+        if schema_json is None:
+            # pre-evolution manifest: all files share one schema
+            return self.spark.read.parquet(*files)
+        # schema-evolved table: files from different commits may carry
+        # different column sets; mergeSchema unions them and the select
+        # pins the manifest's authoritative column order (a column absent
+        # from every listed file — possible after delete rewrites — comes
+        # back as typed NULLs, never an AnalysisException)
+        want = StructType.fromJson(schema_json)
+        df = (self.spark.read.option("mergeSchema", "true")
+              .parquet(*files))
+        have = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for f in want.fields:
+            t = have.get(f.name)
+            if t is None:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif t == f.dataType:
+                cols.append(F.col(f.name))
+            else:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    def _table_schema(self) -> StructType | None:
+        """Current table schema: the manifest's if recorded, else (legacy
+        pre-evolution table) the parquet footer union, else None for an
+        empty table."""
+        m = self.manifest()
+        if m.get("schema") is not None:
+            return StructType.fromJson(m["schema"])
+        if m["files"]:
+            return (self.spark.read.option("mergeSchema", "true")
+                    .parquet(*m["files"]).schema)
+        return None
+
+    def _align(self, df: DataFrame,
+               table: StructType | None) -> tuple[DataFrame, StructType]:
+        """(df aligned for writing, table schema after the append)."""
+        if table is None:
+            return df, _nullable(df.schema)
+        by_name = {f.name: f for f in _nullable(df.schema).fields}
+        cols = []
+        for f in table.fields:
+            g = by_name.pop(f.name, None)
+            if g is None:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif g.dataType == f.dataType:
+                cols.append(F.col(f.name))
+            elif ((g.dataType.typeName(), f.dataType.typeName())
+                  in _WIDENINGS):
+                cols.append(F.col(f.name).cast(f.dataType))
+            elif ((f.dataType.typeName(), g.dataType.typeName())
+                  in _WIDENINGS):
+                raise ValueError(
+                    f"{self.path}: append would widen column {f.name!r} "
+                    f"({f.dataType.simpleString()} → "
+                    f"{g.dataType.simpleString()}); widen the table with "
+                    f"an explicit commit_overwrite first")
+            else:
+                raise ValueError(
+                    f"{self.path}: incompatible type for column "
+                    f"{f.name!r}: table {f.dataType.simpleString()}, "
+                    f"append {g.dataType.simpleString()}")
+        # new columns append AFTER the table's, in df order
+        new_fields = [g for g in df.schema.fields if g.name in by_name]
+        cols += [F.col(g.name) for g in new_fields]
+        aligned = df.select(*cols)
+        merged = StructType(list(table.fields) + new_fields)
+        return aligned, merged
+
+    @staticmethod
+    def _local_path(uri: str) -> str:
+        """input_file_name() URI → the plain local path the manifest
+        stores (file:/x, file:///x, percent-encoded)."""
+        from urllib.parse import unquote, urlparse
+        if uri.startswith("file:"):
+            return unquote(urlparse(uri).path)
+        return unquote(uri)
+
     def _manifest_path(self, v: int) -> str:
         return os.path.join(self._snap_dir, f"v{v:05d}.json")
 
@@ -147,15 +363,20 @@ class SnapshotTable:
         return sorted(os.path.join(d, f) for f in os.listdir(d)
                       if f.endswith(".parquet"))
 
-    def _commit(self, files_fn, op: str, retries: int) -> int:
+    def _commit(self, build_fn, op: str, retries: int) -> int:
+        """``build_fn(parent_manifest) -> dict`` supplies at least
+        ``files`` (it may raise CommitConflict to abort); fields valued
+        None are dropped so legacy (schema-less) manifests stay
+        schema-less."""
         for _ in range(retries):
             parent_v = self.current_version()
             parent = self.manifest(parent_v)
             v = parent_v + 1
-            files = files_fn(parent)
+            built = {k: x for k, x in build_fn(parent).items()
+                     if x is not None}
             manifest = {"version": v, "parent": parent_v or None,
                         "op": op, "ts": time.time(),
-                        "files": files, "n_files": len(files)}
+                        "n_files": len(built["files"]), **built}
             tmp = os.path.join(self._snap_dir,
                                f".tmp.{uuid.uuid4().hex}.json")
             with open(tmp, "w") as f:

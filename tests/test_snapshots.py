@@ -102,7 +102,8 @@ class TestSnapshotTable:
                        "n_files": len(files)}, f)
         monkeypatch.setattr(t, "current_version", lambda: 1)
         with pytest.raises(CommitConflict):
-            t._commit(lambda parent: parent["files"], "append", retries=3)
+            t._commit(lambda parent: {"files": parent["files"]},
+                      "append", retries=3)
 
     def test_compact_preserves_rows_and_history(self, spark, tmp_path):
         t = SnapshotTable(spark, str(tmp_path / "t"))
@@ -182,3 +183,143 @@ class TestSnapshottedRun:
         assert chunks.count() > 0
         assert chunks.filter("chunk_id IS NULL").count() == 0
         pages.unpersist()
+
+
+class TestSchemaEvolution:
+    def test_append_with_new_column_null_fills_old_rows(self, spark,
+                                                        tmp_path):
+        t = SnapshotTable(spark, str(tmp_path / "t"))
+        t.commit_append(_docs(spark, 0, 3))
+        t.commit_append(_docs(spark, 3, 6)
+                        .withColumn("quality", F.lit(7).cast("int")))
+        df = t.read()
+        assert df.columns == ["doc_id", "lang", "quality"]
+        rows = {r.doc_id: r.quality for r in df.collect()}
+        assert all(rows[d] is None for d in range(0, 3))
+        assert all(rows[d] == 7 for d in range(3, 6))
+        # time travel to v1 shows the ORIGINAL two columns only
+        assert t.read(1).columns == ["doc_id", "lang"]
+
+    def test_append_missing_column_writes_typed_nulls(self, spark,
+                                                      tmp_path):
+        t = SnapshotTable(spark, str(tmp_path / "t"))
+        t.commit_append(_docs(spark, 0, 3)
+                        .withColumn("quality", F.lit(1).cast("int")))
+        t.commit_append(_docs(spark, 3, 6))   # no quality column
+        df = t.read()
+        rows = {r.doc_id: r.quality for r in df.collect()}
+        assert all(rows[d] == 1 for d in range(0, 3))
+        assert all(rows[d] is None for d in range(3, 6))
+        # every data file individually carries the full schema
+        for f in t.manifest()["files"]:
+            assert "quality" in spark.read.parquet(f).columns
+
+    def test_append_narrower_type_casts_up(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path / "t"))
+        t.commit_append(_docs(spark, 0, 3)
+                        .withColumn("n", F.lit(1).cast("long")))
+        t.commit_append(_docs(spark, 3, 6)
+                        .withColumn("n", F.lit(2).cast("int")))
+        df = t.read()
+        assert dict(df.dtypes)["n"] == "bigint"
+        assert {r.n for r in df.collect()} == {1, 2}
+
+    def test_append_wider_type_raises(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path / "t"))
+        t.commit_append(_docs(spark, 0, 3)
+                        .withColumn("n", F.lit(1).cast("int")))
+        with pytest.raises(ValueError, match="widen"):
+            t.commit_append(_docs(spark, 3, 6)
+                            .withColumn("n", F.lit(2).cast("long")))
+
+    def test_append_incompatible_type_raises(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path / "t"))
+        t.commit_append(_docs(spark, 0, 3)
+                        .withColumn("n", F.lit(1).cast("int")))
+        with pytest.raises(ValueError, match="incompatible"):
+            t.commit_append(_docs(spark, 3, 6)
+                            .withColumn("n", F.lit("x")))
+
+    def test_compact_homogenizes_evolved_table(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path / "t"))
+        t.commit_append(_docs(spark, 0, 3))
+        t.commit_append(_docs(spark, 3, 6).withColumn("q", F.lit(2)))
+        t.compact()
+        assert t.manifest()["n_files"] == 1
+        assert t.read().columns == ["doc_id", "lang", "q"]
+        assert _ids(t.read()) == list(range(6))
+
+
+class TestRowLevelDelete:
+    def test_delete_rewrites_only_affected_files(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path / "t"))
+        t.commit_append(_docs(spark, 0, 5).coalesce(1))
+        t.commit_append(_docs(spark, 5, 10).coalesce(1))
+        before = set(t.manifest()["files"])
+        v = t.commit_delete("doc_id = 7")
+        m = t.manifest()
+        assert m["version"] == v and m["op"] == "delete"
+        assert m["rewrote_files"] == 1
+        # the untouched file is carried by reference
+        assert len(before & set(m["files"])) == 1
+        assert _ids(t.read()) == [0, 1, 2, 3, 4, 5, 6, 8, 9]
+        # time travel still sees the deleted row
+        assert 7 in _ids(t.read(2))
+
+    def test_delete_no_match_is_noop(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path / "t"))
+        v1 = t.commit_append(_docs(spark, 0, 5))
+        assert t.commit_delete("doc_id = 999") == v1
+        assert t.current_version() == v1
+
+    def test_delete_null_predicate_keeps_rows(self, spark, tmp_path):
+        # SQL DELETE three-valued logic: NULL predicate rows are kept
+        t = SnapshotTable(spark, str(tmp_path / "t"))
+        t.commit_append(
+            _docs(spark, 0, 4).withColumn(
+                "q", F.when(F.col("doc_id") < 2, F.col("doc_id"))))
+        t.commit_delete("q >= 1")     # NULL for doc_id 2,3 → kept
+        assert _ids(t.read()) == [0, 2, 3]
+
+    def test_delete_after_schema_evolution(self, spark, tmp_path):
+        t = SnapshotTable(spark, str(tmp_path / "t"))
+        t.commit_append(_docs(spark, 0, 3).coalesce(1))
+        t.commit_append(_docs(spark, 3, 6).coalesce(1)
+                        .withColumn("q", F.lit(5)))
+        t.commit_delete("doc_id = 1")   # predicate hits the OLD-schema file
+        df = t.read()
+        assert df.columns == ["doc_id", "lang", "q"]
+        assert _ids(df) == [0, 2, 3, 4, 5]
+        t.commit_delete("q = 5 AND doc_id = 4")
+        assert _ids(t.read()) == [0, 2, 3, 5]
+
+    def test_delete_conflicts_with_concurrent_compact(self, spark,
+                                                      tmp_path,
+                                                      monkeypatch):
+        t = SnapshotTable(spark, str(tmp_path / "t"))
+        t.commit_append(_docs(spark, 0, 5))
+        # freeze the delete's snapshot, then compact underneath it
+        frozen = t.manifest()
+        real_manifest = t.manifest
+        t.compact()
+        monkeypatch.setattr(
+            t, "manifest",
+            lambda version=None: (frozen if version is None
+                                  else real_manifest(version)))
+        with pytest.raises(CommitConflict, match="re-run"):
+            t.commit_delete("doc_id = 0")
+
+    def test_compact_conflicts_with_concurrent_append(self, spark,
+                                                      tmp_path,
+                                                      monkeypatch):
+        t = SnapshotTable(spark, str(tmp_path / "t"))
+        t.commit_append(_docs(spark, 0, 3))
+        frozen = t.manifest()
+        real_manifest = t.manifest
+        t.commit_append(_docs(spark, 3, 6))
+        monkeypatch.setattr(
+            t, "manifest",
+            lambda version=None: (frozen if version is None
+                                  else real_manifest(version)))
+        with pytest.raises(CommitConflict, match="re-run"):
+            t.compact()
