@@ -230,22 +230,60 @@ class SnapshotTable:
                     "rewrote_files": len(affected)}
         return self._commit(build, "delete", retries)
 
-    def compact(self, retries: int = 10) -> int:
-        """Rewrite the current file set into a fresh, coalesced one —
-        same rows, fewer files; prior snapshots stay readable because
-        their manifests still pin the old (immutable) files.  Also
-        homogenizes schema-evolved tables: every rewritten file carries
-        the full current schema."""
+    def compact(self, target_mb: float | None = None,
+                retries: int = 10) -> int:
+        """Rewrite data files into fewer, larger ones; prior snapshots
+        stay readable because their manifests still pin the old
+        (immutable) files.  Also homogenizes schema-evolved tables:
+        every rewritten file carries the full current schema.
+
+        With ``target_mb`` (Iceberg binPack shape): only files SMALLER
+        than the target participate — they rewrite into
+        ceil(total/target) outputs while already-large files carry by
+        reference, so the rewrite cost is proportional to the
+        small-file debt, not the table (at 100 TB a coalesce-everything
+        compact is itself a full-table job; streaming micro-batch
+        sinks create exactly this debt).  Without it, the whole
+        current set coalesces to one file (small-table maintenance).
+
+        Isolation: like ``commit_delete`` — only the files this call
+        actually rewrote must still be pinned at commit time (else
+        CommitConflict); a concurrent APPEND composes, its files and
+        rows survive untouched.  File sizes come from the filesystem at
+        call time; a real deployment records them in the manifest at
+        write time to avoid the object-store listing, as Iceberg does.
+        Returns the current version unchanged when there is nothing
+        worth rewriting."""
         cur = self.manifest()
-        files = self._write_data(self.read().coalesce(1))
+        if not cur["files"]:
+            return cur["version"]
+        if target_mb is None:
+            candidates = list(cur["files"])
+            n_out = 1
+        else:
+            tgt = int(target_mb * 1024 * 1024)
+            sized = [(f, os.path.getsize(f)) for f in cur["files"]]
+            candidates = [f for f, s in sized if s < tgt]
+            if len(candidates) < 2:
+                return cur["version"]
+            total = sum(s for f, s in sized if s < tgt)
+            n_out = max(1, -(-total // tgt))
+            n_out = int(n_out)
+        rows = self._read_files(candidates, cur.get("schema"))
+        files = self._write_data(rows.coalesce(n_out))
+        cand = set(candidates)
 
         def build(parent: dict) -> dict:
-            if set(parent["files"]) != set(cur["files"]):
-                # a rival commit changed the file set after we read it —
-                # replacing the set now would drop the rival's rows
+            if not cand <= set(parent["files"]):
+                # a rival compact/delete/overwrite unpinned a file we
+                # rewrote — publishing would duplicate or resurrect rows
                 raise CommitConflict(
-                    f"{self.path}: table changed during compact — re-run")
-            return {"files": files, "schema": cur.get("schema")}
+                    f"{self.path}: files rewritten by compact were "
+                    f"unpinned by a concurrent commit — re-run")
+            return {"files": [f for f in parent["files"]
+                              if f not in cand] + files,
+                    "schema": cur.get("schema"),
+                    "rewrote_files": len(cand)}
         return self._commit(build, "compact", retries)
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:

@@ -309,17 +309,66 @@ class TestRowLevelDelete:
         with pytest.raises(CommitConflict, match="re-run"):
             t.commit_delete("doc_id = 0")
 
-    def test_compact_conflicts_with_concurrent_append(self, spark,
-                                                      tmp_path,
-                                                      monkeypatch):
+    def test_compact_composes_with_concurrent_append(self, spark,
+                                                     tmp_path,
+                                                     monkeypatch):
+        """A compact only replaces the files it actually rewrote, so a
+        rival APPEND that lands mid-compact survives — files and rows."""
         t = SnapshotTable(spark, str(tmp_path / "t"))
         t.commit_append(_docs(spark, 0, 3))
         frozen = t.manifest()
         real_manifest = t.manifest
-        t.commit_append(_docs(spark, 3, 6))
+        v_rival = t.commit_append(_docs(spark, 3, 6))
+        rival_files = (set(t.manifest(v_rival)["files"])
+                       - set(frozen["files"]))
+        monkeypatch.setattr(
+            t, "manifest",
+            lambda version=None: (frozen if version is None
+                                  else real_manifest(version)))
+        t.compact()
+        monkeypatch.undo()
+        assert rival_files <= set(t.manifest()["files"])
+        assert _ids(t.read()) == list(range(6))
+
+    def test_compact_conflicts_with_concurrent_compact(self, spark,
+                                                       tmp_path,
+                                                       monkeypatch):
+        t = SnapshotTable(spark, str(tmp_path / "t"))
+        t.commit_append(_docs(spark, 0, 5))
+        frozen = t.manifest()
+        real_manifest = t.manifest
+        t.compact()      # rival lands first, unpinning frozen's files
         monkeypatch.setattr(
             t, "manifest",
             lambda version=None: (frozen if version is None
                                   else real_manifest(version)))
         with pytest.raises(CommitConflict, match="re-run"):
             t.compact()
+
+    def test_binpack_compact_rewrites_only_small_files(self, spark,
+                                                       tmp_path):
+        import os as _os
+        t = SnapshotTable(spark, str(tmp_path / "t"))
+        # one "large" file and three small ones
+        t.commit_append(_docs(spark, 0, 40).coalesce(1))
+        for lo in (40, 42, 44):
+            t.commit_append(_docs(spark, lo, lo + 2).coalesce(1))
+        sizes = {f: _os.path.getsize(f) for f in t.manifest()["files"]}
+        big = max(sizes, key=sizes.get)
+        assert big in t.manifest(1)["files"]
+        # target = exactly the big file's size: strictly-smaller files
+        # participate, the big one carries by reference
+        smalls = set(t.manifest()["files"]) - {big}
+        t.compact(target_mb=sizes[big] / (1024 * 1024))
+        m = t.manifest()
+        assert m["op"] == "compact" and m["rewrote_files"] == 3
+        assert big in m["files"]               # large file untouched
+        assert smalls.isdisjoint(m["files"])   # every small file rewritten
+        assert _ids(t.read()) == list(range(46))
+
+    def test_binpack_compact_noop_when_nothing_to_gain(self, spark,
+                                                       tmp_path):
+        t = SnapshotTable(spark, str(tmp_path / "t"))
+        v = t.commit_append(_docs(spark, 0, 5).coalesce(1))
+        # a single file under target: nothing to rewrite
+        assert t.compact(target_mb=64) == v
