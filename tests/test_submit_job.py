@@ -163,3 +163,46 @@ def test_spark_submit_warc_in_wet_out(tmp_path, spark):
         got |= {r["url"] for r in iter_warc_records(p.read_bytes())
                 if r["type"] == "conversion"}
     assert got == want
+
+
+def test_maintenance_job_delete_compact_vacuum(tmp_path, spark, capsys):
+    """The maintenance triad over a snapshot table: purge → binPack →
+    vacuum, each an atomic snapshot commit (in-process invocation; the
+    job takes its session from getOrCreate, so the deploy path differs
+    only by spark-submit's topology flags)."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    try:
+        import maintenance_job
+    finally:
+        sys.path.pop(0)
+    from ragflow_core16_spark.pipeline.snapshots import SnapshotTable
+
+    table = str(tmp_path / "t")
+    t = SnapshotTable(spark, table)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "lang")
+    for lo in (0, 20, 40):
+        t.commit_append(docs.filter(f"doc_id >= {lo} AND doc_id < {lo+20}")
+                        .coalesce(1))
+
+    rc = maintenance_job.main(
+        ["--table", table, "--delete", "doc_id % 10 = 3",
+         "--compact", "--target-mb", "64",
+         "--vacuum", "--keep-versions", "1"], stop=False)
+    assert rc == 0
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["delete"]["rewrote_files"] == 3     # every file had a hit
+    assert out["compact"]["rewrote_files"] >= 2
+    assert out["vacuum"]["removed_files"] > 0
+    assert out["version_after"] > out["version_before"]
+    ids = sorted(r.doc_id for r in t.read().select("doc_id").collect())
+    assert ids == [d for d in range(60) if d % 10 != 3]
+
+    # --history prints the log without committing anything
+    rc = maintenance_job.main(["--table", table, "--history"], stop=False)
+    assert rc == 0
+    hist = json.loads([ln for ln in capsys.readouterr().out.splitlines()
+                       if ln.startswith("{")][-1])
+    assert hist["versions"][-1]["version"] == t.current_version()
