@@ -316,25 +316,17 @@ class SnapshotTable:
         if schema_json is None:
             # pre-evolution manifest: all files share one schema
             return self.spark.read.parquet(*files)
-        # schema-evolved table: files from different commits may carry
-        # different column sets; mergeSchema unions them and the select
-        # pins the manifest's authoritative column order (a column absent
-        # from every listed file — possible after delete rewrites — comes
-        # back as typed NULLs, never an AnalysisException)
+        # schema-evolved table: the manifest schema IS the table schema
+        # (Iceberg reads from metadata, never from data-file footers), so
+        # read with it explicitly — the parquet reader null-fills columns
+        # absent from older files, and no mergeSchema footer scan over
+        # O(files) is ever needed.  Types in every file match the
+        # manifest exactly because appends cast up BEFORE writing, so no
+        # per-file type resolution arises.  A column absent from every
+        # listed file (possible after delete rewrites) comes back as
+        # typed NULLs the same way.
         want = StructType.fromJson(schema_json)
-        df = (self.spark.read.option("mergeSchema", "true")
-              .parquet(*files))
-        have = {f.name: f.dataType for f in df.schema.fields}
-        cols = []
-        for f in want.fields:
-            t = have.get(f.name)
-            if t is None:
-                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-            elif t == f.dataType:
-                cols.append(F.col(f.name))
-            else:
-                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-        return df.select(*cols)
+        return self.spark.read.schema(want).parquet(*files)
 
     def _table_schema(self) -> StructType | None:
         """Current table schema: the manifest's if recorded, else (legacy
