@@ -228,14 +228,32 @@ def scaling() -> None:
     # 8→32 pair is reported alongside in BENCH/BASELINE.md for
     # transparency.
     import shutil as _sh
-    for cpus in (lo, hi):
+    # Interleave the levels (A,B,A,B,…) and keep each level's best
+    # window: this shared VM shows ±30% run-to-run variance, and
+    # sequential measurement lets one noise trough hit a single level
+    # (observed: a local[4] window at 488 docs/s/core vs 773–794 in
+    # neighboring windows → a nonsense 1.45 "efficiency").  Interleaving
+    # means any sustained disturbance degrades BOTH levels.
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+    env.setdefault("SPARK_GRAFT_BENCH_PASSES", "1")
+
+    def one(cpus: int) -> dict:
         cmd = [sys.executable, __file__, "--one-run", str(cpus)]
         if _sh.which("taskset"):
             cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         out = subprocess.run(cmd, capture_output=True, text=True, env=env)
         line = next(l for l in out.stdout.splitlines()
                     if l.startswith("ONE_RUN_JSON:"))
-        runs[cpus] = json.loads(line[len("ONE_RUN_JSON:"):])
+        return json.loads(line[len("ONE_RUN_JSON:"):])
+
+    for _ in range(max(1, rounds)):
+        for cpus in (lo, hi):
+            r = one(cpus)
+            best = runs.get(cpus)
+            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                runs[cpus] = r
+            if best is not None and r["output_hash"] != best["output_hash"]:
+                runs[cpus]["output_hash"] = "MISMATCH-ACROSS-ROUNDS"
     a, b = runs[lo], runs[hi]
     eff = (b["docs_per_sec"] / a["docs_per_sec"]) / (hi / lo)
     hash_equal = a["output_hash"] == b["output_hash"]
@@ -392,7 +410,12 @@ def scaling_cluster() -> None:
     lo, hi = (int(x) for x in os.environ.get(
         "SPARK_GRAFT_CLUSTER_EXECUTORS", "1,4").split(","))
     runs = {}
-    for n_exec in (lo, hi):
+    # interleaved rounds, best window per level — same noise rationale
+    # as scaling()
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+    env.setdefault("SPARK_GRAFT_BENCH_PASSES", "1")
+
+    def one(n_exec: int) -> dict:
         cmd = [sys.executable, __file__, "--one-run-cluster",
                str(n_exec), str(cores), str(mem)]
         if _sh.which("taskset"):
@@ -402,7 +425,16 @@ def scaling_cluster() -> None:
         out = subprocess.run(cmd, capture_output=True, text=True, env=env)
         line = next(l for l in out.stdout.splitlines()
                     if l.startswith("ONE_RUN_JSON:"))
-        runs[n_exec] = json.loads(line[len("ONE_RUN_JSON:"):])
+        return json.loads(line[len("ONE_RUN_JSON:"):])
+
+    for _ in range(max(1, rounds)):
+        for n_exec in (lo, hi):
+            r = one(n_exec)
+            best = runs.get(n_exec)
+            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                runs[n_exec] = r
+            if best is not None and r["output_hash"] != best["output_hash"]:
+                runs[n_exec]["output_hash"] = "MISMATCH-ACROSS-ROUNDS"
     a, b = runs[lo], runs[hi]
     eff = (b["docs_per_sec"] / a["docs_per_sec"]) / (hi / lo)
     hash_equal = a["output_hash"] == b["output_hash"]
