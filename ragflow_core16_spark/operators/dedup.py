@@ -284,15 +284,19 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles" at scale.
     cand = (_lsh_candidates(_signature_wide(spark, sf_dir))
             .localCheckpoint(eager=False))
-    docs_a = cand.select(F.col("doc_a").alias("doc_id")).distinct()
-    docs_b = cand.select(F.col("doc_b").alias("doc_id")).distinct()
-    docs_any = docs_a.unionByName(docs_b).distinct()
-    sizes = (sh.join(F.broadcast(docs_any), "doc_id")
-             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")))
-    sa = (sh.join(F.broadcast(docs_a), "doc_id")
-          .select(F.col("doc_id").alias("doc_a"), "shingle"))
-    sb = (sh.join(F.broadcast(docs_b), "doc_id")
-          .select(F.col("doc_id").alias("doc_b"), "shingle"))
+    # ONE candidate-doc broadcast subplan, textually identical at all three
+    # use sites, so ReuseExchange collapses them into a single broadcast
+    # build (3 separate docs_a/docs_b/docs_any broadcasts each cost a
+    # driver-side job; at bench scale that was ~40% of this query's wall).
+    # Pruning sa/sb with the a∪b superset is harmless — the join with cand
+    # restricts each side to its own role.
+    docs_any = (cand.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                .distinct())
+    pruned = sh.join(F.broadcast(docs_any), "doc_id")
+    sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = pruned.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = pruned.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
              .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("n_inter")))
@@ -466,7 +470,9 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .agg(F.min("label").alias("nmin")))
         # carry the previous label inline so convergence needs no second
         # join against the old relation — one checkpoint job + one cheap
-        # count per round
+        # count per round.  (A fused two-sweeps-per-checkpoint variant was
+        # measured SLOWER here: collision components have tiny diameters,
+        # so the doubled per-job plan cost exceeds the rounds saved.)
         new = (labels.withColumnRenamed("label", "old")
                .join(neigh, "node", "left")
                .select("node",

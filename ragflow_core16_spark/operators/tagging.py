@@ -54,7 +54,10 @@ UNIT = 1000        # per-mille readout (see module docstring)
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread: the tag-token explode + per-(doc, tag) scoring would
+    # otherwise run on the single scan split a small parquet file yields
+    from ..session import spread
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _tags(spark, sf_dir) -> DataFrame:

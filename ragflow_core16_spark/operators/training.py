@@ -22,7 +22,12 @@ SEQ_LEN = 512
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread: a single-row-group parquet file is ONE scan split, which
+    # would serialize the n-gram explodes (decontaminate, DSIR, the BPE
+    # word histogram) onto one core; at real scale the scan already has
+    # thousands of splits and this is a no-op (session.spread docstring)
+    from ..session import spread
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 # per-document token count as a pure column expression: first word costs

@@ -516,8 +516,18 @@ def _robots_txt_col(host):
 def robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decision relation before presentation ordering (plan-audited
     directly: the ``_ordered`` checkpoint would hide the join shape)."""
-    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-            .select("doc_id"))
+    from ..session import spread
+    # spread: the per-page rule-array filter + sort_array runs row-wise
+    # over every page; a single scan split would serialize it on one core.
+    # The shuffled relation is the thin doc_id projection, and at real
+    # scale (scan already has ≥ parallelism splits) spread is a no-op.
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet")
+                  .select("doc_id"))
+    # hosts-distinct branch reads its own UNspread scan: it collapses to
+    # |hosts| rows immediately, so parallelising its map side buys nothing
+    # and would add a second repartition Exchange to the broadcast branch
+    hosts_docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                  .select("doc_id"))
     sec = F.element_at(
         F.array(*[F.lit(s) for s in _ROBOTS_SECS]),
         (_md5i_col(F.concat(F.lit("42:sec:"),
@@ -536,7 +546,7 @@ def robots_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (t == "allow").cast("int").alias("a"),
                         t.alias("t"), p.alias("p"))
 
-    hosts = pages.select("host").distinct()
+    hosts = hosts_docs.select(_host_col().alias("host")).distinct()
     robots = hosts.select(
         "host",
         F.filter(F.transform(F.split(_robots_txt_col(F.col("host")), "\n"),

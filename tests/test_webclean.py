@@ -418,10 +418,12 @@ class TestRobotsFilter:
         plan = _formatted(robots_decisions(spark, SF))
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
-        # the only shuffle Exchange allowed is the hosts-distinct hash agg
-        # (tiny relation); the build side broadcasts and the pages side
-        # must reach the join shuffle-free
-        assert plan.count(") Exchange") <= 1
+        # allowed shuffles: the hosts-distinct hash agg (tiny relation)
+        # and the session.spread repartition of the THIN doc_id projection
+        # (a no-op at real scale where the scan has ≥ parallelism splits);
+        # the build side broadcasts and the WIDE per-page relation must
+        # still reach the join without a sort-merge shuffle
+        assert plan.count(") Exchange") <= 2
         assert plan.count(") BroadcastExchange") == 1
 
 
