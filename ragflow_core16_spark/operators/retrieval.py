@@ -42,14 +42,17 @@ def term_idf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query-term IDF over the corpus: ln(1 + (N - df + 0.5)/(df + 0.5)),
     the reference's term_weight idf form (rag/nlp/term_weight.py:184-186)."""
     t = _tokens(spark, sf_dir)
-    n_docs = _docs(spark, sf_dir).count()  # tiny scalar, computed once
+    # N as a broadcast 1-row relation, not a driver .count(): the scalar
+    # collect would run a separate eager job per invocation (ADVICE r2)
+    n_docs_rel = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
     terms = spark.createDataFrame([(w,) for w in QUERY_TERMS], ["term"])
     df_ = (t.join(F.broadcast(terms), t.tok == terms.term)
            .groupBy("term")
            .agg(F.countDistinct("doc_id").alias("df")))
-    return (df_.select(
+    return (df_.crossJoin(F.broadcast(n_docs_rel)).select(
         "term", "df",
-        F.round(F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)), 4)
+        F.round(F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) /
+                      (F.col("df") + 0.5)), 4)
          .alias("idf"))
         .orderBy("term"))
 
@@ -74,7 +77,8 @@ def fulltext_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ES scripted_sim of conf/mapping.json:8-15 — top N docs."""
     from pyspark.sql import Window
     t = _tokens(spark, sf_dir)
-    n_docs = _docs(spark, sf_dir).count()
+    # N as a broadcast 1-row relation, not a driver .count() (ADVICE r2)
+    n_docs_rel = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
     terms = spark.createDataFrame([(w,) for w in QUERY_TERMS], ["term"])
     tf = (t.join(F.broadcast(terms), t.tok == terms.term)
           .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
@@ -83,8 +87,9 @@ def fulltext_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not once per idf/tf branch; the window reshuffles only the tiny
     # aggregated set (≤ |docs|·|terms| rows)
     df_ = F.count(F.lit(1)).over(Window.partitionBy("term"))
-    scored = tf.withColumn(
-        "idf", F.log(1.0 + (F.lit(n_docs) - df_ + 0.5) / (df_ + 0.5)))
+    scored = (tf.crossJoin(F.broadcast(n_docs_rel))
+              .withColumn("idf", F.log(1.0 + (F.col("n_docs") - df_ + 0.5) /
+                                       (df_ + 0.5))))
     return (scored
             .groupBy("doc_id")
             .agg(F.round(F.sum(F.col("idf") * F.least(F.col("tf"), F.lit(1))), 4)
