@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "video_near_dup",
     "entity_graph", "graph_communities", "raptor_tree", "tag_content",
     "vision_pdf_template", "auto_questions", "kn_bigram_logprob", "hits",
+    "extract_density_e2e",
 ]
 
 
@@ -440,7 +441,7 @@ def scaling_cluster() -> None:
     hash_equal = a["output_hash"] == b["output_hash"]
     md = f"""
 
-## Real multi-JVM executor scaling (local-cluster[{lo}|{hi},{cores},{mem}])
+## Real multi-JVM executor scaling — local-cluster[{lo}|{hi}, {cores} cores, {mem}]
 
 Spark's multi-JVM local cluster: every executor is a SEPARATE Worker
 JVM — real executor registration, real inter-process shuffle blocks,
@@ -461,7 +462,9 @@ efficiency = (docs_per_sec_B / docs_per_sec_A) / ({hi}/{lo}) = {eff:.3f}
 """
     path = f"{REPO}/BENCH/BASELINE.md"
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
-    _replace_section(path, "## Real multi-JVM executor scaling", md)
+    _replace_section(path,
+                     f"## Real multi-JVM executor scaling — "
+                     f"local-cluster[{lo}|{hi}, {cores} cores, {mem}]", md)
     print(json.dumps({"cluster_efficiency": round(eff, 3),
                       "hash_equal": hash_equal,
                       f"exec{lo}": a, f"exec{hi}": b}))

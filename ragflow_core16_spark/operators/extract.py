@@ -65,7 +65,8 @@ EXTRACTED_SCHEMA = StructType([
 
 
 def _extract_one(url, warc_ts, html, lang, chunk_token_num, delimiter,
-                 template: str = "naive", defer_ids: bool = False):
+                 template: str = "naive", defer_ids: bool = False,
+                 strategy: str = "readability"):
     nbytes = len(html) if html is not None else 0
     base = dict(url=url, warc_ts=warc_ts, lang=lang, error=None, title=None,
                 extracted_text=None, codec=None, n_sections=0, n_chunks=0,
@@ -75,7 +76,13 @@ def _extract_one(url, warc_ts, html, lang, chunk_token_num, delimiter,
     try:
         codec = find_codec(bytes(html))
         txt = bytes(html).decode(codec, errors="ignore")
-        sections = HtmlParser.parser_txt(txt)
+        if strategy == "density":
+            # JusText/Boilerpipe-style link-density strategy — same
+            # section contract as parser_txt (html/density.py)
+            from ..html.density import density_sections
+            sections = density_sections(txt)
+        else:
+            sections = HtmlParser.parser_txt(txt)
         title = sections[0] if sections else None
         # naive.py:437-439 — drop empty sections, tag ""
         sections = [(s, "") for s in sections if s]
@@ -121,7 +128,8 @@ def _extract_one(url, warc_ts, html, lang, chunk_token_num, delimiter,
 def extract_pages(pages: DataFrame, chunk_token_num: int = 128,
                   delimiter: str = "\n!?。；！？",
                   max_bytes: int = DOC_MAXIMUM_SIZE,
-                  template: str = "naive") -> DataFrame:
+                  template: str = "naive",
+                  strategy: str = "readability") -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → EXTRACTED_SCHEMA rows.
 
     The ``length(html) <= max_bytes`` guard is evaluated JVM-side in the
@@ -151,7 +159,8 @@ def extract_pages(pages: DataFrame, chunk_token_num: int = 128,
                         bytes_in=nb, chunks=None))
                 else:
                     r = _extract_one(u, t, h, l, chunk_token_num,
-                                     delimiter, template, defer_ids=True)
+                                     delimiter, template, defer_ids=True,
+                                     strategy=strategy)
                     for c in r["chunks"] or ():
                         pending.append((c, (c["chunk_text"] + u)
                                         .encode("utf-8")))

@@ -101,6 +101,23 @@ def q_extract_hostile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .transform(_ordered("url")))
 
 
+def q_extract_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND extraction strategy (JusText/Boilerpipe-style link
+    density + context promotion, ``html/density.py``) over the SAME clean
+    pages, pinned to the SAME readability-derivation oracle
+    (``EXTRACT_PAGES_SQL``): on this corpus the two public algorithms
+    must agree byte-for-byte, so a wobble in either strategy — or any
+    drift between them — breaks the value hash.  Where they genuinely
+    differ (link-heavy long blocks, orphan shorts) is pinned by
+    ``tests/test_html_density.py``."""
+    from ..operators.extract import extract_pages
+    _tune(spark)
+    return (extract_pages(_pages(spark, sf_dir), strategy="density")
+            .select("url", "lang", "status", "title", "n_sections",
+                    "n_chunks", "n_tokens")
+            .transform(_ordered("url")))
+
+
 def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-crawl collapse then extraction: every url carries 1-3 captures
     (``captures_from_documents``); keep ONLY the newest before parsing.
@@ -369,6 +386,7 @@ ORDER BY m.url
 QUERIES = {
     "extract_pages_e2e": (q_extract_pages, EXTRACT_PAGES_SQL),
     "extract_hostile_e2e": (q_extract_hostile, EXTRACT_PAGES_SQL),
+    "extract_density_e2e": (q_extract_density, EXTRACT_PAGES_SQL),
     "latest_capture_extract": (q_latest_capture, LATEST_CAPTURE_SQL),
     "extract_chunks_e2e": (q_extract_chunks, EXTRACT_CHUNKS_SQL),
     "extract_book_template": (q_extract_book, EXTRACT_BOOK_SQL),
