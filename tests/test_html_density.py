@@ -38,6 +38,16 @@ class TestAgreement:
             txt = html.decode("utf-8")
             assert _secs(txt) == _ref(txt), f"doc {doc_id} diverged"
 
+    def test_matches_readability_on_hostile_corpus(self):
+        from ragflow_core16_spark.datagen.pages import hostile_page
+        rows = duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+            " ORDER BY doc_id").fetchall()
+        for doc_id, text in rows:
+            _url, _ts, html = hostile_page(int(doc_id), text)
+            txt = html.decode("utf-8")
+            assert _secs(txt) == _ref(txt), f"hostile doc {doc_id} diverged"
+
 
 LONG = ("spark engine query market report supply demand price index "
         "growth policy analysis model system value stream batch table.")
