@@ -759,8 +759,13 @@ _QC_MD5I = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
 
 def _quality_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsorted classifier relation (the production shape — the sort in
-    ``quality_classifier`` is driver-compare presentation only)."""
-    d = (_docs(spark, sf_dir)
+    ``quality_classifier`` is driver-compare presentation only).
+
+    Reads the scan UNspread: the whole classifier is in-row JVM
+    expression work riding whole-stage codegen, so its plan stays
+    zero-Exchange (pinned by ``test_plan_is_in_row``); the spread
+    repartition only pays off for the heavy Python/explode consumers."""
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
          .filter(F.length(F.trim("text")) > 0)
          .select("doc_id",
                  F.split(F.regexp_replace(F.lower(F.trim("text")),
