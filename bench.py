@@ -54,7 +54,7 @@ BENCH_QUERIES = [
     "video_near_dup",
     "entity_graph", "graph_communities", "raptor_tree", "tag_content",
     "vision_pdf_template", "auto_questions", "kn_bigram_logprob", "hits",
-    "extract_density_e2e",
+    "extract_density_e2e", "token_budget_mix", "corpus_drift",
 ]
 
 

@@ -717,8 +717,90 @@ ORDER BY g.doc_id
 """
 
 
+# ----------------------------------------------------------- corpus_drift
+# Cross-snapshot distribution drift — the monitoring statistic a
+# continuously-recrawled corpus tracks: smoothed KL divergence between
+# the unigram distributions of two crawl snapshots, both directions.
+# Snapshot key here is the derivable doc_id parity (at deployment it is
+# the crawl-label column riding the scan).  Per-token contributions are
+# rounded to INTEGER micro-nats BEFORE summation so the cross-engine sum
+# is order-independent (the ccnet_bucket/unigram_logprob determinism
+# recipe); smoothing is add-one over the JOINT vocabulary, so every
+# token has mass on both sides and no term is infinite.
+#
+# Scale: one explode → one (tok, snapshot) map-side-combinable agg
+# (vocab-bounded), scalar totals broadcast back, one final integer sum.
+# No windows, no per-doc state — the whole statistic is two keyed aggs
+# at any corpus size.
+
+
+def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _tokens_df(spark, sf_dir)
+    per = (t.withColumn("snap", (F.col("doc_id") % 2).cast("int"))
+           .groupBy("tok")
+           .agg(F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+                .alias("cnt_a"),
+                F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+                .alias("cnt_b")))
+    totals = per.agg(F.sum("cnt_a").alias("n_a"),
+                     F.sum("cnt_b").alias("n_b"),
+                     F.count(F.lit(1)).alias("vocab"))
+    j = per.crossJoin(F.broadcast(totals))
+    p = (F.col("cnt_a") + 1.0) / (F.col("n_a") + F.col("vocab"))
+    q = (F.col("cnt_b") + 1.0) / (F.col("n_b") + F.col("vocab"))
+    term_ab = F.round(F.lit(1e6) * p * F.log(p / q), 0).cast("long")
+    term_ba = F.round(F.lit(1e6) * q * F.log(q / p), 0).cast("long")
+    agg = j.agg(F.sum(term_ab).alias("kl_ab_micronat"),
+                F.sum(term_ba).alias("kl_ba_micronat"),
+                F.first("n_a").alias("n_a"), F.first("n_b").alias("n_b"),
+                F.first("vocab").alias("vocab"))
+    a_row = agg.select(F.lit("a_to_b").alias("direction"), "n_a", "n_b",
+                       "vocab", F.col("kl_ab_micronat").alias("kl_micronat"))
+    b_row = agg.select(F.lit("b_to_a").alias("direction"), "n_a", "n_b",
+                       "vocab", F.col("kl_ba_micronat").alias("kl_micronat"))
+    return a_row.unionByName(b_row).orderBy("direction")
+
+
+CORPUS_DRIFT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents),
+per AS (
+  SELECT tok,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+  FROM toks GROUP BY tok),
+totals AS (
+  SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+         CAST(sum(cnt_b) AS BIGINT) AS n_b,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM per),
+terms AS (
+  SELECT CAST(round(1e6 * ((cnt_a + 1.0) / (n_a + vocab))
+              * ln(((cnt_a + 1.0) / (n_a + vocab))
+                   / ((cnt_b + 1.0) / (n_b + vocab))), 0) AS BIGINT) AS t_ab,
+         CAST(round(1e6 * ((cnt_b + 1.0) / (n_b + vocab))
+              * ln(((cnt_b + 1.0) / (n_b + vocab))
+                   / ((cnt_a + 1.0) / (n_a + vocab))), 0) AS BIGINT) AS t_ba,
+         n_a, n_b, vocab
+  FROM per, totals),
+agg AS (
+  SELECT CAST(sum(t_ab) AS BIGINT) AS kl_ab,
+         CAST(sum(t_ba) AS BIGINT) AS kl_ba,
+         any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+         any_value(vocab) AS vocab
+  FROM terms GROUP BY n_a, n_b, vocab)
+SELECT 'a_to_b' AS direction, n_a, n_b, vocab, kl_ab AS kl_micronat FROM agg
+UNION ALL
+SELECT 'b_to_a' AS direction, n_a, n_b, vocab, kl_ba AS kl_micronat FROM agg
+ORDER BY direction
+"""
+
+
 QUERIES = {
     "tfidf_keywords": (tfidf_keywords, TFIDF_KEYWORDS_SQL),
+    "corpus_drift": (corpus_drift, CORPUS_DRIFT_SQL),
     "auto_questions": (auto_questions, AUTO_QUESTIONS_SQL),
     "unigram_logprob": (unigram_logprob, UNIGRAM_LOGPROB_SQL),
     "kn_bigram_logprob": (kn_bigram_logprob, KN_BIGRAM_SQL),

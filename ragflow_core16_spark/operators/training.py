@@ -875,10 +875,107 @@ ORDER BY r.source
 """
 
 
+# ------------------------------------------------------ token_budget_mix
+# The data-card materialization a training run actually ships: HARD
+# per-source token budgets (budget_s = weight_s·B/ΣW, integral), filled
+# by a deterministic greedy prefix in md5-shuffled order — the
+# complement of mixture_sample's Bernoulli RATES.  The prefix rule is
+# "admit while the tokens BEFORE this doc are under budget", so each
+# source overshoots by at most one document (standard greedy fill) and a
+# source whose whole mass fits is marked exhausted.
+#
+# Scale design: one window cumsum per source partition (keyed shuffle,
+# map-side nothing to combine — the cumsum needs the order).  At 10^12
+# docs the window becomes a two-stage cutoff exactly like domain_cap: a
+# token-weighted quantile sketch of the priority axis locates the budget
+# boundary per source, a broadcast cutoff filters in-row, and only the
+# boundary band (sketch error × source mass) re-sorts exactly.  The
+# window formulation here is provably the same kept-set, which is what
+# the oracle checks.
+_TBM_BUDGET = 30_000  # total mixture budget in whitespace tokens
+
+
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    d = _docs(spark, sf_dir)
+    ntok = F.size(F.split(F.regexp_replace(F.lower(F.trim("text")),
+                                           r"\s+", " "), " "))
+    w = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _MIX_WEIGHTS.items()
+                       for x in kv]), F.col("source"))
+    prio = _md5i_col(F.concat(F.lit("42:tbm:"),
+                              F.col("doc_id").cast("string")))
+    tot_w = sum(_MIX_WEIGHTS.values())
+    docs = d.select("doc_id", "source", ntok.alias("ntok"),
+                    w.alias("weight"), prio.alias("prio"))
+    win = (Window.partitionBy("source").orderBy("prio", "doc_id")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    cum = docs.withColumn(
+        "cum_before", F.coalesce(F.sum("ntok").over(win), F.lit(0)))
+    budget = F.expr(f"weight * {_TBM_BUDGET} div {tot_w}")
+    kept = (cum.filter(F.col("cum_before") < budget)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("ntok").alias("kept_tokens")))
+    totals = (docs.groupBy("source", "weight")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("ntok").alias("tokens")))
+    return (totals.join(kept, "source", "left")
+            .select("source", "weight", budget.alias("budget_tokens"),
+                    "n_docs", "tokens",
+                    F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                    F.coalesce("kept_tokens", F.lit(0))
+                    .alias("kept_tokens"),
+                    (F.coalesce("n_kept", F.lit(0)) == F.col("n_docs"))
+                    .alias("exhausted"))
+            .orderBy("source"))
+
+
+def _token_budget_mix_sql() -> str:
+    from .extract_e2e import _md5i
+    tot_w = sum(_MIX_WEIGHTS.values())
+    wcase = " ".join(f"WHEN '{s}' THEN {w}"
+                     for s, w in _MIX_WEIGHTS.items())
+    prio = _md5i("'42:tbm:' || doc_id")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         len(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+           AS ntok,
+         CASE source {wcase} END AS weight,
+         {prio} AS prio
+  FROM documents),
+cum AS (
+  SELECT *, coalesce(CAST(sum(ntok) OVER (
+           PARTITION BY source ORDER BY prio, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS cum_before
+  FROM docs),
+kept AS (
+  SELECT source, count(*) AS n_kept,
+         CAST(sum(ntok) AS BIGINT) AS kept_tokens
+  FROM cum WHERE cum_before < weight * {_TBM_BUDGET} // {tot_w}
+  GROUP BY source),
+tot AS (
+  SELECT source, weight, count(*) AS n_docs,
+         CAST(sum(ntok) AS BIGINT) AS tokens
+  FROM docs GROUP BY source, weight)
+SELECT t.source, t.weight,
+       CAST(t.weight * {_TBM_BUDGET} // {tot_w} AS BIGINT) AS budget_tokens,
+       t.n_docs, t.tokens,
+       coalesce(k.n_kept, 0) AS n_kept,
+       coalesce(k.kept_tokens, 0) AS kept_tokens,
+       coalesce(k.n_kept, 0) = t.n_docs AS exhausted
+FROM tot t LEFT JOIN kept k USING (source)
+ORDER BY t.source
+"""
+
+
 QUERIES = {
     "capture_drift": (capture_drift, _capture_drift_sql()),
     "recrawl_schedule": (recrawl_schedule, _recrawl_schedule_sql()),
     "mixture_sample": (mixture_sample, _mixture_sample_sql()),
+    "token_budget_mix": (token_budget_mix, _token_budget_mix_sql()),
     "sequence_pack": (sequence_pack, SEQUENCE_PACK_SQL),
     "repetition_quality": (repetition_quality, REPETITION_QUALITY_SQL),
     "decontaminate": (decontaminate, DECONTAMINATE_SQL),

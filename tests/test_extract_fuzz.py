@@ -27,6 +27,11 @@ def _row(html: bytes, lang: str = "en"):
     r = _extract_one("https://fuzz.example.com/x", None, html, lang,
                      128, DELIM)
     _check_invariants(r, html)
+    # the density strategy carries the identical containment contract:
+    # any input yields a schema-valid row, never a raise
+    rd = _extract_one("https://fuzz.example.com/x", None, html, lang,
+                      128, DELIM, strategy="density")
+    _check_invariants(rd, html)
     return r
 
 
