@@ -392,7 +392,8 @@ def test_ngram_jaccard_prunes_shingles_to_candidates(spark):
     import ragflow_core16_spark.operators.dedup as D
     D._MEMO.clear()
     plan = _formatted(D.ngram_jaccard(spark, SF))
-    # three broadcast pruning joins (docs_a, docs_b, docs_any)
+    # three broadcast pruning join SITES, all fed by ONE reused
+    # candidate-doc broadcast subplan (ReuseExchange)
     assert plan.count("BroadcastHashJoin") >= 3
 
 
@@ -437,3 +438,42 @@ def test_hits_iteration_partial_aggs(spark):
     assert "partial_max" in plan
     assert "ExistingRDD" in plan        # checkpoint boundary
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_mix_single_window_no_cartesian(spark):
+    """The budget fill is ONE running-sum window per source partition
+    plus broadcast joins of the tiny per-source relations — no cartesian
+    product, no Python stage, and the token histogram aggregates
+    partially map-side."""
+    from ragflow_core16_spark.operators.training import token_budget_mix
+    plan = _formatted(token_budget_mix(spark, SF))
+    assert plan.count(") Window") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_drift_two_keyed_aggs_no_python(spark):
+    """The drift statistic is two map-side-combinable keyed aggregates
+    (per-token snapshot counts, then the integer micro-nat sum) with the
+    1-row totals broadcast back — no window, no Python, no cartesian."""
+    from ragflow_core16_spark.operators.textstats import corpus_drift
+    plan = _formatted(corpus_drift(spark, SF))
+    assert ") Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+    # the totals crossJoin must be a broadcast, never a shuffle join
+    assert plan.count("BroadcastExchange") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_extract_density_is_shuffle_free(spark):
+    """The density strategy rides the SAME single-pass mapInPandas stage
+    as the readability strategy: per-row strategy branch, zero Exchange
+    before the Python stage."""
+    from ragflow_core16_spark.datagen.pages import pages_from_documents
+    from ragflow_core16_spark.operators.extract import extract_pages
+    ext = extract_pages(pages_from_documents(spark, SF), strategy="density")
+    plan = _formatted(ext)
+    assert ") Exchange" not in plan
+    assert plan.count("MapInPandas") >= 1
