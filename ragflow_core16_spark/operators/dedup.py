@@ -95,7 +95,7 @@ def _memo(name: str, spark, sf_dir: str, build):
 
 
 def reset_shared_cache() -> None:
-    """Unpersist and forget the shared intermediates (bench hygiene: lets
+    """Unpersist and forget ALL shared cached relations (bench hygiene: lets
     a harness measure each query hermetically — every run pays its own
     materialization instead of inheriting a neighbor's, and storage memory
     doesn't accumulate across an N-query session)."""
@@ -105,6 +105,18 @@ def reset_shared_cache() -> None:
         except Exception:
             pass
     _MEMO.clear()
+    # sibling module caches that also hold persisted/checkpointed frames:
+    # a stale cached tree whose localCheckpoint blocks a harness has since
+    # unpersisted fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on reuse,
+    # so the reset must forget it too
+    from . import raptor
+    if raptor._TreeCache.value is not None:
+        for df in raptor._TreeCache.value[1:]:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+    raptor._TreeCache.key = raptor._TreeCache.value = None
 
 
 def _shingles_cached(spark, sf_dir) -> DataFrame:

@@ -124,3 +124,23 @@ def test_levelup_plan_broadcasts_centroids(spark, ops):
     plan = formatted_plan(nxt)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # broadcast side = centroids
+
+
+class TestSharedCacheReset:
+    def test_tree_survives_cache_reset_and_rdd_unpersist(self, spark):
+        """Regression: the tree cache holds persisted + localCheckpointed
+        frames; a harness that calls reset_shared_cache() and unpersists
+        every RDD (bench deep-clean) must get a REBUILT tree on the next
+        call, not a stale plan over vanished checkpoint blocks
+        (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)."""
+        from ragflow_core16_spark.operators.dedup import reset_shared_cache
+        from ragflow_core16_spark.operators.raptor import raptor_tree
+        sf = "/root/testdata/sf0.001"
+        first = raptor_tree(spark, sf).collect()
+        reset_shared_cache()
+        spark.catalog.clearCache()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs()
+                        .values()):
+            rdd.unpersist()
+        again = raptor_tree(spark, sf).collect()
+        assert first == again
