@@ -146,16 +146,14 @@ def classify(blocks: list[tuple[str, int, int]]) -> list[str]:
 
 
 def _title(root: Node) -> str:
-    stack = [root]
-    while stack:
-        n = stack.pop()
-        for c in n.children:
-            if isinstance(c, str):
-                continue
-            if c.tag == "title":
-                return _norm(c.text_content())
-            stack.append(c)
-    return ""
+    """First <title> in DOCUMENT order, exactly like the readability
+    route's ``Document.title()`` (``Node.find`` is a document-order DFS,
+    so a head <title> always precedes an inline ``<svg><title>`` and the
+    two strategies agree byte-for-byte; title-less pages fall back to the
+    same '[no-title]' placeholder)."""
+    t = root.find("title")
+    s = _norm(t.text_content()) if t is not None else ""
+    return s if s else "[no-title]"
 
 
 def density_sections(txt: str) -> list[str]:

@@ -110,13 +110,22 @@ def reset_shared_cache() -> None:
     # unpersisted fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on reuse,
     # so the reset must forget it too
     from . import raptor
-    if raptor._TreeCache.value is not None:
-        for df in raptor._TreeCache.value[1:]:
-            try:
-                df.unpersist()
-            except Exception:
-                pass
-    raptor._TreeCache.key = raptor._TreeCache.value = None
+    raptor.release_tree_cache()
+    # final sweep: presentation checkpoints (session.ordered_once) and any
+    # other lazy localCheckpoint pin RDD-level blocks that never appear in
+    # the CacheManager, so DataFrame.unpersist can't reach them.  Every
+    # module cache is forgotten above, so no cached plan can legally
+    # reference an old checkpoint block — anything still listed in
+    # sc.getPersistentRDDs is orphaned storage this reset owns.
+    try:
+        from pyspark.sql import SparkSession
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            jsc = spark.sparkContext._jsc
+            for rdd in list(jsc.getPersistentRDDs().values()):
+                rdd.unpersist()
+    except Exception:
+        pass
 
 
 def _shingles_cached(spark, sf_dir) -> DataFrame:

@@ -133,6 +133,22 @@ class _TreeCache:
     value = None
 
 
+def release_tree_cache():
+    """Unpersist EVERY block the cached tree pinned: the nodes/edges/leaves
+    DataFrames AND the per-level localCheckpoint RDDs (which live in
+    ``sc.getPersistentRDDs``, not the CacheManager, so DataFrame.unpersist
+    never reaches them).  Called by ``dedup.reset_shared_cache``."""
+    if _TreeCache.value is None:
+        _TreeCache.key = None
+        return
+    for h in _TreeCache.value[1:]:
+        try:
+            h.unpersist()
+        except Exception:
+            pass
+    _TreeCache.key = _TreeCache.value = None
+
+
 def _tree(spark, sf_dir):
     """Build the full tree once per (session, sf_dir): returns
     (all_nodes(level, node_id, n_members, text, iemb), edges(child_level,
@@ -141,9 +157,12 @@ def _tree(spark, sf_dir):
     if _TreeCache.key == key and _TreeCache.value[0] is spark:
         return _TreeCache.value[1], _TreeCache.value[2]
     from pyspark import StorageLevel
-    cur = (_leaves(spark, sf_dir)
-           .withColumn("n_members", F.lit(1).cast("bigint"))
-           .persist(StorageLevel.MEMORY_AND_DISK))
+    jsc = spark.sparkContext._jsc
+    pre_ids = set(jsc.getPersistentRDDs().keys())
+    leaves = (_leaves(spark, sf_dir)
+              .withColumn("n_members", F.lit(1).cast("bigint"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    cur = leaves
     n = cur.count()
     all_nodes = cur.withColumn("level", F.lit(0))
     all_edges = None
@@ -162,7 +181,16 @@ def _tree(spark, sf_dir):
         n = cur.count()
     nodes = all_nodes.persist(StorageLevel.MEMORY_AND_DISK)
     edges = all_edges.persist(StorageLevel.MEMORY_AND_DISK)
-    _TreeCache.key, _TreeCache.value = key, (spark, nodes, edges)
+    # every block this build pinned rides in the cache tuple so
+    # release_tree_cache can free it: the leaves frame (nodes' level-0
+    # rows read through it) plus the per-level localCheckpoint RDDs,
+    # which only surface in sc.getPersistentRDDs (diffed against the
+    # pre-build snapshot — the build is single-threaded, so the diff is
+    # exactly this tree's checkpoints)
+    ckpt_rdds = [rdd for rid, rdd in jsc.getPersistentRDDs().items()
+                 if rid not in pre_ids]
+    _TreeCache.key, _TreeCache.value = key, (
+        spark, nodes, edges, leaves, *ckpt_rdds)
     return nodes, edges
 
 

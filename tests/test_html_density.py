@@ -68,11 +68,38 @@ class TestBlocks:
     def test_script_style_contribute_nothing(self):
         txt = (f'<html><body><script>var boilerplate = "not text";</script>'
                f'<style>p {{ color: red }}</style><p>{LONG}</p></body></html>')
-        assert _secs(txt) == [LONG]
+        # title-less page: same '[no-title]' placeholder as the
+        # readability route (Document.title), then the kept content
+        assert _secs(txt) == ["[no-title]", LONG]
+        assert _secs(txt) == _ref(txt)
+
+    def test_svg_title_does_not_shadow_head_title(self):
+        # an inline <svg><title> appears later in DOCUMENT order than the
+        # head <title>; both strategies must return the real page title
+        txt = (f'<html><head><title>Real Title</title></head><body>'
+               f'<svg><title>icon label</title></svg><p>{LONG}</p>'
+               f'</body></html>')
+        assert _secs(txt)[0] == "Real Title"
+        assert _secs(txt) == _ref(txt)
+
+    def test_svg_title_only_page_matches_readability(self):
+        # head-less page whose only <title> lives in an inline svg:
+        # readability's Document.title() is a document-order find with no
+        # subtree skipping, so BOTH routes surface the svg title — exact
+        # mirroring beats a skip-list here (parity is the contract)
+        txt = (f'<html><body><svg><title>icon label</title></svg>'
+               f'<p>{LONG}</p></body></html>')
+        assert _secs(txt) == _ref(txt)
+        assert _secs(txt)[0] == "icon label"
+
+    def test_titleless_empty_body_yields_no_title_placeholder(self):
+        txt = '<html><body></body></html>'
+        assert density_sections(txt)[0] == "[no-title]"
+        assert _secs(txt) == _ref(txt)
 
     def test_div_direct_text_is_its_own_block(self):
         txt = f'<html><body><div>{LONG}</div><p>{LONG}</p></body></html>'
-        assert _secs(txt) == [LONG, LONG]
+        assert _secs(txt) == ["[no-title]", LONG, LONG]
 
     def test_title_first_even_without_body_content(self):
         txt = '<html><head><title>Only Title</title></head><body></body></html>'
@@ -82,11 +109,11 @@ class TestBlocks:
 class TestContextPromotion:
     def test_short_trailing_paragraph_promoted_by_good_neighbor(self):
         txt = (f'<html><body><p>{LONG}</p><p>value.</p></body></html>')
-        assert _secs(txt) == [LONG, "value."]
+        assert _secs(txt) == ["[no-title]", LONG, "value."]
 
     def test_short_leading_paragraph_promoted_by_following_good(self):
         txt = (f'<html><body><p>value.</p><p>{LONG}</p></body></html>')
-        assert _secs(txt) == ["value.", LONG]
+        assert _secs(txt) == ["[no-title]", "value.", LONG]
 
     def test_orphan_short_between_bad_blocks_dropped(self):
         txt = ('<html><body>'
@@ -94,7 +121,7 @@ class TestContextPromotion:
                '<p>tiny.</p>'
                '<div><a href="/b">all link text here two</a></div>'
                '</body></html>')
-        assert _secs(txt) == []
+        assert _secs(txt) == ["[no-title]"]
 
 
 class TestDivergenceFromReadability:
@@ -109,7 +136,7 @@ class TestDivergenceFromReadability:
         txt = (f'<html><body><div class="content"><p>{LONG}</p>'
                f'{linky}</div></body></html>')
         d = _secs(txt)
-        assert len(d) == 1 and d[0] == LONG  # linky block gone
+        assert d == ["[no-title]", LONG]  # linky block gone
         r = _ref(txt)
         assert any("spark engine" in s and len(s) > len(LONG) for s in r), \
             "readability kept the link-heavy block (expected divergence)"

@@ -144,3 +144,22 @@ class TestSharedCacheReset:
             rdd.unpersist()
         again = raptor_tree(spark, sf).collect()
         assert first == again
+
+    def test_reset_alone_releases_all_tree_storage(self, spark):
+        """reset_shared_cache() by itself (no bulk RDD sweep) must release
+        EVERY frame the tree pinned — nodes, edges, AND the level-0 leaves
+        frame — so storage memory cannot accumulate across an N-query
+        bench session."""
+        from ragflow_core16_spark.operators.dedup import reset_shared_cache
+        from ragflow_core16_spark.operators.raptor import raptor_tree
+        sf = "/root/testdata/sf0.001"
+        reset_shared_cache()
+        spark.catalog.clearCache()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs()
+                        .values()):
+            rdd.unpersist()
+        before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        raptor_tree(spark, sf).collect()
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) > before
+        reset_shared_cache()
+        assert len(spark.sparkContext._jsc.getPersistentRDDs()) == before
