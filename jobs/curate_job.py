@@ -1,10 +1,14 @@
 #!/usr/bin/env python
 """spark-submit entrypoint for the training-data curation pipeline.
 
-Runs the composed corpus materialization (`operators/webclean.corpus_keep`:
+Runs the composed corpus materialization (`operators/webclean`:
 Gopher repetition gate ∧ C4 line survival ∧ dedup-cluster survivorship ∧
-benchmark decontamination, eval split excluded) over a documents table and
-materializes BOTH the per-document decision table and the kept corpus:
+benchmark decontamination ∧ robots/blocklist/meta-robots crawl gates,
+eval split excluded) over a documents table and materializes the
+full per-document decision table (every component column plus the
+composed corpus_keep/web_keep verdicts), the kept corpus, and the
+snapshot-fingerprinted cache table that turns later ``web_keep`` /
+``corpus_keep`` queries into pure scans:
 
     zip -r ragflow_core16_spark.zip ragflow_core16_spark
     spark-submit --py-files ragflow_core16_spark.zip \
@@ -48,19 +52,29 @@ def main(argv=None) -> int:
              .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())
 
-    from ragflow_core16_spark.operators.webclean import corpus_keep
+    from ragflow_core16_spark.operators.webclean import (
+        web_decisions_path, web_decisions_unordered)
 
     t0 = time.time()
     # persist: the decision DAG (Gopher aggs, C4 lines, decontamination
-    # gram join, dedup survivors) feeds TWO actions below — without this
-    # the corpus write and the keep write each recompute it end-to-end
-    decisions = corpus_keep(spark, args.input.rstrip("/")).persist()
+    # gram join, dedup survivors, robots/blocklist/meta-robots gates)
+    # feeds the actions below — without this the corpus write and the
+    # keep write each recompute it end-to-end.  The table carries EVERY
+    # per-component column (gopher_pass, c4_pass, dedup_kept, clean,
+    # corpus_keep, allowed, blocked, indexable, web_keep), so downstream
+    # web_keep/corpus_keep queries are pure scans of it.
+    decisions = web_decisions_unordered(
+        spark, args.input.rstrip("/")).persist()
     if not args.no_corpus:
         docs = spark.read.parquet(f"{args.input.rstrip('/')}/documents.parquet")
         kept = (docs.join(decisions.filter(F.col("corpus_keep"))
                           .select("doc_id"), "doc_id"))
         kept.write.mode("overwrite").parquet(f"{args.output}/corpus")
-    # decision table last — its presence certifies a complete run
+    # publish to the snapshot-fingerprinted cache path FIRST (what the
+    # query operators scan), then the run's own decision table LAST — its
+    # presence certifies a complete run
+    decisions.write.mode("overwrite").parquet(
+        web_decisions_path(args.input.rstrip("/")))
     decisions.write.mode("overwrite").parquet(f"{args.output}/keep")
 
     persisted = spark.read.parquet(f"{args.output}/keep")

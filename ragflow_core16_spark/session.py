@@ -32,6 +32,29 @@ DEFAULT_CONF = {
 }
 
 
+def _scan_splits(df, max_partition_bytes: int) -> int:
+    """Estimated scan-split count from the files backing the plan — pure
+    driver-side metadata (file index + sizes), NO plan→RDD conversion.
+    ``df.rdd.getNumPartitions()`` compiles the whole query to an RDD just
+    to read one number, which costs ~0.3-1 s of driver work per call and
+    was the dominant term of the ``paragraph_dedup`` bench regression
+    (each invocation rebuilds its plan, so every query paid it again).
+    Files on non-local schemes (no stat available) count as one split
+    each — the conservative direction for the < n test."""
+    import math
+    import os
+    splits = 0
+    for uri in df.inputFiles():
+        path = uri[7:] if uri.startswith("file:") and uri[5:7] == "//" else uri
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            splits += 1
+            continue
+        splits += max(1, math.ceil(size / max_partition_bytes))
+    return splits
+
+
 def spread(df, partitions: int | None = None):
     """Repartition a narrow input ahead of a Python (mapInPandas) stage.
 
@@ -40,11 +63,24 @@ def spread(df, partitions: int | None = None):
     Arrow-UDF stage onto one core.  A round-robin repartition of the narrow
     (doc_id, text) projection costs one tiny shuffle and buys full-cluster
     parallelism for the Python stage.  At real scale the scan already has
-    thousands of splits and callers see a no-op-cost reshuffle of ids only;
+    thousands of splits and callers see a no-op (not even an Exchange);
     use ``partitions=`` to pin an explicit width."""
-    sc = df.sparkSession.sparkContext
-    n = partitions or sc.defaultParallelism
-    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    digits = "".join(c for c in str(raw) if c.isdigit())
+    maxpb = int(digits) if digits else 134217728
+    if str(raw).lower().endswith(("m", "mb")):
+        maxpb *= 1024 * 1024
+    elif str(raw).lower().endswith(("k", "kb")):
+        maxpb *= 1024
+    elif str(raw).lower().endswith(("g", "gb")):
+        maxpb *= 1024 * 1024 * 1024
+    try:
+        splits = _scan_splits(df, maxpb)
+    except Exception:
+        splits = df.rdd.getNumPartitions()
+    return df.repartition(n) if splits < n else df
 
 
 def ordered_once(df, *cols):

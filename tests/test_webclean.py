@@ -644,3 +644,74 @@ class TestUrlTemplates:
         # the census is one groupBy over in-row folding: no Join anywhere
         plan = _formatted(url_templates(spark, SF))
         assert "Join" not in plan
+
+
+class TestDecisionTable:
+    """materialize_web_decisions: the snapshot-time curation write that
+    turns web_keep/corpus_keep into scans (the 100-TB deployment shape —
+    the dedup chain runs once per corpus snapshot, never per query)."""
+
+    def test_scan_path_equals_compute_path(self, spark, tmp_path,
+                                           monkeypatch):
+        from ragflow_core16_spark.operators.dedup import reset_shared_cache
+        from ragflow_core16_spark.operators.webclean import (
+            corpus_keep, materialize_web_decisions, web_keep)
+        reset_shared_cache()
+        wk_compute = web_keep(spark, SF).collect()
+        ck_compute = corpus_keep(spark, SF).collect()
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur"))
+        reset_shared_cache()
+        materialize_web_decisions(spark, SF)
+        reset_shared_cache()
+        assert web_keep(spark, SF).collect() == wk_compute
+        assert corpus_keep(spark, SF).collect() == ck_compute
+
+    def test_scan_path_is_scan(self, spark, tmp_path, monkeypatch):
+        # with the table present the plan must contain NO joins and no
+        # trace of the dedup chain — a parquet scan + projection + sort
+        from ragflow_core16_spark.operators.webclean import (
+            materialize_web_decisions, web_keep)
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur"))
+        materialize_web_decisions(spark, SF)
+        plan = _formatted(web_keep(spark, SF))
+        assert "Join" not in plan
+
+    def test_incomplete_table_never_serves(self, spark, tmp_path,
+                                           monkeypatch):
+        # a crashed write (no _SUCCESS) must be invisible: the query
+        # falls back to the compute path instead of reading partial data
+        import os
+
+        from ragflow_core16_spark.operators.webclean import (
+            _web_decisions_scan, web_decisions_path)
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur"))
+        path = web_decisions_path(SF)
+        os.makedirs(path, exist_ok=True)  # dir exists, no _SUCCESS
+        assert _web_decisions_scan(spark, SF) is None
+
+    def test_fingerprint_tracks_input_bytes(self, tmp_path, monkeypatch):
+        # a regenerated documents file under the SAME sf_dir must map to
+        # a DIFFERENT table path — staleness is structurally impossible
+        import os
+        import shutil
+
+        from ragflow_core16_spark.operators.webclean import (
+            web_decisions_path)
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur"))
+        sf2 = tmp_path / "sf"
+        sf2.mkdir()
+        shutil.copy(f"{SF}/documents.parquet", sf2 / "documents.parquet")
+        p1 = web_decisions_path(str(sf2))
+        os.utime(sf2 / "documents.parquet", ns=(1, 1))
+        assert web_decisions_path(str(sf2)) != p1
+
+    def test_materialize_is_idempotent(self, spark, tmp_path, monkeypatch):
+        import os
+
+        from ragflow_core16_spark.operators.webclean import (
+            materialize_web_decisions)
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur"))
+        p = materialize_web_decisions(spark, SF)
+        m1 = os.path.getmtime(os.path.join(p, "_SUCCESS"))
+        assert materialize_web_decisions(spark, SF) == p
+        assert os.path.getmtime(os.path.join(p, "_SUCCESS")) == m1
