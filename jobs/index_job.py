@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the ingest-time index build.
+
+The reference builds its derived retrieval structures once per corpus at
+indexing time — the GraphRAG entity graph and communities
+(`graphrag/general/index.py`) and the RAPTOR summary tree (`rag/raptor.py`
+via the task executor) — and every query reads the stored result.  This
+job is that step for the Spark engine: it materializes the snapshot
+tables (``pipeline/snapshot_cache.py``) that turn the graph and tree
+queries into scans:
+
+    zip -r ragflow_core16_spark.zip ragflow_core16_spark
+    spark-submit --py-files ragflow_core16_spark.zip \
+        jobs/index_job.py \
+        --input <dir containing documents.parquet> \
+        [--skip-graph] [--skip-raptor] [--run-id r42]
+
+Master/executor topology comes from spark-submit; the same invocation
+runs at N and 4N executors.  Each table is written idempotently (an
+existing complete table is left alone) and a crashed write never serves
+(no ``_SUCCESS``), so reruns are always safe.
+
+Prints ONE JSON line: the table paths plus wall_sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        description="documents → GraphRAG index + RAPTOR tree tables")
+    ap.add_argument("--input", required=True,
+                    help="dir containing documents.parquet")
+    ap.add_argument("--skip-graph", action="store_true")
+    ap.add_argument("--skip-raptor", action="store_true")
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.appName("ragflow_core16_spark.index")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.sql.session.timeZone", "UTC")
+             .getOrCreate())
+
+    t0 = time.time()
+    sf_dir = args.input.rstrip("/")
+    paths: list[str] = []
+    if not args.skip_graph:
+        from ragflow_core16_spark.operators.graphrag import (
+            materialize_graph_index)
+        paths += materialize_graph_index(spark, sf_dir)
+    if not args.skip_raptor:
+        from ragflow_core16_spark.operators.raptor import (
+            materialize_raptor_tree)
+        paths += materialize_raptor_tree(spark, sf_dir)
+
+    print(json.dumps({
+        "run_id": args.run_id,
+        "tables": paths,
+        "wall_sec": round(time.time() - t0, 2),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

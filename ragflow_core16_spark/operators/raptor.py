@@ -85,24 +85,35 @@ def _leaves(spark, sf_dir) -> DataFrame:
     return spread(docs.join(emb, "node_id"))
 
 
-def _level_up(nodes: DataFrame, n: int):
-    """One layer advance: cluster ``nodes`` (n rows) into
-    min(MAX_CLUSTER, ceil(n/FAN)) clusters, emit (next-level nodes,
-    child→parent edges)."""
-    k = min(MAX_CLUSTER, math.ceil(n / FAN))
+def _assign(nodes: DataFrame, k: int) -> DataFrame:
+    """(node_id, text, iemb, cid): nearest-centroid assignment against
+    the first-k-by-node-id seeds.  K <= n/8 centroid rows ride to every
+    executor as a broadcast; at 100 TB the level-0 assignment is a
+    write-time bucket column exactly like IVF."""
     w = Window.orderBy("node_id")
     seeds = (nodes.withColumn("r", F.row_number().over(w))
              .filter(F.col("r") <= k)
              .select(F.col("node_id").alias("cid"),
                      F.col("iemb").alias("cv")))
-    # K <= n/8 centroid rows ride to every executor; at 100 TB the level-0
-    # assignment is a write-time bucket column exactly like IVF
     scored = nodes.crossJoin(F.broadcast(seeds)).withColumn(
         "cos", _cos(F.col("iemb"), F.col("cv")))
     ww = Window.partitionBy("node_id").orderBy(F.desc("cos"), F.asc("cid"))
-    assign = (scored.withColumn("rr", F.row_number().over(ww))
-              .filter(F.col("rr") == 1)
-              .select("node_id", "text", "iemb", "cid"))
+    return (scored.withColumn("rr", F.row_number().over(ww))
+            .filter(F.col("rr") == 1)
+            .select("node_id", "text", "iemb", "cid"))
+
+
+def _level_up(nodes: DataFrame, n: int):
+    """One layer advance: cluster ``nodes`` (n rows) into
+    min(MAX_CLUSTER, ceil(n/FAN)) clusters, emit (next-level nodes,
+    child→parent edges)."""
+    k = min(MAX_CLUSTER, math.ceil(n / FAN))
+    # checkpoint the assignment ONCE per level: it is the shared parent of
+    # both the next-level nodes (groupBy below) and the child→parent edge
+    # relation — without this, materializing the edge union re-runs every
+    # level's scoring pass, and the per-level plans compound joins
+    # (plan-pinned in tests/test_snapshot_cache.py::TestBoundedLineage)
+    assign = _assign(nodes, k).localCheckpoint()
     grp = assign.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.collect_list(F.struct("node_id", "text")).alias("mem"),
@@ -156,6 +167,16 @@ def _tree(spark, sf_dir):
     key = (sf_dir,)
     if _TreeCache.key == key and _TreeCache.value[0] is spark:
         return _TreeCache.value[1], _TreeCache.value[2]
+    # ingest-time materialization (the reference builds the RAPTOR tree
+    # once per corpus in the task executor and stores the summary chunks;
+    # `materialize_raptor_tree` is that step here): when the snapshot
+    # tables exist, every query is a scan — no clustering loop, no
+    # persisted frames to track
+    from ..pipeline.snapshot_cache import read_table
+    ns = read_table(spark, "raptor_nodes", sf_dir)
+    es = read_table(spark, "raptor_edges", sf_dir)
+    if ns is not None and es is not None:
+        return ns, es
     from pyspark import StorageLevel
     jsc = spark.sparkContext._jsc
     pre_ids = set(jsc.getPersistentRDDs().keys())
@@ -168,8 +189,10 @@ def _tree(spark, sf_dir):
     all_edges = None
     level = 0
     while n > 1 and level < MAX_LEVELS:
+        # no checkpoint needed here: nxt is one aggregation over the
+        # level's checkpointed assignment (see _level_up), so its lineage
+        # is already truncated at the level boundary
         nxt, edges = _level_up(cur, n)
-        nxt = nxt.localCheckpoint()  # truncate iterative lineage
         level += 1
         all_nodes = all_nodes.unionByName(
             nxt.withColumn("level", F.lit(level)))
@@ -192,6 +215,15 @@ def _tree(spark, sf_dir):
     _TreeCache.key, _TreeCache.value = key, (
         spark, nodes, edges, leaves, *ckpt_rdds)
     return nodes, edges
+
+
+def materialize_raptor_tree(spark, sf_dir: str) -> list[str]:
+    """Write the tree's node and edge tables for this corpus snapshot
+    (idempotent) — the ingest-time RAPTOR build.  Returns the paths."""
+    from ..pipeline.snapshot_cache import materialize
+    nodes, edges = _tree(spark, sf_dir)
+    return [materialize(spark, "raptor_nodes", sf_dir, lambda: nodes),
+            materialize(spark, "raptor_edges", sf_dir, lambda: edges)]
 
 
 # ------------------------------------------------------------- queries

@@ -206,14 +206,28 @@ def _tag_content_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "tag", "score_pm"))
 
 
+def materialize_tag_features(spark, sf_dir: str) -> str:
+    """Write the per-document tag_feas relation for this corpus snapshot
+    (idempotent) — the ingest-time tagging step: the reference computes
+    TAG_FLD once per chunk in the task executor and stores it in the doc
+    (`rag/svr/task_executor.py`, tagging phase), it is never recomputed
+    per query."""
+    from ..pipeline.snapshot_cache import materialize
+    return materialize(spark, "tag_features", sf_dir,
+                       lambda: _tag_content_scored(spark, sf_dir))
+
+
 def tag_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document tag_feas — ``tag_content`` (search.py:458-469): match
     the corpus with the doc's own top keywords, aggregate the matched
     docs' tags, score vs the corpus prior, keep the top-3 with
-    score > 0."""
+    score > 0.  Scans the ingest-time snapshot table when it exists
+    (``materialize_tag_features``)."""
+    from ..pipeline.snapshot_cache import read_table
     from ..session import ordered_once
-    return ordered_once(_tag_content_scored(spark, sf_dir),
-                        "doc_id", "rank")
+    scan = read_table(spark, "tag_features", sf_dir)
+    rel = scan if scan is not None else _tag_content_scored(spark, sf_dir)
+    return ordered_once(rel, "doc_id", "rank")
 
 
 def _tag_content_sql() -> str:

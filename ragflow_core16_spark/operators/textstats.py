@@ -508,10 +508,27 @@ def _tfidf_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsorted keyword relation (production shape; the sort in
     ``tfidf_keywords`` is driver-compare presentation only).  Memoized
     (temp-table semantics): the tagging operators read it both as the
-    match-keyword relation and as the kw: tag family."""
+    match-keyword relation and as the kw: tag family.  When the
+    ingest-time snapshot table exists (``materialize_keywords`` — the
+    reference computes per-doc keywords at indexing,
+    `rag/svr/task_executor.py` keyword step), the build is a scan."""
     from .dedup import _memo
-    return _memo("tfidf_ranked", spark, sf_dir,
-                 lambda: _tfidf_ranked_build(spark, sf_dir))
+
+    def build():
+        from ..pipeline.snapshot_cache import read_table
+        scan = read_table(spark, "tfidf_keywords", sf_dir)
+        if scan is not None:
+            return scan
+        return _tfidf_ranked_build(spark, sf_dir)
+    return _memo("tfidf_ranked", spark, sf_dir, build)
+
+
+def materialize_keywords(spark, sf_dir: str) -> str:
+    """Write the per-document keyword relation for this corpus snapshot
+    (idempotent) — the ingest-time keyword extraction."""
+    from ..pipeline.snapshot_cache import materialize
+    return materialize(spark, "tfidf_keywords", sf_dir,
+                       lambda: _tfidf_ranked(spark, sf_dir))
 
 
 def _tfidf_ranked_build(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1204,33 +1204,13 @@ ORDER BY doc_id
 # regenerated fixture under an unchanged sf_dir simply misses the cache.
 
 def _curation_root() -> str:
-    import os
-    return os.environ.get(
-        "RAG_CURATION_DIR",
-        os.path.join(os.getcwd(), "spark-warehouse", "curation"))
-
-
-def _corpus_fingerprint(sf_dir: str) -> str:
-    import hashlib
-    import os
-    tgt = os.path.join(sf_dir, "documents.parquet")
-    parts = []
-    if os.path.isdir(tgt):
-        for name in sorted(os.listdir(tgt)):
-            if name.startswith(("_", ".")):
-                continue
-            st = os.stat(os.path.join(tgt, name))
-            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.exists(tgt):
-        st = os.stat(tgt)
-        parts.append(f"documents.parquet:{st.st_size}:{st.st_mtime_ns}")
-    raw = os.path.abspath(sf_dir) + "|" + "|".join(parts)
-    return hashlib.md5(raw.encode()).hexdigest()[:16]
+    from ..pipeline.snapshot_cache import cache_root
+    return cache_root()
 
 
 def web_decisions_path(sf_dir: str) -> str:
-    import os
-    return os.path.join(_curation_root(), _corpus_fingerprint(sf_dir))
+    from ..pipeline.snapshot_cache import table_path
+    return table_path("web_decisions", sf_dir)
 
 
 def web_decisions_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1259,22 +1239,23 @@ def materialize_web_decisions(spark: SparkSession, sf_dir: str,
     """Write the decision table for this corpus snapshot (idempotent: an
     existing complete table is left alone).  Returns the table path."""
     import os
-    path = path or web_decisions_path(sf_dir)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        web_decisions_unordered(spark, sf_dir).write.mode(
-            "overwrite").parquet(path)
-    return path
+
+    from ..pipeline.snapshot_cache import materialize
+    if path is not None:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            web_decisions_unordered(spark, sf_dir).write.mode(
+                "overwrite").parquet(path)
+        return path
+    return materialize(spark, "web_decisions", sf_dir,
+                       lambda: web_decisions_unordered(spark, sf_dir))
 
 
 def _web_decisions_scan(spark: SparkSession, sf_dir: str):
     """The written decision table for ``sf_dir``, or None if no complete
     table exists (the _SUCCESS marker is the completeness certificate —
     a crashed write never serves)."""
-    import os
-    path = web_decisions_path(sf_dir)
-    if os.path.exists(os.path.join(path, "_SUCCESS")):
-        return spark.read.parquet(path)
-    return None
+    from ..pipeline.snapshot_cache import read_table
+    return read_table(spark, "web_decisions", sf_dir)
 
 
 # ------------------------------------------------------ boilerplate_strip

@@ -117,11 +117,12 @@ def test_retrieval_shape(spark, ops):
 
 def test_levelup_plan_broadcasts_centroids(spark, ops):
     """The n×K scoring join must broadcast the K≤MAX_CLUSTER centroid rows
-    — no shuffled cartesian of the corpus."""
+    — no shuffled cartesian of the corpus.  Audited on the un-checkpointed
+    assignment plan (_level_up checkpoints it, which hides the join behind
+    an ExistingRDD scan)."""
     leaves = ops._leaves(spark, SF).withColumn(
         "n_members", __import__("pyspark").sql.functions.lit(1).cast("bigint"))
-    nxt, _ = ops._level_up(leaves, 500)
-    plan = formatted_plan(nxt)
+    plan = formatted_plan(ops._assign(leaves, 63))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # broadcast side = centroids
 

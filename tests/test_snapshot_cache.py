@@ -1,0 +1,103 @@
+"""Ingest-time snapshot tables (pipeline/snapshot_cache.py).
+
+The reference computes its derived structures once at indexing — the
+GraphRAG entity graph/communities (`graphrag/general/index.py`), the
+RAPTOR tree and per-chunk keywords/tag_feas (`rag/svr/task_executor.py`)
+— and queries read the stored result.  These tests pin the Spark
+analogue: ``materialize_*`` writes per corpus snapshot, query functions
+scan when the table exists, and the scan path is byte-identical to the
+full compute path.
+"""
+
+import gc
+
+import pytest
+
+from conftest import formatted_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def _deep_clean(spark):
+    from ragflow_core16_spark.operators.dedup import reset_shared_cache
+    reset_shared_cache()
+    spark.catalog.clearCache()
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist()
+    gc.collect()
+
+
+class TestGraphRaptorScanParity:
+    def test_all_index_backed_queries_scan_equals_compute(
+            self, spark, tmp_path, monkeypatch):
+        from ragflow_core16_spark.operators import graphrag as G
+        from ragflow_core16_spark.operators import raptor as R
+        from ragflow_core16_spark.operators import tagging as T
+        from ragflow_core16_spark.operators import textstats as X
+        qs = [G.entity_graph, G.graph_communities, G.community_reports,
+              G.entity_extract, G.entity_resolution,
+              R.raptor_tree, R.raptor_edges, R.raptor_retrieval,
+              X.tfidf_keywords, T.tag_content]
+        _deep_clean(spark)
+        compute = [fn(spark, SF).collect() for fn in qs]
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur"))
+        _deep_clean(spark)
+        G.materialize_graph_index(spark, SF)
+        R.materialize_raptor_tree(spark, SF)
+        X.materialize_keywords(spark, SF)
+        T.materialize_tag_features(spark, SF)
+        _deep_clean(spark)
+        for fn, want in zip(qs, compute):
+            assert fn(spark, SF).collect() == want, fn.__name__
+
+    def test_scan_paths_have_no_joins(self, spark, tmp_path, monkeypatch):
+        # with the index tables present, the structural queries must be
+        # scans: entity_graph / raptor_tree / tfidf_keywords / tag_content
+        # plans contain no Join at all
+        from ragflow_core16_spark.operators import graphrag as G
+        from ragflow_core16_spark.operators import raptor as R
+        from ragflow_core16_spark.operators import tagging as T
+        from ragflow_core16_spark.operators import textstats as X
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur"))
+        _deep_clean(spark)
+        G.materialize_graph_index(spark, SF)
+        R.materialize_raptor_tree(spark, SF)
+        X.materialize_keywords(spark, SF)
+        T.materialize_tag_features(spark, SF)
+        _deep_clean(spark)
+        for fn in (G.entity_graph, R.raptor_tree, X.tfidf_keywords,
+                   T.tag_content):
+            assert "Join" not in formatted_plan(fn(spark, SF)), fn.__name__
+
+
+class TestBoundedLineage:
+    def test_label_propagation_lineage_is_iteration_bounded(self, spark):
+        """The community labels frame after N propagation sweeps must NOT
+        carry N sweeps of joins in its plan: each sweep localCheckpoints,
+        so the final plan reads the last checkpoint (ExistingRDD) and its
+        join count stays at the per-sweep constant.  Guards against the
+        r3 HITS regression class (un-truncated iterative lineage re-runs
+        the whole history once per downstream action)."""
+        from ragflow_core16_spark.operators import graphrag as G
+        _deep_clean(spark)
+        plan = formatted_plan(G._labels(spark, SF))
+        assert "ExistingRDD" in plan
+        assert plan.count("Join") <= 2, plan.count("Join")
+
+    def test_raptor_tree_lineage_is_level_bounded(self, spark):
+        """Each level's cluster ASSIGNMENT is checkpointed (the shared
+        parent of that level's nodes and edges), so: the edge union is a
+        pure projection of checkpoints (zero joins however many levels),
+        and the node union's joins all come from the level-0 leaves
+        derivation (each level contributes none)."""
+        from ragflow_core16_spark.operators import raptor as R
+        _deep_clean(spark)
+        nodes, edges = R._tree(spark, SF)
+        pe = formatted_plan(edges)
+        assert "ExistingRDD" in pe
+        assert pe.count("Join") == 0, pe.count("Join")
+        pn = formatted_plan(nodes)
+        leaves_joins = formatted_plan(R._leaves(spark, SF)).count("Join")
+        # the persisted leaves frame prints its cached build plan twice
+        # (InMemoryTableScan + InMemoryRelation); levels add zero
+        assert pn.count("Join") <= 2 * leaves_joins, pn.count("Join")
