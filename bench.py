@@ -494,6 +494,113 @@ efficiency = (docs_per_sec_B / docs_per_sec_A) / ({hi}/{lo}) = {eff:.3f}
                       f"exec{lo}": a, f"exec{hi}": b}))
 
 
+def sf1_skew() -> None:
+    """sf1 bench tier + engineered-host-skew A/B.
+
+    Corpus: ``skewed_pages_df`` — crawl-ordered pages where host0000
+    carries ≈20% of corpus bytes from 2% of documents (12× bodies), and
+    those giant pages are CONTIGUOUS in the leading range partitions
+    (the layout a per-host crawl dump or host-sorted write produces).
+
+    A/B: extraction over the layout-inherited partitions (baseline — the
+    hot partition serializes ~20% of corpus bytes into one task) vs the
+    same input routed through ``pipeline.partitioning.repartition_by_size``
+    (size-targeted repartition on xxhash64(url), warc_ts — the explicit
+    skew handling the north rule requires).  Wall time is the hash-agg
+    action itself, so each variant's output hash comes from the SAME
+    timed pass and byte-identity is verified for free.
+
+    Also records the plain sf1 extraction row (10× the sf0.1 bench corpus,
+    standard generator, no engineered skew) as the sf1 throughput tier.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from ragflow_core16_spark.datagen.pages import pages_df, skewed_pages_df
+    from ragflow_core16_spark.operators.extract import extract_pages
+    from ragflow_core16_spark.pipeline.partitioning import (
+        repartition_by_size)
+
+    spark = _spark(CPUS)
+    n = int(os.environ.get("SPARK_GRAFT_SF1_DOCS", "600000"))
+    # JVM/codegen warm-up outside every timed window
+    extraction_run(spark, "/root/testdata/sf0.001")
+
+    # --- plain sf1 tier (unskewed, standard generator) ---
+    plain = extraction_run(spark, SF_DIR, n_docs_override=n)
+
+    # --- engineered-skew corpus, materialized once ---
+    pages = skewed_pages_df(spark, n).persist(StorageLevel.MEMORY_AND_DISK)
+    n_docs = pages.count()
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1)
+    doc_id = F.element_at(F.split("url", "/"), -1).cast("long")
+    n_hot = max(1, int(n * 0.02))
+    stats = pages.agg(
+        F.sum(F.length("html")).alias("total"),
+        F.sum(F.when(host.startswith("host0000"),
+                     F.length("html"))).alias("host0"),
+        F.sum(F.when(doc_id < n_hot, F.length("html"))).alias("eng"),
+    ).collect()[0]
+    total_b = stats["total"]
+    hot_share = (stats["host0"] or 0) / total_b
+    eng_share = (stats["eng"] or 0) / total_b
+
+    def timed_hash(df) -> tuple[float, str, int]:
+        t0 = time.time()
+        row = (extract_pages(df)
+               .select(F.conv(F.substring(F.md5(F.concat_ws(
+                   "\x00", "url", F.coalesce("extracted_text", F.lit("")),
+                   "status")), 1, 15), 16, 10).cast("long").alias("h"))
+               .agg(F.expr("bit_xor(h)").alias("x"),
+                    F.count(F.lit(1)).alias("n")).collect()[0])
+        return round(time.time() - t0, 1), str(row["x"]), int(row["n"])
+
+    wall_a, hash_a, rows_a = timed_hash(pages)                 # baseline
+    wall_b, hash_b, rows_b = timed_hash(repartition_by_size(pages))
+    pages.unpersist()
+    speedup = wall_a / wall_b if wall_b else float("nan")
+    ok = hash_a == hash_b and rows_a == rows_b
+
+    md = f"""
+
+## sf1 tier with engineered host skew (salting A/B)
+
+Plain sf1 row ({n} docs, standard generator, local[{CPUS}]):
+{plain['docs']} docs, {plain['mb_in']} MB html → {plain['docs_per_sec']}
+docs/s, {plain['mb_per_sec']} MB/s (hash {plain['output_hash']}).
+
+Skew corpus: `skewed_pages_df`, {round(total_b / 1e6, 1)} MB html.
+host0000 carries {hot_share:.1%} of bytes: the generator's natural
+Zipf(1.5) rank-1 mass (≈38% of ordinary documents, scattered across
+partitions) PLUS an engineered contiguous block — the first 2% of
+doc_ids pinned to host0000 with 12× bodies ({eng_share:.1%} of corpus
+bytes) sitting together in the leading range partitions (the layout a
+per-host crawl dump produces).  The contiguous block is what creates
+task-level byte skew; the scattered Zipf mass alone does not.
+
+| variant | wall sec | output hash | rows |
+|---|---|---|---|
+| layout-inherited partitions (no skew handling) | {wall_a} | {hash_a} | {rows_a} |
+| `repartition_by_size` (xxhash64(url), warc_ts) | {wall_b} | {hash_b} | {rows_b} |
+
+Speedup {speedup:.2f}×; hashes {'IDENTICAL' if ok else 'MISMATCH — INVESTIGATE'}.
+The baseline wall is the hot partition serializing ≈{eng_share:.0%} of
+corpus bytes through one task; the size-targeted repartition pays one
+shuffle of the html payload and removes the straggler — the explicit
+skew machinery the extraction job applies before its Python stage
+(`jobs/extract_job.py` → `pipeline/partitioning.py`).
+"""
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    _replace_section(f"{REPO}/BENCH/BASELINE.md",
+                     "## sf1 tier with engineered host skew", md)
+    print(json.dumps({
+        "sf1_docs_per_sec": plain["docs_per_sec"],
+        "sf1_mb_per_sec": plain["mb_per_sec"],
+        "hot_share": round(hot_share, 3),
+        "wall_skewed": wall_a, "wall_repartitioned": wall_b,
+        "speedup": round(speedup, 2), "hash_equal": ok}))
+
+
 if __name__ == "__main__":
     if "--one-run" in sys.argv:
         one_run(int(sys.argv[sys.argv.index("--one-run") + 1]))
@@ -507,5 +614,7 @@ if __name__ == "__main__":
         scaling_groups()
     elif "--scaling-cluster" in sys.argv:
         scaling_cluster()
+    elif "--sf1-skew" in sys.argv:
+        sf1_skew()
     else:
         print(json.dumps(default_bench()))

@@ -86,9 +86,13 @@ def _paragraph(rng: random.Random, lang: str) -> str:
     return (" ".join(words)).capitalize() + "."
 
 
-def generate_page(doc_id: int, seed: int = 42) -> tuple[str, pd.Timestamp, bytes, str, str]:
+def generate_page(doc_id: int, seed: int = 42, size_mult: int = 1,
+                  force_host: int | None = None
+                  ) -> tuple[str, pd.Timestamp, bytes, str, str]:
     rng = random.Random(seed * 1_000_003 ^ doc_id)
     host = _zipf_host(rng)
+    if force_host is not None:
+        host = force_host
     tld = rng.choice(_TLDS)
     section = rng.choice(("news", "blog", "docs", "wiki"))
     url = f"https://host{host:04d}.example.{tld}/{section}/{doc_id}"
@@ -108,7 +112,7 @@ def generate_page(doc_id: int, seed: int = 42) -> tuple[str, pd.Timestamp, bytes
     title = f"Document {doc_id} " + " ".join(
         rng.choice(_EN_WORDS) for _ in range(rng.randint(2, 5))).title()
 
-    n_paras = rng.randint(3, 12)
+    n_paras = rng.randint(3, 12) * max(1, size_mult)
     para_lang = "zh" if lang == "zh" else ("zh" if (lang == "mixed" and rng.random() < 0.5) else "en")
     paras = [_paragraph(rng, para_lang if lang == "mixed" and i % 2 else
                         ("zh" if lang == "zh" else "en"))
@@ -158,6 +162,37 @@ def pages_df(spark: SparkSession, n_rows: int, seed: int = 42,
         for pdf in batches:
             rows = [generate_page(int(i), seed) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return base.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def skewed_pages_df(spark: SparkSession, n_rows: int, seed: int = 42,
+                    hot_doc_frac: float = 0.02, hot_scale: int = 12,
+                    partitions: int | None = None) -> DataFrame:
+    """Crawl-ordered corpus with ONE engineered hot host.
+
+    The first ``ceil(n * hot_doc_frac)`` doc_ids belong to ``host0000``
+    with ``hot_scale``× article bodies — at the defaults that host carries
+    ≈20% of corpus bytes from 2% of documents.  Because doc_ids are
+    CONTIGUOUS and ``spark.range`` splits by id range, the hot host's
+    giant pages land together in the LEADING partitions: exactly the
+    byte-skewed input layout a per-host crawl dump (or a host-sorted
+    parquet write) hands the extraction stage.  Deterministic given
+    (seed, n_rows) like ``pages_df``; the skew A/B in ``bench.py
+    --sf1-skew`` runs extraction over this layout with and without
+    ``pipeline.partitioning.repartition_by_size``."""
+    n_hot = max(1, int(n_rows * hot_doc_frac))
+    base = spark.range(0, n_rows, 1,
+                       partitions or spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [generate_page(int(i), seed, size_mult=hot_scale,
+                                  force_host=0)
+                    if int(i) < n_hot else generate_page(int(i), seed)
+                    for i in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
     return base.mapInPandas(gen, PAGES_SCHEMA)
 

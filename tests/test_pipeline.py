@@ -42,6 +42,42 @@ class TestDatagen:
         assert a == b
 
 
+class TestSkewedDatagen:
+    def test_hot_block_is_contiguous_giant_host0(self, spark):
+        from ragflow_core16_spark.datagen.pages import skewed_pages_df
+        rows = (skewed_pages_df(spark, 500, partitions=4)
+                .select("url", F.length("html").alias("b")).collect())
+        by_id = {int(r["url"].rsplit("/", 1)[1]): r for r in rows}
+        n_hot = 10  # 2% of 500
+        hot = [by_id[i] for i in range(n_hot)]
+        rest = [by_id[i] for i in range(n_hot, 500)]
+        assert all(r["url"].startswith("https://host0000.") for r in hot)
+        import statistics
+        assert (statistics.mean(r["b"] for r in hot)
+                > 5 * statistics.mean(r["b"] for r in rest))
+
+    def test_deterministic_and_partition_independent(self, spark):
+        from ragflow_core16_spark.datagen.pages import skewed_pages_df
+        a = sorted(skewed_pages_df(spark, 60, partitions=1)
+                   .select("url", F.md5("html").alias("h")).collect())
+        b = sorted(skewed_pages_df(spark, 60, partitions=5)
+                   .select("url", F.md5("html").alias("h")).collect())
+        assert a == b
+
+    def test_non_hot_docs_identical_to_pages_df(self, spark):
+        # beyond the hot block the corpus is byte-identical to the
+        # standard generator — the A/B isolates layout, not content
+        from ragflow_core16_spark.datagen.pages import skewed_pages_df
+        a = {r["url"]: r["h"] for r in
+             skewed_pages_df(spark, 100, partitions=2)
+             .select("url", F.md5("html").alias("h")).collect()}
+        b = {r["url"]: r["h"] for r in
+             pages_df(spark, 100, partitions=2)
+             .select("url", F.md5("html").alias("h")).collect()}
+        shared = {u for u in a if int(u.rsplit("/", 1)[1]) >= 2}
+        assert shared and all(a[u] == b[u] for u in shared if u in b)
+
+
 class TestExtract:
     def test_all_rows_accounted(self, spark, extracted):
         assert extracted.count() == N
