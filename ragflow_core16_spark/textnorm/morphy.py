@@ -260,7 +260,8 @@ kitten knapsack knight knob knot koala lace ladle ladybug lagoon
 lair lamb lantern lapel larch lard lark lava lavender lawn lead
 leash ledge leek lemon lemonade lens leopard leotard lettuce lever
 lighthouse lilac lily lime limestone limousine linen lint lion
-liver lizard llama lobster locket locomotive locust lodge loft
+liver lizard llama lobster locket locomotive
+locust lodge loft
 lumber lynx mackerel magnet magnolia mahogany maid mane mango
 mansion mantel maple marble mare marigold marsh mask mast mat
 mattress meadow melon mermaid meteor midst mildew mill millet
