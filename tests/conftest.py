@@ -7,6 +7,26 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+@pytest.fixture(scope="session", autouse=True)
+def _isolated_curation_warehouse(tmp_path_factory):
+    """Point the snapshot-table cache at a fresh per-session directory.
+
+    A prior `bench.py` run in this checkout materializes snapshot tables
+    under ./spark-warehouse/curation; without isolation, plan-audit tests
+    that pin the COMPUTE path would silently flip to the scan path
+    depending on bench history.  Tests that want the scan path
+    materialize into their own monkeypatched dir."""
+    import os
+    prev = os.environ.get("RAG_CURATION_DIR")
+    os.environ["RAG_CURATION_DIR"] = str(
+        tmp_path_factory.mktemp("curation"))
+    yield
+    if prev is None:
+        os.environ.pop("RAG_CURATION_DIR", None)
+    else:
+        os.environ["RAG_CURATION_DIR"] = prev
+
+
 @pytest.fixture(scope="session")
 def spark():
     from ragflow_core16_spark.session import get_spark
