@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "entity_graph", "graph_communities", "raptor_tree", "tag_content",
     "vision_pdf_template", "auto_questions", "kn_bigram_logprob", "hits",
     "extract_density_e2e", "token_budget_mix", "corpus_drift",
+    "curation_funnel",
 ]
 
 

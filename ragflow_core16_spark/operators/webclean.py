@@ -1258,6 +1258,72 @@ def _web_decisions_scan(spark: SparkSession, sf_dir: str):
     return read_table(spark, "web_decisions", sf_dir)
 
 
+_FUNNEL_GATES = ("gopher", "c4", "dedup", "decontam", "robots",
+                 "blocklist", "meta_robots")
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-gate rejection funnel over the curation decision table — the
+    data-quality rollup a deployment dashboard reads after every
+    snapshot's curate run: for each gate in pipeline order, how many
+    documents fail it outright and how many survive the cumulative
+    composition up to and including it.  One scan (or one decision
+    computation), ONE aggregation, then a 7-row ``stack`` unpivot — no
+    joins, no second pass, any corpus size."""
+    scan = _web_decisions_scan(spark, sf_dir)
+    d = scan if scan is not None else web_decisions_unordered(spark, sf_dir)
+    conds = {
+        "gopher": F.col("gopher_pass"), "c4": F.col("c4_pass"),
+        "dedup": F.col("dedup_kept"), "decontam": F.col("clean"),
+        "robots": F.col("allowed"), "blocklist": ~F.col("blocked"),
+        "meta_robots": F.col("indexable"),
+    }
+    aggs, cum = [], F.lit(True)
+    for name in _FUNNEL_GATES:
+        aggs.append(F.sum((~conds[name]).cast("long")).alias(f"f_{name}"))
+        cum = cum & conds[name]
+        aggs.append(F.sum(cum.cast("long")).alias(f"s_{name}"))
+    row = d.agg(*aggs)
+    stack = "stack(7, " + ", ".join(
+        f"{i + 1}, '{n}', f_{n}, s_{n}" for i, n in enumerate(_FUNNEL_GATES)
+    ) + ") as (gate_ord, gate, n_fail, n_surviving)"
+    return (row.selectExpr(stack)
+            .select(F.col("gate_ord").cast("int").alias("gate_ord"),
+                    "gate",
+                    F.col("n_fail").cast("bigint").alias("n_fail"),
+                    F.col("n_surviving").cast("bigint").alias("n_surviving"))
+            .orderBy("gate_ord"))
+
+
+def _curation_funnel_sql() -> str:
+    conds = {
+        "gopher": "gopher_pass", "c4": "c4_pass", "dedup": "dedup_kept",
+        "decontam": "clean", "robots": "allowed",
+        "blocklist": "NOT blocked", "meta_robots": "indexable",
+    }
+    # the oracle recomposes the decision relation from the component
+    # oracles (same shape the Spark compute path uses)
+    parts, cum = [], []
+    for i, n in enumerate(_FUNNEL_GATES):
+        cum.append(f"({conds[n]})")
+        parts.append(
+            f"SELECT {i + 1} AS gate_ord, '{n}' AS gate,\n"
+            f"  CAST(sum(CASE WHEN NOT ({conds[n]}) THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_fail,\n"
+            f"  CAST(sum(CASE WHEN {' AND '.join(cum)} THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS n_surviving\nFROM rel")
+    return f"""
+WITH k AS ({_corpus_keep_sql()}),
+w AS ({_web_keep_sql()}),
+rel AS (
+  SELECT k.doc_id, k.gopher_pass, k.c4_pass, k.dedup_kept, k.clean,
+         w.allowed, NOT w.unblocked AS blocked, w.indexable
+  FROM k JOIN w USING (doc_id))
+{' UNION ALL '.join(parts)}
+ORDER BY gate_ord
+"""
+
+
 # ------------------------------------------------------ boilerplate_strip
 # Site-level template-paragraph removal (the CCNet / FineWeb step per-page
 # readability cannot do: a paragraph that looks like content on ONE page
@@ -1515,6 +1581,7 @@ QUERIES = {
     "pii_redact": (pii_redact, PII_REDACT_SQL),
     "paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
     "corpus_keep": (corpus_keep, _corpus_keep_sql()),
+    "curation_funnel": (curation_funnel, _curation_funnel_sql()),
     "domain_cap": (domain_cap, DOMAIN_CAP_SQL),
     "robots_filter": (robots_filter, _robots_filter_sql()),
     "sitemap_coverage": (sitemap_coverage, _sitemap_coverage_sql()),

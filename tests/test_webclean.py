@@ -715,3 +715,34 @@ class TestDecisionTable:
         m1 = os.path.getmtime(os.path.join(p, "_SUCCESS"))
         assert materialize_web_decisions(spark, SF) == p
         assert os.path.getmtime(os.path.join(p, "_SUCCESS")) == m1
+
+
+class TestCurationFunnel:
+    def test_funnel_is_monotone_and_anchored(self, spark):
+        from ragflow_core16_spark.operators.webclean import (
+            corpus_keep, curation_funnel, web_keep)
+        rows = curation_funnel(spark, SF).collect()
+        assert [r["gate"] for r in rows] == [
+            "gopher", "c4", "dedup", "decontam", "robots", "blocklist",
+            "meta_robots"]
+        surv = [r["n_surviving"] for r in rows]
+        assert surv == sorted(surv, reverse=True)  # cumulative AND shrinks
+        # the funnel's terminal survivor count IS the web_keep keep count
+        kept = sum(1 for r in web_keep(spark, SF).collect() if r["web_keep"])
+        assert surv[-1] == kept
+        # and the 4th stage equals corpus_keep's keep count
+        ck = sum(1 for r in corpus_keep(spark, SF).collect()
+                 if r["corpus_keep"])
+        assert surv[3] == ck
+
+    def test_scan_path_plan_single_agg_no_join(self, spark, tmp_path,
+                                               monkeypatch):
+        from ragflow_core16_spark.operators.webclean import (
+            curation_funnel, materialize_web_decisions)
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur"))
+        materialize_web_decisions(spark, SF)
+        plan = _formatted(curation_funnel(spark, SF))
+        assert "Join" not in plan
+        # formatted plans print each node in tree + detail sections, so
+        # one partial+final aggregate pair appears <= 4 times
+        assert plan.count("HashAggregate") <= 4
