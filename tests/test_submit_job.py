@@ -206,3 +206,56 @@ def test_maintenance_job_delete_compact_vacuum(tmp_path, spark, capsys):
     hist = json.loads([ln for ln in capsys.readouterr().out.splitlines()
                        if ln.startswith("{")][-1])
     assert hist["versions"][-1]["version"] == t.current_version()
+
+
+def test_spark_submit_index_job(tmp_path, spark):
+    """Deployment path for the ingest-time index build: spark-submit
+    --py-files + jobs/index_job.py writes the GraphRAG and RAPTOR
+    snapshot tables; queries in a LATER session scan them and return the
+    same rows the compute path produces."""
+    zip_path = tmp_path / "ragflow_core16_spark.zip"
+    pkg = os.path.join(REPO, "ragflow_core16_spark")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+
+    env = {**os.environ, "RAG_CURATION_DIR": str(tmp_path / "cur")}
+    out = subprocess.run(
+        ["spark-submit", "--master", "local[2]",
+         "--py-files", str(zip_path),
+         os.path.join(REPO, "jobs", "index_job.py"),
+         "--input", "/root/testdata/sf0.001", "--run-id", "t1"],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=420,
+        env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    summary = json.loads(line)
+    assert len(summary["tables"]) == 5  # 3 graph + 2 raptor
+    for p in summary["tables"]:
+        assert os.path.exists(os.path.join(p, "_SUCCESS")), p
+
+    # a separate session (the test fixture's) scans the job's tables and
+    # must agree with its own compute path
+    from ragflow_core16_spark.operators.dedup import reset_shared_cache
+    from ragflow_core16_spark.operators.graphrag import graph_communities
+    from ragflow_core16_spark.operators.raptor import raptor_tree
+    reset_shared_cache()
+    compute_g = graph_communities(spark, "/root/testdata/sf0.001").collect()
+    compute_r = raptor_tree(spark, "/root/testdata/sf0.001").collect()
+    prev = os.environ.get("RAG_CURATION_DIR")
+    os.environ["RAG_CURATION_DIR"] = str(tmp_path / "cur")
+    try:
+        reset_shared_cache()
+        assert graph_communities(
+            spark, "/root/testdata/sf0.001").collect() == compute_g
+        assert raptor_tree(
+            spark, "/root/testdata/sf0.001").collect() == compute_r
+    finally:
+        reset_shared_cache()
+        if prev is None:
+            os.environ.pop("RAG_CURATION_DIR", None)
+        else:
+            os.environ["RAG_CURATION_DIR"] = prev
