@@ -156,6 +156,11 @@ def default_bench() -> dict:
         materialize_keywords)
     from ragflow_core16_spark.operators.webclean import (
         materialize_web_decisions)
+    from ragflow_core16_spark.operators.dedup import (
+        materialize_dedup_index)
+    # dedup index FIRST: the decision-table build's dedup_kept column then
+    # scans the just-written label table instead of re-running propagation
+    materialize_dedup_index(spark, SF_DIR)
     materialize_web_decisions(spark, SF_DIR)
     materialize_graph_index(spark, SF_DIR)
     materialize_raptor_tree(spark, SF_DIR)

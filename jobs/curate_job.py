@@ -52,10 +52,17 @@ def main(argv=None) -> int:
              .config("spark.sql.session.timeZone", "UTC")
              .getOrCreate())
 
+    from ragflow_core16_spark.operators.dedup import materialize_dedup_index
     from ragflow_core16_spark.operators.webclean import (
         web_decisions_path, web_decisions_unordered)
 
     t0 = time.time()
+    # dedup index first (signatures / verified pairs / cluster labels /
+    # simhash fingerprints): the decision table's dedup_kept column then
+    # scans the just-written labels, and later pair/cluster queries are
+    # scans too — at 100 TB the signature+CC jobs run once per snapshot,
+    # never per query
+    materialize_dedup_index(spark, args.input.rstrip("/"))
     # persist: the decision DAG (Gopher aggs, C4 lines, decontamination
     # gram join, dedup survivors, robots/blocklist/meta-robots gates)
     # feeds the actions below — without this the corpus write and the

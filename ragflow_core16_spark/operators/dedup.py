@@ -179,8 +179,18 @@ def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     K column expressions over each shingle row, min-combined in a single
     groupBy(doc_id) with map-side partial agg.  No seed cross join (K×
     row multiplication), no (doc, seed) shuffle key — the shuffle moves
-    |docs| rows of K longs, independent of shingle count."""
+    |docs| rows of K longs, independent of shingle count.
+
+    When a written signature table exists for this corpus snapshot
+    (``materialize_dedup_index``), the relation is a SCAN of it: at
+    100 TB the signature job runs once per snapshot and every dedup
+    query — LSH pairs, jaccard verify, incremental daily-batch — reads
+    the stored signatures instead of re-shingling the corpus."""
     def build():
+        from ..pipeline.snapshot_cache import read_table
+        scan = read_table(spark, "minhash_sigwide", sf_dir)
+        if scan is not None:
+            return scan.select("doc_id", *[f"h{s}" for s in range(N_HASHES)])
         sh = _shingles_cached(spark, sf_dir)
         aggs = [F.min(_md5_bigint(
             F.concat_ws("#", "shingle", F.lit(str(s))))).alias(f"h{s}")
@@ -238,12 +248,35 @@ def _lsh_candidates(wide: DataFrame) -> DataFrame:
             .distinct())
 
 
+def _pairs_scan(spark, sf_dir):
+    """The written candidate-pair table (doc_a, doc_b, est_jaccard,
+    n_inter, jaccard) for this corpus snapshot, or None.  Written once by
+    ``materialize_dedup_index`` — the deployment shape at 100 TB, where
+    LSH banding + exact verify run once per snapshot and both pair
+    queries are scans of the stored result."""
+    from ..pipeline.snapshot_cache import read_table
+    return read_table(spark, "dedup_pairs", sf_dir)
+
+
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs with estimated jaccard (fraction of agreeing
     minhashes).  The signature rides as ONE array column per side, so the
     agreement count is a ``zip_with`` expression — no K-row re-join per
     pair.  Shuffles: shingle distinct, signature agg, bucket join, and the
-    two signature-array joins — all keyed, none quadratic."""
+    two signature-array joins — all keyed, none quadratic.
+
+    With a written pair table (``materialize_dedup_index``) this is a
+    pure scan + presentation sort."""
+    scan = _pairs_scan(spark, sf_dir)
+    if scan is not None:
+        return (scan.select("doc_a", "doc_b", "est_jaccard")
+                .orderBy("doc_a", "doc_b"))
+    return _lsh_est_unordered(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _lsh_est_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``minhash_lsh_pairs`` before presentation ordering (compute path;
+    also the est half of the materialized pair table)."""
     wide = _signature_wide(spark, sf_dir)
     cand = _lsh_candidates(wide)
     sig_arr = wide.select("doc_id", F.array(
@@ -259,8 +292,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.join(sa, "doc_a").join(sb, "doc_b")
             .select("doc_a", "doc_b",
                     F.round(agree / F.lit(float(N_HASHES)), 4)
-                    .alias("est_jaccard"))
-            .orderBy("doc_a", "doc_b"))
+                    .alias("est_jaccard")))
 
 
 MINHASH_LSH_SQL = (r"""
@@ -295,7 +327,25 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage of MinHash dedup): J = |A∩B| / (|A|+|B|−|A∩B|) over distinct
     word-shingle sets.  The cross-product is never materialized — the
     intersection count is a (doc_a, shingle)⋈(doc_b, shingle) join whose
-    key includes the shingle, and the candidate set is LSH-pruned."""
+    key includes the shingle, and the candidate set is LSH-pruned.
+
+    With a written pair table (``materialize_dedup_index``) this is a
+    pure scan + presentation sort — the verify join ran once at snapshot
+    time."""
+    scan = _pairs_scan(spark, sf_dir)
+    if scan is not None:
+        # the pair table keeps EVERY LSH candidate (est side); this query
+        # returns only pairs with ≥1 shared shingle, so drop the
+        # null-verify rows the index's left join preserved
+        return (scan.filter(F.col("n_inter").isNotNull())
+                .select("doc_a", "doc_b", "n_inter", "jaccard")
+                .orderBy("doc_a", "doc_b"))
+    return _jaccard_exact_unordered(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _jaccard_exact_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ngram_jaccard`` before presentation ordering (compute path; also
+    the exact-verify half of the materialized pair table)."""
     sh = _shingles_cached(spark, sf_dir)
     # materialize the candidate list once (it is tiny — LSH collisions),
     # then broadcast its doc-id sets to PRUNE the shingle relation before
@@ -329,8 +379,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "n_inter",
                     F.round(F.col("n_inter") /
                             (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                            4).alias("jaccard"))
-            .orderBy("doc_a", "doc_b"))
+                            4).alias("jaccard")))
 
 
 NGRAM_JACCARD_SQL = (r"""
@@ -372,7 +421,20 @@ N_SIMHASH_BITS = 16
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-bit simhash: per-token md5-bigint, bit b votes +1/-1, sign → bit.
-    One explode + one groupBy(doc_id) — single shuffle, map-side combine."""
+    One explode + one groupBy(doc_id) — single shuffle, map-side combine.
+    With a written fingerprint table (``materialize_dedup_index``) this
+    is a scan + presentation sort."""
+    return _simhash_unordered(spark, sf_dir).orderBy("doc_id")
+
+
+def _simhash_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``simhash`` before presentation ordering — ``simhash_pairs`` bands
+    this relation directly (its bucket join repartitions anyway, so a
+    sort here would be a wasted range exchange)."""
+    from ..pipeline.snapshot_cache import read_table
+    scan = read_table(spark, "simhash_fp", sf_dir)
+    if scan is not None:
+        return scan.select("doc_id", "simhash")
     d = _docs(spark, sf_dir)
     toks = F.split(F.regexp_replace(F.lower(F.trim("text")), _NORM, " "), " ")
     t = d.select("doc_id", F.explode(toks).alias("tok"))
@@ -387,8 +449,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(N_SIMHASH_BITS):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = bit if fp is None else (fp + bit)
-    return (g.select("doc_id", fp.cast("bigint").alias("simhash"))
-            .orderBy("doc_id"))
+    return g.select("doc_id", fp.cast("bigint").alias("simhash"))
 
 
 def _simhash_sql() -> str:
@@ -428,7 +489,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from a self-join keyed on (band_idx, band_bits) and only they
     pay the bit_count verify.  Shuffle ∝ band collisions, never |docs|²
     (the classic scalable simhash search layout)."""
-    fp = simhash(spark, sf_dir)     # (doc_id, simhash)
+    fp = _simhash_unordered(spark, sf_dir)     # (doc_id, simhash)
     band_bits = N_SIMHASH_BITS // 4
     mask = (1 << band_bits) - 1
     bands = fp.select(
@@ -471,8 +532,21 @@ ORDER BY doc_a, doc_b
 # ------------------------------------------------------- dup clustering
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(node, label) after min-label propagation over the LSH pair edges;
-    shared by ``dedup_clusters`` and ``dedup_keep``."""
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    shared by ``dedup_clusters`` and ``dedup_keep``.
+
+    With a written label table (``materialize_dedup_index``) this is a
+    scan — connected components run once per corpus snapshot, exactly
+    like the decision table.  The compute path seeds from the raw LSH
+    candidates (``_lsh_candidates``), not the est-jaccard pair query:
+    the propagation only needs the pair KEYS, so the signature-array
+    joins that decorate the pairs with est_jaccard would be dead work."""
+    from ..pipeline.snapshot_cache import read_table
+    scan = read_table(spark, "dedup_labels", sf_dir)
+    if scan is not None:
+        return scan.select("node", "label")
+    pscan = _pairs_scan(spark, sf_dir)
+    pairs = (pscan.select("doc_a", "doc_b") if pscan is not None
+             else _lsh_candidates(_signature_wide(spark, sf_dir)))
     # localCheckpoint (eager) rather than cache: it TRUNCATES lineage, so
     # every loop round plans over the tiny materialized edge relation, not
     # the full LSH DAG that produced it (per-round planning cost would
@@ -599,6 +673,45 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
 ORDER BY d.doc_id
 """
+
+
+# ------------------------------------------- dedup-index materialization
+# The signature job, the LSH+verify pair job, and the connected-components
+# job each run ONCE per corpus snapshot at 100 TB (the same contract as
+# the curation decision table): signatures ∝ |docs| rows of K longs,
+# pairs ∝ LSH collisions, labels ∝ collision-component members.  Nobody
+# re-shingles a 10^12-doc corpus per query.  The tables below are those
+# jobs' outputs; every dedup query scans them when present and recomputes
+# when absent (the driver's oracle run — fresh session, no warehouse —
+# still exercises the complete compute path).
+
+def _pairs_index_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per LSH candidate pair carrying BOTH verdict tiers: the
+    minhash estimate (all candidates) and the exact shingle-set verify
+    (left-joined — null n_inter/jaccard means the candidate shared no
+    shingle at all, which ``ngram_jaccard`` excludes by contract)."""
+    est = _lsh_est_unordered(spark, sf_dir)
+    exact = _jaccard_exact_unordered(spark, sf_dir)
+    return est.join(exact, ["doc_a", "doc_b"], "left")
+
+
+def materialize_dedup_index(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Write the dedup index tables for this corpus snapshot (idempotent).
+
+    Build order is the dependency order, so each later table scans the
+    earlier ones through the routed operators: pairs reuse the persisted
+    signature relation, labels seed from the just-written pair table.
+    Returns the table paths."""
+    from ..pipeline.snapshot_cache import materialize
+    paths = [materialize(spark, "minhash_sigwide", sf_dir,
+                         lambda: _signature_wide(spark, sf_dir)),
+             materialize(spark, "dedup_pairs", sf_dir,
+                         lambda: _pairs_index_unordered(spark, sf_dir)),
+             materialize(spark, "dedup_labels", sf_dir,
+                         lambda: _cluster_labels(spark, sf_dir)),
+             materialize(spark, "simhash_fp", sf_dir,
+                         lambda: _simhash_unordered(spark, sf_dir))]
+    return paths
 
 
 # --------------------------------------------------- stratified sampling

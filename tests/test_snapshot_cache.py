@@ -101,3 +101,61 @@ class TestBoundedLineage:
         # the persisted leaves frame prints its cached build plan twice
         # (InMemoryTableScan + InMemoryRelation); levels add zero
         assert pn.count("Join") <= 2 * leaves_joins, pn.count("Join")
+
+
+class TestDedupIndexScanParity:
+    """materialize_dedup_index writes the signature / verified-pair /
+    cluster-label / simhash tables once per corpus snapshot; every dedup
+    query must return byte-identical rows whether it scans the index or
+    recomputes the chain, and the routed pair/cluster queries must be
+    join-free scans when the index exists."""
+
+    QS = ("minhash_signatures", "minhash_lsh_pairs", "ngram_jaccard",
+          "simhash", "simhash_pairs", "dedup_clusters", "dedup_keep",
+          "incremental_dedup")
+
+    def _fns(self):
+        from ragflow_core16_spark.operators import dedup as D
+        return [getattr(D, q) for q in self.QS]
+
+    def test_scan_equals_compute(self, spark, tmp_path, monkeypatch):
+        from ragflow_core16_spark.operators import dedup as D
+        _deep_clean(spark)
+        compute = [fn(spark, SF).collect() for fn in self._fns()]
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur"))
+        _deep_clean(spark)
+        D.materialize_dedup_index(spark, SF)
+        _deep_clean(spark)
+        for fn, want in zip(self._fns(), compute):
+            assert fn(spark, SF).collect() == want, fn.__name__
+
+    def test_pair_and_cluster_scans_are_join_free(
+            self, spark, tmp_path, monkeypatch):
+        from ragflow_core16_spark.operators import dedup as D
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur"))
+        _deep_clean(spark)
+        D.materialize_dedup_index(spark, SF)
+        _deep_clean(spark)
+        for fn in (D.minhash_lsh_pairs, D.ngram_jaccard, D.simhash,
+                   D.dedup_clusters):
+            assert "Join" not in formatted_plan(fn(spark, SF)), fn.__name__
+
+    def test_decision_table_build_scans_labels(
+            self, spark, tmp_path, monkeypatch):
+        """With the dedup index written, the curation decision build's
+        dedup_kept column must come from the label-table scan — no
+        label-propagation checkpoint (ExistingRDD) in the plan."""
+        from ragflow_core16_spark.operators import dedup as D
+        from ragflow_core16_spark.operators import webclean as W
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur"))
+        _deep_clean(spark)
+        D.materialize_dedup_index(spark, SF)
+        _deep_clean(spark)
+        plan = formatted_plan(D.dedup_keep_decisions(spark, SF))
+        assert "ExistingRDD" not in plan
+        # end-to-end: web decisions still compose identically
+        _deep_clean(spark)
+        with_index = W.web_keep(spark, SF).collect()
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur2"))
+        _deep_clean(spark)
+        assert W.web_keep(spark, SF).collect() == with_index
