@@ -158,6 +158,16 @@ def default_bench() -> dict:
         materialize_web_decisions)
     from ragflow_core16_spark.operators.dedup import (
         materialize_dedup_index)
+    from ragflow_core16_spark.operators.embed import (
+        materialize_doc_embeddings)
+    from ragflow_core16_spark.operators.graph import (
+        materialize_webgraph_ranks)
+    from ragflow_core16_spark.operators.similarity import (
+        materialize_semantic_labels)
+    from ragflow_core16_spark.operators.textstats import (
+        materialize_kn_bigram_lm)
+    from ragflow_core16_spark.operators.training import (
+        materialize_bpe_merges)
     # dedup index FIRST: the decision-table build's dedup_kept column then
     # scans the just-written label table instead of re-running propagation
     materialize_dedup_index(spark, SF_DIR)
@@ -166,6 +176,11 @@ def default_bench() -> dict:
     materialize_raptor_tree(spark, SF_DIR)
     materialize_keywords(spark, SF_DIR)
     materialize_tag_features(spark, SF_DIR)
+    materialize_webgraph_ranks(spark, SF_DIR)
+    materialize_doc_embeddings(spark, SF_DIR)
+    materialize_semantic_labels(spark, SF_DIR)
+    materialize_bpe_merges(spark, SF_DIR)
+    materialize_kn_bigram_lm(spark, SF_DIR)
 
     # hermetic per-query timing: drop ALL persisted state between queries
     # so no measurement inherits a neighbor's storage-memory pressure.

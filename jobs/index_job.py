@@ -37,6 +37,10 @@ def main(argv=None) -> int:
                     help="dir containing documents.parquet")
     ap.add_argument("--skip-graph", action="store_true")
     ap.add_argument("--skip-raptor", action="store_true")
+    ap.add_argument("--skip-features", action="store_true",
+                    help="skip keywords / tag features / embeddings / "
+                         "webgraph ranks / SemDeDup labels / trained "
+                         "BPE+LM artifacts")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args(argv)
 
@@ -58,6 +62,32 @@ def main(argv=None) -> int:
         from ragflow_core16_spark.operators.raptor import (
             materialize_raptor_tree)
         paths += materialize_raptor_tree(spark, sf_dir)
+    if not args.skip_features:
+        # the remaining per-snapshot derived artifacts a deployment
+        # builds at index time: per-doc keywords + tag features (the
+        # task executor's enrichment step), document vectors (the stored
+        # q_{dim}_vec column), webgraph ranks (the precomputed
+        # pagerank_fea the rerank stage reads), SemDeDup labels, and the
+        # trained BPE merge / bigram-LM tables
+        from ragflow_core16_spark.operators.embed import (
+            materialize_doc_embeddings)
+        from ragflow_core16_spark.operators.graph import (
+            materialize_webgraph_ranks)
+        from ragflow_core16_spark.operators.similarity import (
+            materialize_semantic_labels)
+        from ragflow_core16_spark.operators.tagging import (
+            materialize_tag_features)
+        from ragflow_core16_spark.operators.textstats import (
+            materialize_keywords, materialize_kn_bigram_lm)
+        from ragflow_core16_spark.operators.training import (
+            materialize_bpe_merges)
+        paths += [materialize_keywords(spark, sf_dir),
+                  materialize_tag_features(spark, sf_dir),
+                  materialize_doc_embeddings(spark, sf_dir),
+                  materialize_webgraph_ranks(spark, sf_dir),
+                  materialize_semantic_labels(spark, sf_dir),
+                  materialize_bpe_merges(spark, sf_dir),
+                  materialize_kn_bigram_lm(spark, sf_dir)]
 
     print(json.dumps({
         "run_id": args.run_id,

@@ -72,15 +72,7 @@ def embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, dim0..dim3 sample + vec_norm) — the leading
     components and the L2 norm keep the oracle compact while pinning every
     blend coefficient."""
-    d = _docs(spark, sf_dir)
-    # single pass: 0.1·hash(title) + 0.9·hash(content) = hash of the
-    # weighted token union (hashing is linear in token votes)
-    streams = (d.select("doc_id", F.col("text").alias("t"),
-                        F.lit(1 - TITLE_W).alias("w"))
-               .unionByName(d.select("doc_id", F.col("source").alias("t"),
-                                     F.lit(TITLE_W).alias("w"))))
-    blended = _hash_embed(streams, "doc_id", "t", "w") \
-        .select("doc_id", F.col("vec").alias("q_vec"))
+    blended = _doc_vectors(spark, sf_dir)
     norm = F.sqrt(F.aggregate("q_vec", F.lit(0.0), lambda a, v: a + v * v))
     return (blended.select(
         "doc_id",
@@ -90,6 +82,36 @@ def embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("q_vec", 4), 4).alias("d3"),
         F.round(norm, 4).alias("vec_norm"))
         .orderBy("doc_id"))
+
+
+def _doc_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, q_vec): the full blended vector — the reference stores
+    exactly this per chunk at INDEX time (``q_{dim}_vec`` written by the
+    task executor's embedding step, rag/svr/task_executor.py:387ff) and
+    every search reads the stored column.  With a written vector table
+    (``materialize_doc_embeddings``) this is a scan; the compute path is
+    the single-pass weighted-union hash."""
+    from ..pipeline.snapshot_cache import read_table
+    scan = read_table(spark, "doc_embeddings", sf_dir)
+    if scan is not None:
+        return scan.select("doc_id", "q_vec")
+    d = _docs(spark, sf_dir)
+    # single pass: 0.1·hash(title) + 0.9·hash(content) = hash of the
+    # weighted token union (hashing is linear in token votes)
+    streams = (d.select("doc_id", F.col("text").alias("t"),
+                        F.lit(1 - TITLE_W).alias("w"))
+               .unionByName(d.select("doc_id", F.col("source").alias("t"),
+                                     F.lit(TITLE_W).alias("w"))))
+    return (_hash_embed(streams, "doc_id", "t", "w")
+            .select("doc_id", F.col("vec").alias("q_vec")))
+
+
+def materialize_doc_embeddings(spark: SparkSession, sf_dir: str) -> str:
+    """Write the per-snapshot document-vector table (idempotent) — the
+    engine's analogue of the reference's stored ``q_{dim}_vec`` column."""
+    from ..pipeline.snapshot_cache import materialize
+    return materialize(spark, "doc_embeddings", sf_dir,
+                       lambda: _doc_vectors(spark, sf_dir))
 
 
 def _docs(spark, sf_dir):

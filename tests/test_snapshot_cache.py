@@ -159,3 +159,71 @@ class TestDedupIndexScanParity:
         monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur2"))
         _deep_clean(spark)
         assert W.web_keep(spark, SF).collect() == with_index
+
+
+class TestFeatureTableScanParity:
+    """The round-4 second wave of ingest-time artifacts: webgraph ranks
+    (the precomputed pagerank_fea the reference's rerank stage reads),
+    document vectors (the stored q_{dim}_vec column), SemDeDup labels,
+    and the trained BPE-merge / bigram-LM tables.  Scan ≡ compute per
+    query; the routed queries must be join-free scans (bpe/kn/pagerank)
+    or single-join scans where the query semantics join (kn scoring)."""
+
+    def _fns(self):
+        from ragflow_core16_spark.operators import embed as E
+        from ragflow_core16_spark.operators import graph as G
+        from ragflow_core16_spark.operators import similarity as S
+        from ragflow_core16_spark.operators import textstats as X
+        from ragflow_core16_spark.operators import training as T
+        return [G.pagerank, G.hits, E.embed_docs, S.semantic_dedup,
+                T.bpe_train_q, X.kn_bigram_logprob]
+
+    def _materialize_all(self, spark):
+        from ragflow_core16_spark.operators.embed import (
+            materialize_doc_embeddings)
+        from ragflow_core16_spark.operators.graph import (
+            materialize_webgraph_ranks)
+        from ragflow_core16_spark.operators.similarity import (
+            materialize_semantic_labels)
+        from ragflow_core16_spark.operators.textstats import (
+            materialize_kn_bigram_lm)
+        from ragflow_core16_spark.operators.training import (
+            materialize_bpe_merges)
+        materialize_webgraph_ranks(spark, SF)
+        materialize_doc_embeddings(spark, SF)
+        materialize_semantic_labels(spark, SF)
+        materialize_bpe_merges(spark, SF)
+        materialize_kn_bigram_lm(spark, SF)
+
+    def test_scan_equals_compute(self, spark, tmp_path, monkeypatch):
+        _deep_clean(spark)
+        compute = [fn(spark, SF).collect() for fn in self._fns()]
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur"))
+        _deep_clean(spark)
+        self._materialize_all(spark)
+        _deep_clean(spark)
+        for fn, want in zip(self._fns(), compute):
+            assert fn(spark, SF).collect() == want, fn.__name__
+
+    def test_routed_scans_are_join_free(self, spark, tmp_path, monkeypatch):
+        from ragflow_core16_spark.operators import graph as G
+        from ragflow_core16_spark.operators import similarity as S
+        from ragflow_core16_spark.operators import training as T
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur"))
+        _deep_clean(spark)
+        self._materialize_all(spark)
+        _deep_clean(spark)
+        for fn in (G.pagerank, G.hits, S.semantic_dedup, T.bpe_train_q):
+            assert "Join" not in formatted_plan(fn(spark, SF)), fn.__name__
+
+    def test_semantic_dedup_custom_threshold_bypasses_scan(
+            self, spark, tmp_path, monkeypatch):
+        """The label table is only valid for the default threshold; a
+        caller-supplied threshold must recompute."""
+        from ragflow_core16_spark.operators import similarity as S
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur"))
+        _deep_clean(spark)
+        S.materialize_semantic_labels(spark, SF)
+        _deep_clean(spark)
+        plan = formatted_plan(S.semantic_dedup(spark, SF, threshold=0.5))
+        assert "Join" in plan  # recomputed, not the join-free scan
