@@ -165,9 +165,11 @@ def default_bench() -> dict:
     from ragflow_core16_spark.operators.similarity import (
         materialize_semantic_labels)
     from ragflow_core16_spark.operators.textstats import (
-        materialize_kn_bigram_lm)
+        materialize_kn_bigram_lm, materialize_lang_unigram_lm)
     from ragflow_core16_spark.operators.training import (
-        materialize_bpe_merges)
+        materialize_bpe_merges, materialize_dsir_hist)
+    from ragflow_core16_spark.operators.webclean import (
+        materialize_site_boilerplate)
     # dedup index FIRST: the decision-table build's dedup_kept column then
     # scans the just-written label table instead of re-running propagation
     materialize_dedup_index(spark, SF_DIR)
@@ -181,6 +183,9 @@ def default_bench() -> dict:
     materialize_semantic_labels(spark, SF_DIR)
     materialize_bpe_merges(spark, SF_DIR)
     materialize_kn_bigram_lm(spark, SF_DIR)
+    materialize_lang_unigram_lm(spark, SF_DIR)
+    materialize_dsir_hist(spark, SF_DIR)
+    materialize_site_boilerplate(spark, SF_DIR)
 
     # hermetic per-query timing: drop ALL persisted state between queries
     # so no measurement inherits a neighbor's storage-memory pressure.

@@ -63,6 +63,11 @@ def main(argv=None) -> int:
     # scans too — at 100 TB the signature+CC jobs run once per snapshot,
     # never per query
     materialize_dedup_index(spark, args.input.rstrip("/"))
+    # the site-frequency boilerplate lexicon is a curation-side corpus
+    # statistic (fit once, strip against the frozen table)
+    from ragflow_core16_spark.operators.webclean import (
+        materialize_site_boilerplate)
+    materialize_site_boilerplate(spark, args.input.rstrip("/"))
     # persist: the decision DAG (Gopher aggs, C4 lines, decontamination
     # gram join, dedup survivors, robots/blocklist/meta-robots gates)
     # feeds the actions below — without this the corpus write and the

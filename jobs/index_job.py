@@ -78,16 +78,19 @@ def main(argv=None) -> int:
         from ragflow_core16_spark.operators.tagging import (
             materialize_tag_features)
         from ragflow_core16_spark.operators.textstats import (
-            materialize_keywords, materialize_kn_bigram_lm)
+            materialize_keywords, materialize_kn_bigram_lm,
+            materialize_lang_unigram_lm)
         from ragflow_core16_spark.operators.training import (
-            materialize_bpe_merges)
+            materialize_bpe_merges, materialize_dsir_hist)
         paths += [materialize_keywords(spark, sf_dir),
                   materialize_tag_features(spark, sf_dir),
                   materialize_doc_embeddings(spark, sf_dir),
                   materialize_webgraph_ranks(spark, sf_dir),
                   materialize_semantic_labels(spark, sf_dir),
                   materialize_bpe_merges(spark, sf_dir),
-                  materialize_kn_bigram_lm(spark, sf_dir)]
+                  materialize_kn_bigram_lm(spark, sf_dir),
+                  materialize_lang_unigram_lm(spark, sf_dir),
+                  materialize_dsir_hist(spark, sf_dir)]
 
     print(json.dumps({
         "run_id": args.run_id,

@@ -710,7 +710,9 @@ def materialize_dedup_index(spark: SparkSession, sf_dir: str) -> list[str]:
              materialize(spark, "dedup_labels", sf_dir,
                          lambda: _cluster_labels(spark, sf_dir)),
              materialize(spark, "simhash_fp", sf_dir,
-                         lambda: _simhash_unordered(spark, sf_dir))]
+                         lambda: _simhash_unordered(spark, sf_dir)),
+             materialize(spark, "substring_spans", sf_dir,
+                         lambda: _substring_spans_unordered(spark, sf_dir))]
     return paths
 
 
@@ -778,6 +780,21 @@ SPAN_GRAM = 8
 
 
 def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """With a written span table (``materialize_dedup_index``) this is a
+    scan + presentation sort — the span-marking pass (Lee et al. 2022
+    style) runs once per snapshot alongside the rest of the dedup
+    index."""
+    from ..pipeline.snapshot_cache import read_table
+    scan = read_table(spark, "substring_spans", sf_dir)
+    if scan is not None:
+        return (scan.select("doc_id", "span_start", "span_end",
+                            "span_tokens", "n_grams")
+                .orderBy("doc_id", "span_start"))
+    return _substring_spans_unordered(spark, sf_dir) \
+        .orderBy("doc_id", "span_start")
+
+
+def _substring_spans_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     n = SPAN_GRAM
     d = (_docs(spark, sf_dir)
@@ -812,8 +829,7 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("span_end").cast("int").alias("span_end"),
                     (F.col("span_end") - F.col("span_start") + 1)
                     .cast("int").alias("span_tokens"),
-                    F.col("n_grams").cast("int").alias("n_grams"))
-            .orderBy("doc_id", "span_start"))
+                    F.col("n_grams").cast("int").alias("n_grams")))
 
 
 SUBSTRING_SPANS_SQL = rf"""

@@ -261,7 +261,11 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frequency table is a first-pass job output (a few million rows)
     broadcast to the scoring pass — exactly this plan."""
     t = _tokens_df(spark, sf_dir)
-    freqs = t.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # a token's corpus count is the sum of its per-language counts, so
+    # the materialized per-language LM serves this query too (the re-agg
+    # runs over the vocab-sized table, not the token stream)
+    freqs = (_lang_unigram_freqs(spark, sf_dir)
+             .groupBy("tok").agg(F.sum("cnt").alias("cnt")))
     totals = freqs.agg(F.sum("cnt").alias("total"),
                        F.count(F.lit(1)).alias("vocab"))
     scored = (t.join(F.broadcast(freqs), "tok")
@@ -300,6 +304,30 @@ ORDER BY t.doc_id
 """
 
 
+def _lang_unigram_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, tok, cnt): the per-language unigram frequency table — the
+    LM behind ``ccnet_bucket`` (and, lang-summed, ``unigram_logprob``).
+    CCNet ships its per-language KenLM models as frozen files trained
+    once (Wenzek et al. 2020); with a written table
+    (``materialize_lang_unigram_lm``) this is a scan."""
+    from ..pipeline.snapshot_cache import read_table
+    scan = read_table(spark, "lang_unigram_lm", sf_dir)
+    if scan is not None:
+        return scan.select("lang", "tok", "cnt")
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+                   " ")
+    return (d.select("lang", F.explode(toks).alias("tok"))
+            .groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def materialize_lang_unigram_lm(spark: SparkSession, sf_dir: str) -> str:
+    """Write the per-snapshot per-language unigram LM table (idempotent)."""
+    from ..pipeline.snapshot_cache import materialize
+    return materialize(spark, "lang_unigram_lm", sf_dir,
+                       lambda: _lang_unigram_freqs(spark, sf_dir))
+
+
 # ---------------------------------------------------- ccnet_bucket
 def ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet perplexity bucketing (Wenzek et al. 2020): score every doc
@@ -330,7 +358,7 @@ def ccnet_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
                    " ")
     t = d.select("doc_id", "lang", F.explode(toks).alias("tok"))
-    freqs = t.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    freqs = _lang_unigram_freqs(spark, sf_dir)
     totals = freqs.groupBy("lang").agg(F.sum("cnt").alias("total"),
                                        F.count(F.lit(1)).alias("vocab"))
     lp = F.log((F.col("cnt") + 1.0) / (F.col("total") + F.col("vocab")))

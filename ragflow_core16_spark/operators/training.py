@@ -433,24 +433,47 @@ def materialize_bpe_merges(spark: SparkSession, sf_dir: str) -> str:
 _DSIR_B = 1024
 
 
-def dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsir_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (_docs(spark, sf_dir)
          .filter(F.length(F.trim("text")) > 0)
          .select("doc_id", F.split("text", " ").alias("w")))
     from .dedup import _md5_bigint
     # single-token docs contribute their unigram only — sequence(1, 0)
     # counts DOWN in Spark, so the bigram arm must be explicitly empty
-    feats = (d.select("doc_id", F.explode(F.expr(
-                 "concat(w, if(size(w) < 2, array(),"
-                 " transform(sequence(1, size(w) - 1),"
-                 " i -> concat(element_at(w, i), ' ',"
-                 "             element_at(w, i + 1)))))")).alias("gram"))
-             .select("doc_id",
-                     (_md5_bigint(F.col("gram")) % _DSIR_B).alias("b"),
-                     (F.col("doc_id") % _BENCH_MOD == 0).alias("is_t")))
-    hist = (feats.groupBy("b")
+    return (d.select("doc_id", F.explode(F.expr(
+                "concat(w, if(size(w) < 2, array(),"
+                " transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ',"
+                "             element_at(w, i + 1)))))")).alias("gram"))
+            .select("doc_id",
+                    (_md5_bigint(F.col("gram")) % _DSIR_B).alias("b"),
+                    (F.col("doc_id") % _BENCH_MOD == 0).alias("is_t")))
+
+
+def _dsir_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The B-bucket target/raw histogram — DSIR's trained importance
+    model (B rows).  The paper fits it once over the target + raw
+    corpora and scores everything with the frozen table; with a written
+    table (``materialize_dsir_hist``) this is a scan."""
+    from ..pipeline.snapshot_cache import read_table
+    scan = read_table(spark, "dsir_hist", sf_dir)
+    if scan is not None:
+        return scan.select("b", "cnt_t", "cnt_r")
+    return (_dsir_feats(spark, sf_dir).groupBy("b")
             .agg(F.sum(F.col("is_t").cast("long")).alias("cnt_t"),
                  F.sum((~F.col("is_t")).cast("long")).alias("cnt_r")))
+
+
+def materialize_dsir_hist(spark: SparkSession, sf_dir: str) -> str:
+    """Write the per-snapshot DSIR bucket histogram (idempotent)."""
+    from ..pipeline.snapshot_cache import materialize
+    return materialize(spark, "dsir_hist", sf_dir,
+                       lambda: _dsir_hist(spark, sf_dir))
+
+
+def dsir_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _dsir_feats(spark, sf_dir)
+    hist = _dsir_hist(spark, sf_dir)
     totals = hist.agg(F.sum("cnt_t").alias("n_t"),
                       F.sum("cnt_r").alias("n_r"))
     scored = (feats.filter(~F.col("is_t"))

@@ -1392,8 +1392,16 @@ def _bp_paras(spark, sf_dir):
     return _bp_explode(_bp_base(spark, sf_dir))
 
 
-def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..session import ordered as _ordered
+def _site_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(site, ptext): paragraphs above the 30% site-frequency gate — the
+    corpus-level boilerplate lexicon.  A curation deployment fits this
+    once per snapshot (it is a pure function of the corpus) and strips
+    against the frozen table; with a written table
+    (``materialize_site_boilerplate``) this is a scan."""
+    from ..pipeline.snapshot_cache import read_table
+    scan = read_table(spark, "site_boilerplate", sf_dir)
+    if scan is not None:
+        return scan.select("site", "ptext")
     base = _bp_base(spark, sf_dir)
     paras = _bp_explode(base)
     # DISTINCT documents per (site, paragraph) — a doc whose two body
@@ -1402,10 +1410,23 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = (paras.groupBy("site", "ptext")
             .agg(F.count_distinct("doc_id").alias("c")))
     sites = base.groupBy("site").agg(F.count(F.lit(1)).alias("n_docs"))
-    bp = (freq.join(F.broadcast(sites), "site")
-          .filter(F.col("c") * _BP_FRAC_DEN
-                  >= F.col("n_docs") * _BP_FRAC_NUM)
-          .select("site", "ptext"))
+    return (freq.join(F.broadcast(sites), "site")
+            .filter(F.col("c") * _BP_FRAC_DEN
+                    >= F.col("n_docs") * _BP_FRAC_NUM)
+            .select("site", "ptext"))
+
+
+def materialize_site_boilerplate(spark: SparkSession, sf_dir: str) -> str:
+    """Write the per-snapshot site-boilerplate lexicon (idempotent)."""
+    from ..pipeline.snapshot_cache import materialize
+    return materialize(spark, "site_boilerplate", sf_dir,
+                       lambda: _site_boilerplate(spark, sf_dir))
+
+
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import ordered as _ordered
+    paras = _bp_explode(_bp_base(spark, sf_dir))
+    bp = _site_boilerplate(spark, sf_dir)
     kept = paras.join(bp, ["site", "ptext"], "left_anti")
     return (kept.groupBy("doc_id", "site")
             .agg(F.count(F.lit(1)).cast("int").alias("n_kept"),

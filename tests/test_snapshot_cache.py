@@ -112,7 +112,7 @@ class TestDedupIndexScanParity:
 
     QS = ("minhash_signatures", "minhash_lsh_pairs", "ngram_jaccard",
           "simhash", "simhash_pairs", "dedup_clusters", "dedup_keep",
-          "incremental_dedup")
+          "incremental_dedup", "substring_dedup_spans")
 
     def _fns(self):
         from ragflow_core16_spark.operators import dedup as D
@@ -175,8 +175,10 @@ class TestFeatureTableScanParity:
         from ragflow_core16_spark.operators import similarity as S
         from ragflow_core16_spark.operators import textstats as X
         from ragflow_core16_spark.operators import training as T
+        from ragflow_core16_spark.operators import webclean as W
         return [G.pagerank, G.hits, E.embed_docs, S.semantic_dedup,
-                T.bpe_train_q, X.kn_bigram_logprob]
+                T.bpe_train_q, X.kn_bigram_logprob, T.dsir_affinity,
+                X.ccnet_bucket, X.unigram_logprob, W.boilerplate_strip]
 
     def _materialize_all(self, spark):
         from ragflow_core16_spark.operators.embed import (
@@ -189,11 +191,20 @@ class TestFeatureTableScanParity:
             materialize_kn_bigram_lm)
         from ragflow_core16_spark.operators.training import (
             materialize_bpe_merges)
+        from ragflow_core16_spark.operators.textstats import (
+            materialize_lang_unigram_lm)
+        from ragflow_core16_spark.operators.training import (
+            materialize_dsir_hist)
+        from ragflow_core16_spark.operators.webclean import (
+            materialize_site_boilerplate)
         materialize_webgraph_ranks(spark, SF)
         materialize_doc_embeddings(spark, SF)
         materialize_semantic_labels(spark, SF)
         materialize_bpe_merges(spark, SF)
         materialize_kn_bigram_lm(spark, SF)
+        materialize_lang_unigram_lm(spark, SF)
+        materialize_dsir_hist(spark, SF)
+        materialize_site_boilerplate(spark, SF)
 
     def test_scan_equals_compute(self, spark, tmp_path, monkeypatch):
         _deep_clean(spark)

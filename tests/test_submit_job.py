@@ -233,10 +233,10 @@ def test_spark_submit_index_job(tmp_path, spark):
     assert out.returncode == 0, out.stderr[-2000:]
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     summary = json.loads(line)
-    # 3 graph + 2 raptor + 7 feature tables (keywords, tag features,
+    # 3 graph + 2 raptor + 9 feature tables (keywords, tag features,
     # doc embeddings, webgraph ranks, SemDeDup labels, BPE merges,
-    # bigram LM)
-    assert len(summary["tables"]) == 12
+    # bigram LM, per-language unigram LM, DSIR histogram)
+    assert len(summary["tables"]) == 14
     for p in summary["tables"]:
         assert os.path.exists(os.path.join(p, "_SUCCESS")), p
 
