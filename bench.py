@@ -170,6 +170,8 @@ def default_bench() -> dict:
         materialize_bpe_merges, materialize_dsir_hist)
     from ragflow_core16_spark.operators.webclean import (
         materialize_site_boilerplate)
+    from ragflow_core16_spark.operators.retrieval import (
+        materialize_retrieval_index)
     # dedup index FIRST: the decision-table build's dedup_kept column then
     # scans the just-written label table instead of re-running propagation
     materialize_dedup_index(spark, SF_DIR)
@@ -186,6 +188,7 @@ def default_bench() -> dict:
     materialize_lang_unigram_lm(spark, SF_DIR)
     materialize_dsir_hist(spark, SF_DIR)
     materialize_site_boilerplate(spark, SF_DIR)
+    materialize_retrieval_index(spark, SF_DIR)
 
     # hermetic per-query timing: drop ALL persisted state between queries
     # so no measurement inherits a neighbor's storage-memory pressure.

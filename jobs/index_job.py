@@ -80,6 +80,8 @@ def main(argv=None) -> int:
         from ragflow_core16_spark.operators.textstats import (
             materialize_keywords, materialize_kn_bigram_lm,
             materialize_lang_unigram_lm)
+        from ragflow_core16_spark.operators.retrieval import (
+            materialize_retrieval_index)
         from ragflow_core16_spark.operators.training import (
             materialize_bpe_merges, materialize_dsir_hist)
         paths += [materialize_keywords(spark, sf_dir),
@@ -91,6 +93,7 @@ def main(argv=None) -> int:
                   materialize_kn_bigram_lm(spark, sf_dir),
                   materialize_lang_unigram_lm(spark, sf_dir),
                   materialize_dsir_hist(spark, sf_dir)]
+        paths += materialize_retrieval_index(spark, sf_dir)
 
     print(json.dumps({
         "run_id": args.run_id,

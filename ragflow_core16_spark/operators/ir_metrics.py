@@ -61,13 +61,11 @@ def _query_terms_df(spark: SparkSession) -> DataFrame:
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query, doc_id, score, rel): weighted-boolean score + graded rel
     in ONE pass over the (doc, term) tf aggregate."""
-    from .retrieval import _tokens, _docs
-    t = _tokens(spark, sf_dir)
+    from .retrieval import _docs, _term_tf
     n_docs = _docs(spark, sf_dir).count()
     vocab = sorted({t for ts in BENCH_QUERIES.values() for t in ts})
     terms = spark.createDataFrame([(w,) for w in vocab], ["term"])
-    tf = (t.join(F.broadcast(terms), t.tok == terms.term)
-          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    tf = _term_tf(spark, sf_dir, terms)
     # df(term) over the aggregated tf relation — explode subtree runs once
     df_ = F.count(F.lit(1)).over(Window.partitionBy("term"))
     tf = tf.withColumn(

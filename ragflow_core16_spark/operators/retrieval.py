@@ -38,17 +38,75 @@ def _tokens(spark, sf_dir) -> DataFrame:
     return d.select("doc_id", F.explode(toks).alias("tok"))
 
 
+# ------------------------------------------ retrieval-index materialization
+# The reference indexes ONCE at ingest (the task executor's ES bulk
+# insert against conf/mapping.json) and every search hits the stored
+# index; it never re-tokenizes the corpus per query.  These tables are
+# that index for the Spark engine: the (tok, doc_id, tf) posting relation
+# and the per-doc length statistics.  Queries scan them when present and
+# fall back to the token-explode compute path when absent (the driver's
+# oracle run).
+
+def _postings_scan(spark, sf_dir):
+    from ..pipeline.snapshot_cache import read_table
+    return read_table(spark, "term_postings", sf_dir)
+
+
+def _per_doc_tf(spark, sf_dir) -> DataFrame:
+    """(tok, doc_id, tf) — the inverted-index content relation."""
+    scan = _postings_scan(spark, sf_dir)
+    if scan is not None:
+        return scan.select("tok", "doc_id", "tf")
+    return (_tokens(spark, sf_dir).groupBy("tok", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf")))
+
+
+def _term_tf(spark, sf_dir, terms: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) for a broadcast term relation.  With the index:
+    a postings scan joined on the term key (no explode).  Without: the
+    query-time shape — broadcast the terms INTO the token stream first,
+    so only matching tokens reach the aggregation."""
+    scan = _postings_scan(spark, sf_dir)
+    if scan is not None:
+        return (scan.join(F.broadcast(terms), scan.tok == terms.term)
+                .select("doc_id", "term", "tf"))
+    t = _tokens(spark, sf_dir)
+    return (t.join(F.broadcast(terms), t.tok == terms.term)
+            .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+
+
+def _dl_rel(spark, sf_dir) -> DataFrame:
+    """(doc_id, dl): per-doc token counts (BM25's length normalizer)."""
+    from ..pipeline.snapshot_cache import read_table
+    scan = read_table(spark, "doc_stats", sf_dir)
+    if scan is not None:
+        return scan.select("doc_id", "dl")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.regexp_replace(F.lower(F.trim("text")),
+                                        r"\s+", " "), " ")).alias("dl"))
+
+
+def materialize_retrieval_index(spark, sf_dir: str) -> list[str]:
+    """Write the per-snapshot retrieval index tables (idempotent)."""
+    from ..pipeline.snapshot_cache import materialize
+    return [materialize(spark, "term_postings", sf_dir,
+                        lambda: _per_doc_tf(spark, sf_dir)),
+            materialize(spark, "doc_stats", sf_dir,
+                        lambda: _dl_rel(spark, sf_dir))]
+
+
 def term_idf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query-term IDF over the corpus: ln(1 + (N - df + 0.5)/(df + 0.5)),
     the reference's term_weight idf form (rag/nlp/term_weight.py:184-186)."""
-    t = _tokens(spark, sf_dir)
     # N as a broadcast 1-row relation, not a driver .count(): the scalar
     # collect would run a separate eager job per invocation (ADVICE r2)
     n_docs_rel = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
     terms = spark.createDataFrame([(w,) for w in QUERY_TERMS], ["term"])
-    df_ = (t.join(F.broadcast(terms), t.tok == terms.term)
+    # one row per (doc, term) in the tf relation ⇒ df = row count per term
+    df_ = (_term_tf(spark, sf_dir, terms)
            .groupBy("term")
-           .agg(F.countDistinct("doc_id").alias("df")))
+           .agg(F.count(F.lit(1)).alias("df")))
     return (df_.crossJoin(F.broadcast(n_docs_rel)).select(
         "term", "df",
         F.round(F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) /
@@ -76,12 +134,10 @@ def fulltext_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-boolean retrieval: score(doc) = Σ_t idf(t)·min(tf,1) —
     the ES scripted_sim of conf/mapping.json:8-15 — top N docs."""
     from pyspark.sql import Window
-    t = _tokens(spark, sf_dir)
     # N as a broadcast 1-row relation, not a driver .count() (ADVICE r2)
     n_docs_rel = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
     terms = spark.createDataFrame([(w,) for w in QUERY_TERMS], ["term"])
-    tf = (t.join(F.broadcast(terms), t.tok == terms.term)
-          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    tf = _term_tf(spark, sf_dir, terms)
     # df(term) = row count per term over the aggregated tf (one row per
     # doc×term) via a window — the token explode+join subtree runs ONCE,
     # not once per idf/tf branch; the window reshuffles only the tiny
@@ -145,17 +201,11 @@ def bm25_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines.  The corpus count is a broadcast 1-row agg (no extra
     eager job per invocation)."""
     from pyspark.sql import Window
-    d = _docs(spark, sf_dir)
-    n_docs_rel = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    dl_rel = d.select(
-        "doc_id",
-        F.size(F.split(F.regexp_replace(F.lower(F.trim("text")),
-                                        r"\s+", " "), " ")).alias("dl"))
+    n_docs_rel = _docs(spark, sf_dir).agg(F.count(F.lit(1)).alias("n_docs"))
+    dl_rel = _dl_rel(spark, sf_dir)
     avgdl = dl_rel.agg(F.avg("dl").alias("avgdl"))
-    t = _tokens(spark, sf_dir)
     terms = spark.createDataFrame([(w,) for w in QUERY_TERMS], ["term"])
-    tf = (t.join(F.broadcast(terms), t.tok == terms.term)
-          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    tf = _term_tf(spark, sf_dir, terms)
     df_ = F.count(F.lit(1)).over(Window.partitionBy("term"))
     idf = F.log(1.0 + (F.col("n_docs") - df_ + 0.5) / (df_ + 0.5))
     scored = (tf.crossJoin(F.broadcast(n_docs_rel))
@@ -316,7 +366,11 @@ def _hybrid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = _question_terms()
     total_w = round(sum(w for _, w in terms), 6)
     tdf = spark.createDataFrame(terms, ["term", "w"])
-    toks = _tokens(spark, sf_dir).distinct()
+    # distinct (doc, tok) pairs ARE the posting keys — scan the index
+    # when it exists instead of re-exploding + distincting the corpus
+    pscan = _postings_scan(spark, sf_dir)
+    toks = (pscan.select("doc_id", "tok") if pscan is not None
+            else _tokens(spark, sf_dir).distinct())
     tok_sim = (toks.join(F.broadcast(tdf), toks.tok == tdf.term)
                .groupBy("doc_id")
                .agg((F.sum("w") / F.lit(total_w)).alias("tok_sim")))
@@ -740,10 +794,10 @@ def build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting builds cap or tier their lists; the cap keeps the row bounded).
     One explode + one (term, doc) agg + one term agg — two shuffles, both
     keyed, map-side combined.  At 10^12 docs this is the classic index
-    build job; skewed stop-words are exactly what AQE skew-split handles."""
-    t = _tokens(spark, sf_dir)
-    per_doc = (t.groupBy("tok", "doc_id")
-               .agg(F.count(F.lit(1)).alias("tf")))
+    build job; skewed stop-words are exactly what AQE skew-split handles.
+    With a written posting relation (``materialize_retrieval_index``)
+    the per-doc tf stage is a scan of it."""
+    per_doc = _per_doc_tf(spark, sf_dir)
     from pyspark.sql import Window
     rk = F.row_number().over(
         Window.partitionBy("tok").orderBy(F.desc("tf"), "doc_id"))

@@ -238,3 +238,43 @@ class TestFeatureTableScanParity:
         _deep_clean(spark)
         plan = formatted_plan(S.semantic_dedup(spark, SF, threshold=0.5))
         assert "Join" in plan  # recomputed, not the join-free scan
+
+
+class TestRetrievalIndexScanParity:
+    """materialize_retrieval_index writes the (tok, doc_id, tf) posting
+    relation + per-doc lengths — the engine's analogue of the reference's
+    ingest-time ES index (conf/mapping.json; the task executor bulk-
+    inserts once, every search reads the index).  Every retrieval query
+    must be row-identical over scan vs compute."""
+
+    def _fns(self):
+        from ragflow_core16_spark.operators import ir_metrics as I
+        from ragflow_core16_spark.operators import retrieval as R
+        return [R.build_postings, R.term_idf_weights, R.fulltext_topn,
+                R.bm25_topn, R.hybrid_fusion, R.retrieval_pipeline,
+                R.rrf_fusion, I.retrieval_quality]
+
+    def test_scan_equals_compute(self, spark, tmp_path, monkeypatch):
+        from ragflow_core16_spark.operators import retrieval as R
+        _deep_clean(spark)
+        compute = [fn(spark, SF).collect() for fn in self._fns()]
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur"))
+        _deep_clean(spark)
+        R.materialize_retrieval_index(spark, SF)
+        _deep_clean(spark)
+        for fn, want in zip(self._fns(), compute):
+            assert fn(spark, SF).collect() == want, fn.__name__
+
+    def test_scan_paths_have_no_explode(self, spark, tmp_path, monkeypatch):
+        """With the index present, no retrieval query re-tokenizes the
+        corpus: the token explode (Generate) must be absent from the
+        routed plans."""
+        from ragflow_core16_spark.operators import retrieval as R
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur"))
+        _deep_clean(spark)
+        R.materialize_retrieval_index(spark, SF)
+        _deep_clean(spark)
+        for fn in (R.build_postings, R.term_idf_weights, R.fulltext_topn,
+                   R.bm25_topn):
+            assert "Generate" not in formatted_plan(fn(spark, SF)), \
+                fn.__name__

@@ -235,8 +235,9 @@ def test_spark_submit_index_job(tmp_path, spark):
     summary = json.loads(line)
     # 3 graph + 2 raptor + 9 feature tables (keywords, tag features,
     # doc embeddings, webgraph ranks, SemDeDup labels, BPE merges,
-    # bigram LM, per-language unigram LM, DSIR histogram)
-    assert len(summary["tables"]) == 14
+    # bigram LM, per-language unigram LM, DSIR histogram) + 2 retrieval
+    # index tables (term postings, doc stats)
+    assert len(summary["tables"]) == 16
     for p in summary["tables"]:
         assert os.path.exists(os.path.join(p, "_SUCCESS")), p
 
