@@ -70,7 +70,12 @@ def test_spark_submit_curate_job(tmp_path, spark):
          os.path.join(REPO, "jobs", "curate_job.py"),
          "--input", "/root/testdata/sf0.001",
          "--output", str(tmp_path / "out")],
-        capture_output=True, text=True, cwd=str(tmp_path), timeout=420)
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=420,
+        # the job's snapshot-table writes (decisions, dedup index,
+        # boilerplate lexicon) must land in THIS test's warehouse, not
+        # the suite's shared session dir — later plan-audit tests pin
+        # the COMPUTE paths and would silently flip to scans
+        env={**os.environ, "RAG_CURATION_DIR": str(tmp_path / "cur")})
     assert out.returncode == 0, out.stderr[-2000:]
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     summary = json.loads(line)
