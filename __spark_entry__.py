@@ -9,10 +9,27 @@
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Make the package importable inside Spark's PYTHON WORKERS regardless of
+# the caller's cwd: the driver-side sys.path insert below never reaches
+# worker processes — they inherit PYTHONPATH from the JVM's environment,
+# which inherits the driver's.  Without this, any session whose cwd is
+# not the repo root dies with ModuleNotFoundError the first time a
+# pickled mapInPandas function references the package.  (Must run before
+# the JVM starts; a cluster deploy ships the zip via --py-files instead.)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH") else _REPO)
 
 
 def _tune(spark: SparkSession) -> SparkSession:

@@ -22,6 +22,12 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+# ensure Spark PYTHON WORKERS can import the package from any cwd (the
+# sys.path insert is driver-only; workers read PYTHONPATH from the env
+# the JVM inherits — must be set before the first session starts)
+if REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (REPO + os.pathsep + os.environ["PYTHONPATH"]
+                                if os.environ.get("PYTHONPATH") else REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
