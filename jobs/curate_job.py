@@ -83,10 +83,11 @@ def main(argv=None) -> int:
                           .select("doc_id"), "doc_id"))
         kept.write.mode("overwrite").parquet(f"{args.output}/corpus")
     # publish to the snapshot-fingerprinted cache path FIRST (what the
-    # query operators scan), then the run's own decision table LAST — its
-    # presence certifies a complete run
-    decisions.write.mode("overwrite").parquet(
-        web_decisions_path(args.input.rstrip("/")))
+    # query operators scan; atomic temp+rename — a concurrent session
+    # scanning the same corpus never sees a half-written table), then the
+    # run's own decision table LAST — its presence certifies a complete run
+    from ragflow_core16_spark.pipeline.snapshot_cache import atomic_write
+    atomic_write(decisions, web_decisions_path(args.input.rstrip("/")))
     decisions.write.mode("overwrite").parquet(f"{args.output}/keep")
 
     persisted = spark.read.parquet(f"{args.output}/keep")

@@ -1240,11 +1240,10 @@ def materialize_web_decisions(spark: SparkSession, sf_dir: str,
     existing complete table is left alone).  Returns the table path."""
     import os
 
-    from ..pipeline.snapshot_cache import materialize
+    from ..pipeline.snapshot_cache import atomic_write, materialize
     if path is not None:
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            web_decisions_unordered(spark, sf_dir).write.mode(
-                "overwrite").parquet(path)
+            atomic_write(web_decisions_unordered(spark, sf_dir), path)
         return path
     return materialize(spark, "web_decisions", sf_dir,
                        lambda: web_decisions_unordered(spark, sf_dir))

@@ -278,3 +278,93 @@ class TestRetrievalIndexScanParity:
                    R.bm25_topn):
             assert "Generate" not in formatted_plan(fn(spark, SF)), \
                 fn.__name__
+
+
+class TestCacheHardening:
+    """Round-5 hardening of the snapshot cache itself (ADVICE r4):
+    recursive fingerprints over partitioned datasets, atomic
+    temp-dir+rename publishes, and a cwd-independent warehouse anchor."""
+
+    def test_fingerprint_sees_nested_part_files(self, tmp_path):
+        """A partitioned dataset (lang=xx/ subdirs) must change its
+        fingerprint when a part file inside a partition subdir is
+        rewritten in place — the subdir's own mtime does NOT change on
+        an in-place rewrite, so a top-level-only stat serves stale
+        tables."""
+        import os
+        import time
+
+        from ragflow_core16_spark.pipeline.snapshot_cache import (
+            corpus_fingerprint)
+        sf = tmp_path / "sf"
+        part = sf / "documents.parquet" / "lang=en"
+        part.mkdir(parents=True)
+        f = part / "part-00000.parquet"
+        f.write_bytes(b"v1")
+        fp1 = corpus_fingerprint(str(sf))
+        # freeze the SUBDIR's mtime across the rewrite (same-size content
+        # so only the file's own mtime distinguishes the versions)
+        dstat = os.stat(part)
+        time.sleep(0.01)
+        f.write_bytes(b"v2")
+        os.utime(part, ns=(dstat.st_atime_ns, dstat.st_mtime_ns))
+        assert corpus_fingerprint(str(sf)) != fp1
+
+    def test_fingerprint_ignores_underscore_files_recursively(self, tmp_path):
+        from ragflow_core16_spark.pipeline.snapshot_cache import (
+            corpus_fingerprint)
+        sf = tmp_path / "sf"
+        part = sf / "documents.parquet" / "lang=en"
+        part.mkdir(parents=True)
+        (part / "part-00000.parquet").write_bytes(b"v1")
+        fp1 = corpus_fingerprint(str(sf))
+        (part / "_committed_123").write_bytes(b"meta")
+        (sf / "documents.parquet" / "_SUCCESS").write_bytes(b"")
+        assert corpus_fingerprint(str(sf)) == fp1
+
+    def test_cache_root_is_cwd_independent(self, tmp_path, monkeypatch):
+        """Without RAG_CURATION_DIR, the warehouse anchors to the repo
+        root (where the package lives), not to whatever directory the
+        process was launched from."""
+        from ragflow_core16_spark.pipeline import snapshot_cache as SC
+        monkeypatch.delenv("RAG_CURATION_DIR", raising=False)
+        monkeypatch.chdir(tmp_path)
+        root = SC.cache_root()
+        assert not root.startswith(str(tmp_path))
+        import ragflow_core16_spark
+        pkg_root = __import__("os").path.dirname(__import__("os").path.dirname(
+            ragflow_core16_spark.__file__))
+        assert root.startswith(pkg_root)
+
+    def test_atomic_write_publishes_complete_dir_only(
+            self, spark, tmp_path, monkeypatch):
+        """materialize never exposes a directory without _SUCCESS: the
+        build lands in a temp sibling and renames into place.  A
+        pre-existing PARTIAL table (crashed writer) is replaced; a
+        pre-existing COMPLETE table short-circuits and the temp build is
+        discarded."""
+        import os
+
+        from ragflow_core16_spark.pipeline import snapshot_cache as SC
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur"))
+        sf = SF
+        path = SC.table_path("t_atomic", sf)
+        # crashed-writer debris: partial dir, no _SUCCESS
+        os.makedirs(path)
+        open(os.path.join(path, "part-junk.parquet"), "w").write("junk")
+        assert SC.read_table(spark, "t_atomic", sf) is None
+        got = SC.materialize(spark, "t_atomic", sf,
+                             lambda: spark.range(5).toDF("doc_id"))
+        assert got == path
+        assert os.path.exists(os.path.join(path, "_SUCCESS"))
+        assert not os.path.exists(os.path.join(path, "part-junk.parquet"))
+        assert SC.read_table(spark, "t_atomic", sf).count() == 5
+        # no leftover temp siblings
+        parent = os.path.dirname(path)
+        assert [d for d in os.listdir(parent) if ".tmp-" in d] == []
+        # idempotent second call leaves the table untouched
+        mtime = os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns
+        SC.materialize(spark, "t_atomic", sf,
+                       lambda: spark.range(99).toDF("doc_id"))
+        assert os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns == mtime
+        assert SC.read_table(spark, "t_atomic", sf).count() == 5
