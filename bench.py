@@ -179,22 +179,49 @@ def default_bench() -> dict:
     from ragflow_core16_spark.operators.retrieval import (
         materialize_retrieval_index)
     # dedup index FIRST: the decision-table build's dedup_kept column then
-    # scans the just-written label table instead of re-running propagation
-    materialize_dedup_index(spark, SF_DIR)
-    materialize_web_decisions(spark, SF_DIR)
-    materialize_graph_index(spark, SF_DIR)
-    materialize_raptor_tree(spark, SF_DIR)
-    materialize_keywords(spark, SF_DIR)
-    materialize_tag_features(spark, SF_DIR)
-    materialize_webgraph_ranks(spark, SF_DIR)
-    materialize_doc_embeddings(spark, SF_DIR)
-    materialize_semantic_labels(spark, SF_DIR)
-    materialize_bpe_merges(spark, SF_DIR)
-    materialize_kn_bigram_lm(spark, SF_DIR)
-    materialize_lang_unigram_lm(spark, SF_DIR)
-    materialize_dsir_hist(spark, SF_DIR)
-    materialize_site_boilerplate(spark, SF_DIR)
-    materialize_retrieval_index(spark, SF_DIR)
+    # scans the just-written label table instead of re-running propagation.
+    # Each build is TIMED and reported in the bench JSON
+    # (materialize_wall_sec): the per-query numbers below measure the
+    # deployment shape — scans of the once-per-snapshot index — so the
+    # one-time index-build cost must stay visible alongside them for a
+    # reader to amortize (ADVICE r4).  A wall of 0.0 means the table was
+    # already on disk from a previous run of this warehouse.
+    mat_steps = [
+        ("dedup_index", materialize_dedup_index),
+        ("web_decisions", materialize_web_decisions),
+        ("graph_index", materialize_graph_index),
+        ("raptor_tree", materialize_raptor_tree),
+        ("keywords", materialize_keywords),
+        ("tag_features", materialize_tag_features),
+        ("webgraph_ranks", materialize_webgraph_ranks),
+        ("doc_embeddings", materialize_doc_embeddings),
+        ("semantic_labels", materialize_semantic_labels),
+        ("bpe_merges", materialize_bpe_merges),
+        ("kn_bigram_lm", materialize_kn_bigram_lm),
+        ("lang_unigram_lm", materialize_lang_unigram_lm),
+        ("dsir_hist", materialize_dsir_hist),
+        ("site_boilerplate", materialize_site_boilerplate),
+        ("retrieval_index", materialize_retrieval_index),
+    ]
+    # hermetic build timing: drop THIS corpus snapshot's tables (only the
+    # fingerprint dirs for SF_DIR — other corpora's tables are untouched)
+    # so every bench run pays and reports the true one-time build cost
+    # instead of inheriting a previous run's warehouse as all-zeros
+    import shutil as _shutil
+
+    from ragflow_core16_spark.pipeline.snapshot_cache import (
+        cache_root, corpus_fingerprint)
+    fp = corpus_fingerprint(SF_DIR)
+    if os.path.isdir(cache_root()):
+        for kind in os.listdir(cache_root()):
+            tdir = os.path.join(cache_root(), kind, fp)
+            if os.path.isdir(tdir):
+                _shutil.rmtree(tdir, ignore_errors=True)
+    mat_times = {}
+    for mname, mfn in mat_steps:
+        t0 = time.time()
+        mfn(spark, SF_DIR)
+        mat_times[mname] = round(time.time() - t0, 2)
 
     # hermetic per-query timing: drop ALL persisted state between queries
     # so no measurement inherits a neighbor's storage-memory pressure.
@@ -225,10 +252,35 @@ def default_bench() -> dict:
         qtimes[name] = round(time.time() - t0, 2)
     qtimes["extract_pipeline"] = ext["wall_sec"]
 
+    # persist the amortization story next to the scaling evidence: one
+    # table a reader can hold against the per-query scan timings
+    mat_total = round(sum(mat_times.values()), 2)
+    rows = "\n".join(f"| {k} | {v} |" for k, v in sorted(
+        mat_times.items(), key=lambda kv: -kv[1]))
+    md = f"""
+
+## Snapshot index build cost (one-time per corpus snapshot)
+
+The per-query bench numbers measure the deployment shape — scans of
+tables built ONCE per corpus snapshot by `jobs/curate_job.py` +
+`jobs/index_job.py`.  This is that build's cost at sf={SF_DIR.rstrip('/').split('sf')[-1]}
+(local[{CPUS}]), measured fresh (the bench drops this snapshot's tables
+first): **{mat_total} s total**, amortized over every query the
+snapshot ever serves ({len(BENCH_QUERIES)} in this bench alone).
+
+| table family | build sec |
+|---|---|
+{rows}
+"""
+    _replace_section(f"{REPO}/BENCH/BASELINE.md",
+                     "## Snapshot index build cost", md)
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     return {"metric": "extraction+operator wall time",
             "value": round(sum(qtimes.values()), 2), "unit": "sec",
             "queries": qtimes, "sf": float(sf),
+            "materialize_wall_sec": mat_times,
+            "materialize_total_sec": round(sum(mat_times.values()), 2),
             "cpus": CPUS,
             "extract_docs_per_sec": ext["docs_per_sec"],
             "extract_mb_per_sec": ext["mb_per_sec"],
