@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "latest_capture_extract",
     "pagerank",
     "cms_heavy_hitters", "order_count_histogram", "supplier_part_variety",
+    "incremental_postings",
     "warc_extract_e2e", "cdx_index", "domain_cap", "robots_filter", "sitemap_coverage",
     "retrieval_quality",
     "wat_outlinks", "host_outdegree", "anchor_texts",

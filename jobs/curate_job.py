@@ -42,8 +42,22 @@ def main(argv=None) -> int:
                     help="output warehouse dir (keep/ corpus/)")
     ap.add_argument("--no-corpus", action="store_true",
                     help="write only the decision table, skip the kept-doc copy")
+    ap.add_argument("--incremental", action="store_true",
+                    help="day-2 delta maintenance: merge the batch into the "
+                         "base snapshot's index tables instead of a full "
+                         "rebuild (requires --base and --batch; --input is "
+                         "the COMBINED corpus dir whose documents.parquet "
+                         "holds base + batch part files)")
+    ap.add_argument("--base", default=None,
+                    help="(incremental) day-1 corpus dir with complete "
+                         "curate/index tables")
+    ap.add_argument("--batch", default=None,
+                    help="(incremental) dir containing only the new batch's "
+                         "documents.parquet")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args(argv)
+    if args.incremental and not (args.base and args.batch):
+        ap.error("--incremental requires --base and --batch")
 
     from pyspark.sql import SparkSession, functions as F
     spark = (SparkSession.builder.appName("ragflow_core16_spark.curate")
@@ -57,6 +71,37 @@ def main(argv=None) -> int:
         web_decisions_path, web_decisions_unordered)
 
     t0 = time.time()
+    if args.incremental:
+        # day-2 path: merge the batch into the base snapshot's dedup
+        # index / decision table / retrieval postings without rescanning
+        # day-1 documents (pipeline/incremental.py); the merged tables
+        # land under the combined corpus fingerprint, so every routed
+        # query over --input serves them immediately
+        from pyspark.sql import functions as F
+
+        from ragflow_core16_spark.pipeline.incremental import (
+            incremental_update)
+        paths = incremental_update(spark, args.base.rstrip("/"),
+                                   args.batch.rstrip("/"),
+                                   args.input.rstrip("/"))
+        dec = spark.read.parquet(paths["web_decisions"])
+        if not args.no_corpus:
+            docs = spark.read.parquet(
+                f"{args.input.rstrip('/')}/documents.parquet")
+            kept = docs.join(dec.filter(F.col("corpus_keep"))
+                             .select("doc_id"), "doc_id")
+            kept.write.mode("overwrite").parquet(f"{args.output}/corpus")
+        dec.write.mode("overwrite").parquet(f"{args.output}/keep")
+        rows = dec.count()
+        kept_n = dec.filter(F.col("corpus_keep")).count()
+        print(json.dumps({
+            "run_id": args.run_id, "mode": "incremental",
+            "rows": rows, "kept": kept_n,
+            "kept_pct": round(100.0 * kept_n / rows, 2) if rows else 0.0,
+            "tables": sorted(paths),
+            "wall_sec": round(time.time() - t0, 2)}))
+        spark.stop()
+        return 0
     # dedup index first (signatures / verified pairs / cluster labels /
     # simhash fingerprints): the decision table's dedup_kept column then
     # scans the just-written labels, and later pair/cluster queries are
@@ -68,6 +113,12 @@ def main(argv=None) -> int:
     from ragflow_core16_spark.operators.webclean import (
         materialize_site_boilerplate)
     materialize_site_boilerplate(spark, args.input.rstrip("/"))
+    # the decontamination index (bench gram set + train-gram posting):
+    # the state a later --incremental run needs to re-check day-1 docs
+    # against a grown benchmark set without re-gramming day-1 text
+    from ragflow_core16_spark.operators.training import (
+        materialize_decon_index)
+    materialize_decon_index(spark, args.input.rstrip("/"))
     # persist: the decision DAG (Gopher aggs, C4 lines, decontamination
     # gram join, dedup survivors, robots/blocklist/meta-robots gates)
     # feeds the actions below — without this the corpus write and the

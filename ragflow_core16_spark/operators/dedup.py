@@ -140,9 +140,15 @@ def _shingles(spark, sf_dir, k: int = 3) -> DataFrame:
     shingle derivation is the final ``distinct``.  At 10^12 docs the old
     window formulation sorts every token; this one stays narrow until the
     dedup agg."""
-    d = _docs(spark, sf_dir)
+    return _shingles_of(_docs(spark, sf_dir))
+
+
+def _shingles_of(docs: DataFrame) -> DataFrame:
+    """The shingle derivation over an arbitrary (doc_id, text, …) relation
+    — the delta path (pipeline/incremental.py) shingles the daily batch
+    and the candidate-pruned base docs directly."""
     toks = F.split(F.regexp_replace(F.lower(F.trim("text")), _NORM, " "), " ")
-    return (d.select("doc_id", toks.alias("toks"))
+    return (docs.select("doc_id", toks.alias("toks"))
             .filter(F.size("toks") >= 3)
             .select("doc_id", F.explode(F.expr(
                 "transform(sequence(0, size(toks)-3), "
@@ -191,12 +197,17 @@ def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan = read_table(spark, "minhash_sigwide", sf_dir)
         if scan is not None:
             return scan.select("doc_id", *[f"h{s}" for s in range(N_HASHES)])
-        sh = _shingles_cached(spark, sf_dir)
-        aggs = [F.min(_md5_bigint(
-            F.concat_ws("#", "shingle", F.lit(str(s))))).alias(f"h{s}")
-            for s in range(N_HASHES)]
-        return sh.groupBy("doc_id").agg(*aggs)
+        return _sigwide_of(_shingles_cached(spark, sf_dir))
     return _memo("sigwide", spark, sf_dir, build)
+
+
+def _sigwide_of(shingles: DataFrame) -> DataFrame:
+    """The wide K-minhash aggregation over a shingle relation (shared by
+    the full build and the delta path's batch-only signature job)."""
+    aggs = [F.min(_md5_bigint(
+        F.concat_ws("#", "shingle", F.lit(str(s))))).alias(f"h{s}")
+        for s in range(N_HASHES)]
+    return shingles.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,12 +233,13 @@ FROM hashed GROUP BY doc_id, seed ORDER BY doc_id, seed
 """)
 
 
-def _lsh_candidates(wide: DataFrame) -> DataFrame:
-    """Band the wide signature (4 bands × 4 rows): each band hash is a pure
-    column expression over the K minhash columns (no collect_list agg),
-    unpivoted to 4 rows/doc, bucket-joined on (band, band_hash) → distinct
-    candidate pairs (doc_a < doc_b).  The join key is the bucket, so the
-    shuffle scales with collisions, never |docs|²."""
+def _band_rel(wide: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) — the LSH band relation over a wide
+    signature: each band hash is a pure column expression over the K
+    minhash columns (no collect_list agg), unpivoted to 4 rows/doc.
+    Per-doc function of the signature alone, so bands computed over any
+    sub-corpus equal the corresponding rows of the full corpus — the
+    property the delta path's batch⋈corpus bucket join relies on."""
     rows_per_band = N_HASHES // N_BANDS
     band_cols = []
     for b in range(N_BANDS):
@@ -236,9 +248,16 @@ def _lsh_candidates(wide: DataFrame) -> DataFrame:
             F.concat_ws(":", F.lit(str(s)), f"h{s}") for s in seeds]))
             .alias(f"bh{b}"))
     stack = ", ".join(f"{b}, bh{b}" for b in range(N_BANDS))
-    bands = (wide.select("doc_id", *band_cols)
-             .selectExpr("doc_id",
-                         f"stack({N_BANDS}, {stack}) as (band, band_hash)"))
+    return (wide.select("doc_id", *band_cols)
+            .selectExpr("doc_id",
+                        f"stack({N_BANDS}, {stack}) as (band, band_hash)"))
+
+
+def _lsh_candidates(wide: DataFrame) -> DataFrame:
+    """Band the wide signature (4 bands × 4 rows), bucket-join on (band,
+    band_hash) → distinct candidate pairs (doc_a < doc_b).  The join key
+    is the bucket, so the shuffle scales with collisions, never |docs|²."""
+    bands = _band_rel(wide)
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band")) &
                       (F.col("a.band_hash") == F.col("b.band_hash")) &
@@ -278,7 +297,14 @@ def _lsh_est_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``minhash_lsh_pairs`` before presentation ordering (compute path;
     also the est half of the materialized pair table)."""
     wide = _signature_wide(spark, sf_dir)
-    cand = _lsh_candidates(wide)
+    return _lsh_est_for(wide, _lsh_candidates(wide))
+
+
+def _lsh_est_for(wide: DataFrame, cand: DataFrame) -> DataFrame:
+    """est_jaccard decoration for an arbitrary candidate-pair relation
+    against a wide signature relation (shared with the delta path, which
+    decorates only the NEW batch-involved pairs against the merged
+    signatures)."""
     sig_arr = wide.select("doc_id", F.array(
         *[f"h{s}" for s in range(N_HASHES)]).alias("sig"))
     sa = sig_arr.select(F.col("doc_id").alias("doc_a"),
@@ -347,14 +373,22 @@ def _jaccard_exact_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``ngram_jaccard`` before presentation ordering (compute path; also
     the exact-verify half of the materialized pair table)."""
     sh = _shingles_cached(spark, sf_dir)
+    cand = (_lsh_candidates(_signature_wide(spark, sf_dir))
+            .localCheckpoint(eager=False))
+    return _jaccard_exact_for(cand, sh)
+
+
+def _jaccard_exact_for(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-set verify for an arbitrary candidate-pair relation
+    against a shingle relation covering (at least) the candidate docs —
+    shared with the delta path, which feeds batch shingles plus the
+    candidate-pruned base shingles."""
     # materialize the candidate list once (it is tiny — LSH collisions),
     # then broadcast its doc-id sets to PRUNE the shingle relation before
     # any shuffle: only candidate docs' shingles move.  Without this the
     # (doc_b, shingle) join shuffles the ENTIRE corpus shingle relation —
     # the difference between "collisions × shingles/doc" and "100 TB of
     # shingles" at scale.
-    cand = (_lsh_candidates(_signature_wide(spark, sf_dir))
-            .localCheckpoint(eager=False))
     # ONE candidate-doc broadcast subplan, textually identical at all three
     # use sites, so ReuseExchange collapses them into a single broadcast
     # build (3 separate docs_a/docs_b/docs_any broadcasts each cost a
@@ -547,6 +581,16 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     pscan = _pairs_scan(spark, sf_dir)
     pairs = (pscan.select("doc_a", "doc_b") if pscan is not None
              else _lsh_candidates(_signature_wide(spark, sf_dir)))
+    return _propagate_min_labels(pairs)
+
+
+def _propagate_min_labels(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation to fixpoint over an arbitrary (doc_a, doc_b)
+    edge relation (shared with the delta path, which re-propagates over
+    the MERGED pair table — connected components are corpus-global, so a
+    day-2 bridge doc can fuse two day-1 clusters and labels must be
+    recomputed from pairs, never appended; the relation iterated is
+    ∝ collisions, so the recompute never touches document bytes)."""
     # localCheckpoint (eager) rather than cache: it TRUNCATES lineage, so
     # every loop round plans over the tiny materialized edge relation, not
     # the full LSH DAG that produced it (per-round planning cost would

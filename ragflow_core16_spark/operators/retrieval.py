@@ -937,8 +937,47 @@ ORDER BY rrf_score DESC, doc_id LIMIT {TOP_N}
 """
 
 
+def incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-2 index maintenance demonstrated inside one corpus: the same
+    deterministic hash split as ``incremental_dedup`` plays 4/5 of the
+    docs as the already-indexed day-1 corpus and 1/5 as today's batch;
+    each side's (tok, doc_id, tf) postings build independently and merge
+    through ``pipeline.incremental.merge_postings`` — the literal
+    delta-merge the day-2 job (`jobs/curate_job.py --incremental`) runs —
+    then roll up to per-term df / total tf.  The oracle is the direct
+    aggregation over ALL documents: merge ≡ full recompute is exactly the
+    maintenance contract."""
+    from ..pipeline.incremental import merge_postings
+    from .dedup import _incr_split_expr
+    t = _tokens(spark, sf_dir)
+    split = _incr_split_expr()
+    day1 = (t.filter(split != 0).groupBy("tok", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf")))
+    batch = (t.filter(split == 0).groupBy("tok", "doc_id")
+             .agg(F.count(F.lit(1)).alias("tf")))
+    return (merge_postings(day1, batch)
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"),
+                 F.sum("tf").alias("tf_total"))
+            .filter(F.col("df") >= 3)
+            .orderBy("tok"))
+
+
+INCREMENTAL_POSTINGS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+  FROM documents)
+SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS tf_total
+FROM toks GROUP BY tok HAVING count(DISTINCT doc_id) >= 3 ORDER BY tok
+"""
+
+
 QUERIES = {
     "build_postings": (build_postings, BUILD_POSTINGS_SQL),
+    "incremental_postings": (incremental_postings,
+                             INCREMENTAL_POSTINGS_SQL),
     "rrf_fusion": (rrf_fusion, _rrf_fusion_sql()),
     "term_idf_weights": (term_idf_weights, TERM_IDF_SQL),
     "sql_retrieval": (sql_retrieval, SQL_RETRIEVAL_TEXT),

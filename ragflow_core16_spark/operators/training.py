@@ -215,17 +215,23 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_decisions(spark, sf_dir).orderBy("doc_id")
 
 
+def decon_gram_rel(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram) — every document's decontamination n-grams, over an
+    arbitrary (doc_id, text, …) relation (the delta path grams the daily
+    batch directly)."""
+    n = _DECON_N
+    d = (docs.filter(F.length(F.trim("text")) > 0)
+         .select("doc_id", F.split("text", " ").alias("w")))
+    return (d.filter(F.size("w") >= n)
+            .select("doc_id", F.explode(F.expr(
+                f"transform(sequence(1, size(w) - {n - 1}),"
+                f" i -> array_join(slice(w, i, {n}), ' '))")).alias("gram")))
+
+
 def decontaminate_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``decontaminate`` before presentation ordering (composition inputs
     join this — see ``webclean.corpus_keep``)."""
-    n = _DECON_N
-    d = (_docs(spark, sf_dir)
-         .filter(F.length(F.trim("text")) > 0)
-         .select("doc_id", F.split("text", " ").alias("w")))
-    grams = (d.filter(F.size("w") >= n)
-             .select("doc_id", F.explode(F.expr(
-                 f"transform(sequence(1, size(w) - {n - 1}),"
-                 f" i -> array_join(slice(w, i, {n}), ' '))")).alias("gram")))
+    grams = decon_gram_rel(_docs(spark, sf_dir))
     bench = (grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
              .select("gram").distinct())
     train = (grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
@@ -233,6 +239,29 @@ def decontaminate_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (train.join(bench, "gram")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_shared_grams")))
+
+
+def materialize_decon_index(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Write the decontamination index for this corpus snapshot: the
+    distinct benchmark gram set (grams of the eval split) and the
+    per-train-doc gram posting.  This is what makes decontamination
+    incrementally maintainable (pipeline/incremental.py): a day-2 batch
+    adds eval docs whose grams can contaminate DAY-1 documents, and the
+    delta check joins the NEW bench grams against the stored train-gram
+    posting instead of re-gramming day-1 text.  The posting is the same
+    scale class as ``term_postings`` (∝ corpus tokens); a 100 TB
+    deployment stores xxhash64(gram) on both sides instead of the string
+    — the string here keeps the DuckDB oracle byte-comparable."""
+    from ..pipeline.snapshot_cache import materialize
+    grams = decon_gram_rel(_docs(spark, sf_dir))
+    return [
+        materialize(spark, "decon_bench_grams", sf_dir,
+                    lambda: grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
+                    .select("gram").distinct()),
+        materialize(spark, "decon_train_grams", sf_dir,
+                    lambda: grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
+                    .select("doc_id", "gram").distinct()),
+    ]
 
 
 DECONTAMINATE_SQL = rf"""

@@ -268,3 +268,147 @@ def test_spark_submit_index_job(tmp_path, spark):
             os.environ.pop("RAG_CURATION_DIR", None)
         else:
             os.environ["RAG_CURATION_DIR"] = prev
+
+
+def _zip_pkg(tmp_path):
+    zip_path = tmp_path / "ragflow_core16_spark.zip"
+    pkg = os.path.join(REPO, "ragflow_core16_spark")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+    return zip_path
+
+
+def _split_corpora(spark, root):
+    """day-1 / batch / combined dirs carved from sf0.001 (the day-2
+    deployment scenario used by the incremental + chaos tests)."""
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    day1 = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    day1.coalesce(2).write.parquet(f"{root}/day1/documents.parquet")
+    batch.coalesce(1).write.parquet(f"{root}/batch/documents.parquet")
+    day1.unionByName(batch).coalesce(2).write.parquet(
+        f"{root}/combined/documents.parquet")
+    return (f"{root}/day1", f"{root}/batch", f"{root}/combined")
+
+
+@pytest.mark.slow
+def test_spark_submit_curate_incremental(tmp_path, spark, monkeypatch):
+    """Day-2 deployment path: jobs/curate_job.py --incremental merges the
+    batch into the day-1 snapshot's tables via spark-submit; the published
+    decision table must equal the full recompute over the combined
+    corpus."""
+    zip_path = _zip_pkg(tmp_path)
+    day1, batch, combined = _split_corpora(spark, str(tmp_path))
+    wh = str(tmp_path / "cur")
+    monkeypatch.setenv("RAG_CURATION_DIR", wh)
+
+    # full-recompute oracle over combined BEFORE any combined table exists
+    from ragflow_core16_spark.operators.webclean import (
+        web_decisions_unordered)
+    want = {tuple(r) for r in
+            web_decisions_unordered(spark, combined).collect()}
+
+    # day-1 snapshot build (the full curate/index run's table set)
+    from ragflow_core16_spark.operators.dedup import materialize_dedup_index
+    from ragflow_core16_spark.operators.retrieval import (
+        materialize_retrieval_index)
+    from ragflow_core16_spark.operators.training import (
+        materialize_decon_index)
+    from ragflow_core16_spark.operators.webclean import (
+        materialize_web_decisions)
+    materialize_dedup_index(spark, day1)
+    materialize_web_decisions(spark, day1)
+    materialize_decon_index(spark, day1)
+    materialize_retrieval_index(spark, day1)
+
+    out = subprocess.run(
+        ["spark-submit", "--master", "local[2]",
+         "--py-files", str(zip_path),
+         os.path.join(REPO, "jobs", "curate_job.py"),
+         "--incremental", "--base", day1, "--batch", batch,
+         "--input", combined, "--output", str(tmp_path / "out")],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=420,
+        env={**os.environ, "RAG_CURATION_DIR": wh})
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["mode"] == "incremental"
+    assert summary["rows"] == len(want)
+
+    got = {tuple(r) for r in
+           spark.read.parquet(str(tmp_path / "out" / "keep")).collect()}
+    assert got == want
+    # and the routed queries over the combined corpus now serve the
+    # merged table
+    from ragflow_core16_spark.pipeline.snapshot_cache import read_table
+    assert read_table(spark, "web_decisions", combined) is not None
+
+
+@pytest.mark.slow
+def test_curate_job_crash_consistency(tmp_path, spark, monkeypatch):
+    """Chaos drill for the multi-table index build (VERDICT r4 task #5):
+
+    1. crash BETWEEN the dedup-index write and the decision-table write
+       (dedup tables complete, decisions absent) → the decision-table
+       queries refuse the missing table and recompute correctly; a job
+       rerun converges to the same fingerprint-complete state as a clean
+       run.
+    2. crash MID-WRITE of a dedup table (_SUCCESS absent) → that table
+       never serves, routed queries recompute, and the rerun replaces the
+       partial directory atomically.
+    """
+    from ragflow_core16_spark.operators.dedup import (
+        dedup_clusters, materialize_dedup_index, reset_shared_cache)
+    from ragflow_core16_spark.operators.webclean import web_keep
+    from ragflow_core16_spark.pipeline.snapshot_cache import (
+        read_table, table_path)
+    zip_path = _zip_pkg(tmp_path)
+    sf = "/root/testdata/sf0.001"
+    wh = str(tmp_path / "cur")
+    monkeypatch.setenv("RAG_CURATION_DIR", wh)
+    reset_shared_cache()
+    baseline_keep = {tuple(r) for r in web_keep(spark, sf).collect()}
+    baseline_clusters = {tuple(r) for r in
+                         dedup_clusters(spark, sf).collect()}
+
+    # --- crash 1: first phase (dedup index) committed, decisions never
+    # written — exactly the state a kill between the two writes leaves
+    materialize_dedup_index(spark, sf)
+    assert read_table(spark, "web_decisions", sf) is None
+    reset_shared_cache()
+    # decision queries refuse the absent table and recompute (over the
+    # committed dedup tables) to the same answer
+    assert {tuple(r) for r in web_keep(spark, sf).collect()} == \
+        baseline_keep
+
+    # --- crash 2: mid-write of dedup_labels (partial dir, no _SUCCESS)
+    labels_path = table_path("dedup_labels", sf)
+    os.remove(os.path.join(labels_path, "_SUCCESS"))
+    assert read_table(spark, "dedup_labels", sf) is None
+    reset_shared_cache()
+    assert {tuple(r) for r in dedup_clusters(spark, sf).collect()} == \
+        baseline_clusters
+
+    # --- rerun converges: the job rebuilds the partial table and
+    # publishes the decision table; the final state equals a clean run's
+    out = subprocess.run(
+        ["spark-submit", "--master", "local[2]",
+         "--py-files", str(zip_path),
+         os.path.join(REPO, "jobs", "curate_job.py"),
+         "--input", sf, "--no-corpus",
+         "--output", str(tmp_path / "out")],
+        capture_output=True, text=True, cwd=str(tmp_path), timeout=420,
+        env={**os.environ, "RAG_CURATION_DIR": wh})
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert os.path.exists(os.path.join(labels_path, "_SUCCESS"))
+    assert read_table(spark, "web_decisions", sf) is not None
+    reset_shared_cache()
+    assert {tuple(r) for r in web_keep(spark, sf).collect()} == \
+        baseline_keep
+    assert {tuple(r) for r in dedup_clusters(spark, sf).collect()} == \
+        baseline_clusters
