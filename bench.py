@@ -689,6 +689,181 @@ skew machinery the extraction job applies before its Python stage
         "speedup": round(speedup, 2), "hash_equal": ok}))
 
 
+# --------------------------------------------------- operator-field scale
+# The ≥0.8 scaling + skew A/B cover extraction; this mode is the operator
+# field's evidence (VERDICT r4 task #3): the heaviest documents-table
+# operator queries measured at three corpus scales with per-query SHUFFLE
+# READ/WRITE BYTES from the AppStatusStore, plus a two-parallelism-level
+# pair at the sf1 tier with order-insensitive output hashes.  The claim
+# under test is "shuffle ∝ collisions/corpus, never |docs|²": bytes must
+# grow ~linearly (sub-quadratically) across 5k → 50k → 500k docs.
+
+OPERATOR_FIELD = [
+    "minhash_lsh_pairs", "ngram_jaccard", "dedup_clusters", "dedup_exact",
+    "substring_dedup_spans", "web_keep", "bm25_topn", "tfidf_keywords",
+    "kn_bigram_logprob", "incremental_dedup",
+]
+# NOT in the field: simhash_pairs — its 16-bit fingerprint space
+# saturates beyond ~10k docs, so its OUTPUT is quadratic by parameter
+# choice (a 500k-doc deployment runs it at 64 bits); measuring it here
+# would indict the corpus, not the plan.
+
+
+def _shuffle_totals(spark) -> tuple[int, int]:
+    """(total shuffle read bytes, total shuffle write bytes) across every
+    stage the AppStatusStore retains — diff around a query for its cost.
+    Pure driver-side metadata, no listener registration needed."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    store = sc._jsc.sc().statusStore()
+    stages = store.stageList(jvm.java.util.ArrayList(), False, False,
+                             sc._gateway.new_array(jvm.double, 0),
+                             jvm.java.util.ArrayList())
+    r = w = 0
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        r += s.shuffleReadBytes()
+        w += s.shuffleWriteBytes()
+    return r, w
+
+
+def _scale_corpus(spark, n_docs: int) -> str:
+    """Write (once) the deterministic generated documents corpus of
+    ``n_docs`` rows under the scratch dir; returns its sf_dir."""
+    from ragflow_core16_spark.datagen.documents import documents_df
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/spark_graft_scale")
+    d = os.path.join(scratch, f"docs{n_docs}")
+    tgt = os.path.join(d, "documents.parquet")
+    if not os.path.exists(os.path.join(tgt, "_SUCCESS")):
+        documents_df(spark, n_docs).write.mode("overwrite").parquet(tgt)
+    return d
+
+
+def one_run_operators(cpus: int, n_docs: int) -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from ragflow_core16_spark.session import get_spark
+    # retain enough stages that the cumulative shuffle-byte diff never
+    # loses history (must be set before the context starts)
+    spark = get_spark(f"local[{cpus}]", app_name=f"bench-operators[{cpus}]",
+                      extra_conf={
+                          "spark.sql.shuffle.partitions": str(max(cpus, 8)),
+                          "spark.ui.enabled": "false",
+                          "spark.ui.retainedStages": "20000"})
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = _scale_corpus(spark, n_docs)
+    warm_dir = _scale_corpus(spark, 500)
+    reg = E._registry()
+    from ragflow_core16_spark.operators.dedup import reset_shared_cache
+
+    def value_hash(df) -> tuple[str, int]:
+        h = (df.select(F.conv(F.substring(
+                F.md5(F.to_json(F.struct(*df.columns))), 1, 15), 16, 10)
+                .cast("long").alias("h"))
+             .agg(F.expr("bit_xor(h)").alias("x"),
+                  F.count(F.lit(1)).alias("n")).collect()[0])
+        return str(h["x"]), int(h["n"])
+
+    for name in OPERATOR_FIELD:       # JVM/codegen warm-up, tiny corpus
+        reg[name][0](spark, warm_dir).write.format("noop") \
+            .mode("overwrite").save()
+    out = {}
+    for name in OPERATOR_FIELD:
+        reset_shared_cache()
+        spark.catalog.clearCache()
+        r0, w0 = _shuffle_totals(spark)
+        t0 = time.time()
+        h, n = value_hash(reg[name][0](spark, sf_dir))
+        wall = round(time.time() - t0, 2)
+        r1, w1 = _shuffle_totals(spark)
+        out[name] = {"wall_sec": wall, "rows": n, "hash": h,
+                     "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
+                     "shuffle_write_mb": round((w1 - w0) / 1e6, 2)}
+    print("OPERATOR_RUN_JSON:" + json.dumps(
+        {"cpus": cpus, "n_docs": n_docs, "queries": out}))
+    spark.stop()
+
+
+def sf1_operators() -> None:
+    """Orchestrate the operator-field matrix: 5k/50k/500k docs at
+    local[32] (byte-growth evidence) + 50k at pinned local[8] vs
+    local[32] (parallelism determinism + throughput)."""
+    import shutil as _sh
+    env = {**os.environ}
+    scales = [int(x) for x in os.environ.get(
+        "SPARK_GRAFT_OPERATOR_SCALES", "5000,50000,500000").split(",")]
+    lo, hi = (int(x) for x in os.environ.get(
+        "SPARK_GRAFT_OPERATOR_LEVELS", "8,32").split(","))
+
+    def one(cpus: int, n_docs: int, pin: bool) -> dict:
+        cmd = [sys.executable, __file__, "--one-run-operators",
+               str(cpus), str(n_docs)]
+        if pin and _sh.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env)
+        line = next(l for l in out.stdout.splitlines()
+                    if l.startswith("OPERATOR_RUN_JSON:"))
+        return json.loads(line[len("OPERATOR_RUN_JSON:"):])
+
+    growth = {n: one(hi, n, pin=False) for n in scales}
+    par_lo = one(lo, scales[1], pin=True)
+    par_hi = one(hi, scales[1], pin=True)
+
+    rows = []
+    for name in OPERATOR_FIELD:
+        cells = [growth[n]["queries"][name] for n in scales]
+        g1 = (cells[1]["shuffle_write_mb"] / cells[0]["shuffle_write_mb"]
+              if cells[0]["shuffle_write_mb"] else float("nan"))
+        g2 = (cells[2]["shuffle_write_mb"] / cells[1]["shuffle_write_mb"]
+              if cells[1]["shuffle_write_mb"] else float("nan"))
+        hash_eq = (par_lo["queries"][name]["hash"] ==
+                   par_hi["queries"][name]["hash"])
+        rows.append(
+            f"| {name} | "
+            + " | ".join(f"{c['shuffle_write_mb']}" for c in cells)
+            + f" | {g1:.1f}× / {g2:.1f}× | "
+            + " / ".join(f"{c['wall_sec']}" for c in cells)
+            + f" | {'YES' if hash_eq else 'NO — INVESTIGATE'} |")
+    scale_hdr = " | ".join(f"{n//1000}k docs" for n in scales)
+    md = f"""
+
+## Operator-field scale evidence (shuffle bytes, {scales[0]//1000}k → {scales[-1]//1000}k docs)
+
+The {len(OPERATOR_FIELD)} heaviest documents-table operator queries over
+the deterministic generated corpus (`datagen/documents.py`: driver
+grammar, ~1.5% engineered near-dups so dedup work grows linearly), full
+compute path (no snapshot tables), local[{hi}].  Shuffle read/write
+bytes measured per query from the AppStatusStore stage metrics.  The
+claim under test: shuffle ∝ corpus/collisions, never |docs|² — each 10×
+data step should grow bytes ≈10× (sub-quadratic; quadratic would be
+100×/step).  "hash equal" compares the order-insensitive output hash of
+the 50k run at pinned local[{lo}] vs local[{hi}] — byte-identical
+results across parallelism levels.
+
+| query | shuffle write MB: {scale_hdr} | growth /10× step | wall sec ({'/'.join(str(n//1000)+'k' for n in scales)}) | hash equal local[{lo}]≡local[{hi}] |
+|---|---|---|---|---|
+{chr(10).join(rows)}
+
+Parallelism pair at {scales[1]//1000}k docs: total wall
+{round(sum(q['wall_sec'] for q in par_lo['queries'].values()), 1)} s at
+local[{lo}] vs
+{round(sum(q['wall_sec'] for q in par_hi['queries'].values()), 1)} s at
+local[{hi}].
+"""
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    _replace_section(f"{REPO}/BENCH/BASELINE.md",
+                     "## Operator-field scale evidence", md)
+    print(json.dumps({
+        "scales": scales,
+        "growth": {str(n): growth[n]["queries"] for n in scales},
+        f"local{lo}_50k": par_lo["queries"],
+        f"local{hi}_50k": par_hi["queries"],
+        "all_hashes_equal": all(
+            par_lo["queries"][q]["hash"] == par_hi["queries"][q]["hash"]
+            for q in OPERATOR_FIELD)}))
+
+
 if __name__ == "__main__":
     if "--one-run" in sys.argv:
         one_run(int(sys.argv[sys.argv.index("--one-run") + 1]))
@@ -702,6 +877,11 @@ if __name__ == "__main__":
         scaling_groups()
     elif "--scaling-cluster" in sys.argv:
         scaling_cluster()
+    elif "--one-run-operators" in sys.argv:
+        i = sys.argv.index("--one-run-operators")
+        one_run_operators(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+    elif "--sf1-operators" in sys.argv:
+        sf1_operators()
     elif "--sf1-skew" in sys.argv:
         sf1_skew()
     else:
