@@ -864,6 +864,151 @@ local[{hi}].
             for q in OPERATOR_FIELD)}))
 
 
+def aqe_skew() -> None:
+    """AQE interplay on the engineered-skew corpus (VERDICT r4 task #7).
+
+    The r4 skew A/B validated explicit repartition before the Python
+    stage; this measures the GROUPBY/JOIN side over the same skewed
+    corpus (host0000 ≈ 50% of bytes):
+
+      1. partial-agg rollup (host_outdegree's shape) — AQE on/off:
+         map-side combine absorbs key skew before any shuffle, so AQE
+         should be irrelevant.
+      2. payload-carrying top-K per host: the naive window formulation
+         (one reducer sorts the hot host's bytes) vs the engine's salted
+         two-stage (domain_cap's shape) — under BOTH AQE settings,
+         because AQE skew handling only splits JOIN partitions, never
+         aggregation/window partitions; salting is the only fix.
+      3. a sort-merge join forced by disabling broadcast (fact ⋈ per-host
+         dim) with AQE skew-join on/off — what AQE buys IF a dim join
+         ever degrades to SMJ — against the engine's actual plan
+         (broadcast), which is skew-immune outright.
+
+    Plus the three host-keyed registry queries at sf0.1 under AQE on/off
+    (expected insensitive: their plans are salted/partial-agg/broadcast
+    by construction)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from ragflow_core16_spark.datagen.pages import skewed_pages_df
+
+    spark = _spark(CPUS)
+    n = int(os.environ.get("SPARK_GRAFT_AQE_DOCS", "150000"))
+    pages = (skewed_pages_df(spark, n)
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    pages.count()
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1)
+    rel = pages.select(host.alias("host"), "url", "html",
+                       F.length("html").alias("bytes"))
+
+    def set_aqe(on: bool):
+        for k in ("spark.sql.adaptive.enabled",
+                  "spark.sql.adaptive.skewJoin.enabled",
+                  "spark.sql.adaptive.coalescePartitions.enabled"):
+            spark.conf.set(k, str(on).lower())
+
+    def timed(df) -> float:
+        t0 = time.time()
+        _noop_write(df)
+        return round(time.time() - t0, 2)
+
+    results: dict = {}
+
+    # 1. partial-agg rollup
+    agg = rel.groupBy("host").agg(F.sum("bytes").alias("b"),
+                                  F.count(F.lit(1)).alias("n"))
+    for aqe in (True, False):
+        set_aqe(aqe)
+        results[f"partial_agg_aqe_{'on' if aqe else 'off'}"] = timed(agg)
+
+    # 2. payload-carrying top-K per host: window vs salted two-stage
+    prio = F.conv(F.substring(F.md5("url"), 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("host").orderBy(prio, "url")
+    window_topk = (rel.withColumn("r", F.row_number().over(w))
+                   .filter(F.col("r") <= 3).select("host", "url", "bytes"))
+    SALTS = 8
+    stage1 = (rel.withColumn("p", prio)
+              .withColumn("salt", F.pmod(F.crc32("url"), F.lit(SALTS)))
+              .groupBy("host", "salt")
+              .agg(F.slice(F.sort_array(F.collect_list(
+                  F.struct("p", "url", "bytes"))), 1, 3).alias("top")))
+    salted_topk = (stage1.select("host", F.explode("top").alias("t"))
+                   .groupBy("host")
+                   .agg(F.slice(F.sort_array(F.collect_list("t")), 1, 3)
+                        .alias("top"))
+                   .select("host", F.explode("top").alias("t"))
+                   .select("host", F.col("t.url").alias("url"),
+                           F.col("t.bytes").alias("bytes")))
+    for aqe in (True, False):
+        set_aqe(aqe)
+        tag = "on" if aqe else "off"
+        results[f"window_topk_aqe_{tag}"] = timed(window_topk)
+        results[f"salted_topk_aqe_{tag}"] = timed(salted_topk)
+
+    # 3. forced sort-merge join vs AQE skew-join vs broadcast
+    dim = (rel.select("host").distinct()
+           .withColumn("weight",
+                       F.pmod(F.crc32("host"), F.lit(100)).cast("int")))
+    joined = rel.join(dim, "host").select("host", "weight", "bytes", "html")
+    # thresholds sized to THIS corpus (a real deployment's partitions are
+    # GBs and the defaults fire on their own)
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "16m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for aqe in (True, False):
+        set_aqe(aqe)
+        tag = "on" if aqe else "off"
+        results[f"smj_skew_join_aqe_{tag}"] = timed(joined)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    set_aqe(True)
+    results["broadcast_join"] = timed(joined)
+
+    # registry queries at sf0.1 under both settings
+    reg = E._registry()
+    for name in ("host_outdegree", "mirror_hosts", "domain_cap"):
+        for aqe in (True, False):
+            set_aqe(aqe)
+            tag = "on" if aqe else "off"
+            results[f"{name}_aqe_{tag}"] = timed(reg[name][0](spark,
+                                                              SF_DIR))
+    set_aqe(True)
+    pages.unpersist()
+
+    md = f"""
+
+## AQE × skew interplay (engineered-skew corpus, {n} docs, local[{CPUS}])
+
+host0000 carries ≈50% of corpus bytes (`skewed_pages_df`).  AQE's skew
+machinery splits JOIN partitions only — aggregation/window skew is the
+engine's own job (salting), which these numbers quantify:
+
+| measurement | AQE on | AQE off | reading |
+|---|---|---|---|
+| partial-agg host rollup | {results['partial_agg_aqe_on']} s | {results['partial_agg_aqe_off']} s | map-side combine absorbs key skew before the shuffle; AQE irrelevant |
+| top-K per host, window formulation | {results['window_topk_aqe_on']} s | {results['window_topk_aqe_off']} s | one reducer sorts the hot host's payload under EITHER setting — AQE cannot split an agg/window partition |
+| top-K per host, salted two-stage (the engine's `domain_cap` shape) | {results['salted_topk_aqe_on']} s | {results['salted_topk_aqe_off']} s | bounded per-(host,salt) state; the fix lives in the plan, not in AQE |
+| forced sort-merge fact⋈host-dim (broadcast disabled, 16m skew threshold) | {results['smj_skew_join_aqe_on']} s | {results['smj_skew_join_aqe_off']} s | the one place AQE's skew-join pays: it splits the hot fact partition |
+| same join, engine default (broadcast) | {results['broadcast_join']} s | — | the actual plan: broadcast the dim, skew never materializes |
+| `host_outdegree` (sf0.1) | {results['host_outdegree_aqe_on']} s | {results['host_outdegree_aqe_off']} s | partial-agg rollup — insensitive by construction |
+| `mirror_hosts` (sf0.1) | {results['mirror_hosts_aqe_on']} s | {results['mirror_hosts_aqe_off']} s | content-hash groupBy — insensitive |
+| `domain_cap` (sf0.1) | {results['domain_cap_aqe_on']} s | {results['domain_cap_aqe_off']} s | salted two-stage — insensitive |
+
+Config guidance (docs/PLANS.md): keep AQE + skew-join ON (it is the
+safety net for join-side skew at production partition sizes); do NOT
+rely on it for aggregation paths — every host-keyed agg in this engine
+is partial-agg or salted for exactly that reason.
+"""
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    _replace_section(f"{REPO}/BENCH/BASELINE.md",
+                     "## AQE × skew interplay", md)
+    print(json.dumps(results))
+
+
 if __name__ == "__main__":
     if "--one-run" in sys.argv:
         one_run(int(sys.argv[sys.argv.index("--one-run") + 1]))
@@ -882,6 +1027,8 @@ if __name__ == "__main__":
         one_run_operators(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
     elif "--sf1-operators" in sys.argv:
         sf1_operators()
+    elif "--aqe-skew" in sys.argv:
+        aqe_skew()
     elif "--sf1-skew" in sys.argv:
         sf1_skew()
     else:
