@@ -899,7 +899,12 @@ def aqe_skew() -> None:
     pages = (skewed_pages_df(spark, n)
              .persist(StorageLevel.MEMORY_AND_DISK))
     pages.count()
-    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1)
+    # key on the REGISTERED DOMAIN label, not the full hostname: the
+    # generator spreads host0000 across 4 TLD mirrors (~12.5% of bytes
+    # each — under AQE's 5×-median skew factor, so nothing engages),
+    # while domain-level balancing (the RefinedWeb/Dolma shape) sees the
+    # full ≈50% single hot key
+    host = F.regexp_extract("url", r"^[a-z]+://([^./]+)", 1)
     rel = pages.select(host.alias("host"), "url", "html",
                        F.length("html").alias("bytes"))
 
@@ -910,9 +915,17 @@ def aqe_skew() -> None:
             spark.conf.set(k, str(on).lower())
 
     def timed(df) -> float:
-        t0 = time.time()
+        # warm once (fills the page cache / JITs the plan), then best of
+        # two timed passes — without this the first variant measured in
+        # each pair systematically pays all the cold costs
         _noop_write(df)
-        return round(time.time() - t0, 2)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            _noop_write(df)
+            w = time.time() - t0
+            best = w if best is None else min(best, w)
+        return round(best, 2)
 
     results: dict = {}
 
@@ -923,48 +936,82 @@ def aqe_skew() -> None:
         set_aqe(aqe)
         results[f"partial_agg_aqe_{'on' if aqe else 'off'}"] = timed(agg)
 
-    # 2. payload-carrying top-K per host: window vs salted two-stage
+    # 2. top-K per host WITH the winning pages' payloads in the output
+    # (the "keep best captures per host" op).  Naive: a payload-carrying
+    # window — the hot host's bytes all sort on ONE reducer.  Engine
+    # shape: salted narrow top-K (keys only — payloads never enter the
+    # skewed agg), then a join back to fetch the ≤3-per-host winners'
+    # payloads.  Measured under both AQE settings because AQE skew
+    # handling splits JOIN partitions only.
     prio = F.conv(F.substring(F.md5("url"), 1, 15), 16, 10).cast("long")
     w = Window.partitionBy("host").orderBy(prio, "url")
     window_topk = (rel.withColumn("r", F.row_number().over(w))
-                   .filter(F.col("r") <= 3).select("host", "url", "bytes"))
+                   .filter(F.col("r") <= 3)
+                   .select("host", "url", "bytes", "html"))
     SALTS = 8
-    stage1 = (rel.withColumn("p", prio)
+    narrow = rel.select("host", "url", prio.alias("p"))
+    stage1 = (narrow
               .withColumn("salt", F.pmod(F.crc32("url"), F.lit(SALTS)))
               .groupBy("host", "salt")
               .agg(F.slice(F.sort_array(F.collect_list(
-                  F.struct("p", "url", "bytes"))), 1, 3).alias("top")))
-    salted_topk = (stage1.select("host", F.explode("top").alias("t"))
-                   .groupBy("host")
-                   .agg(F.slice(F.sort_array(F.collect_list("t")), 1, 3)
-                        .alias("top"))
-                   .select("host", F.explode("top").alias("t"))
-                   .select("host", F.col("t.url").alias("url"),
-                           F.col("t.bytes").alias("bytes")))
+                  F.struct("p", "url"))), 1, 3).alias("top")))
+    winners = (stage1.select("host", F.explode("top").alias("t"))
+               .groupBy("host")
+               .agg(F.slice(F.sort_array(F.collect_list("t")), 1, 3)
+                    .alias("top"))
+               .select("host", F.explode("top").alias("t"))
+               .select("host", F.col("t.url").alias("url")))
+    salted_topk = (rel.join(F.broadcast(winners), ["host", "url"])
+                   .select("host", "url", "bytes", "html"))
     for aqe in (True, False):
         set_aqe(aqe)
         tag = "on" if aqe else "off"
         results[f"window_topk_aqe_{tag}"] = timed(window_topk)
         results[f"salted_topk_aqe_{tag}"] = timed(salted_topk)
 
-    # 3. forced sort-merge join vs AQE skew-join vs broadcast
-    dim = (rel.select("host").distinct()
-           .withColumn("weight",
-                       F.pmod(F.crc32("host"), F.lit(100)).cast("int")))
+    # 3. forced sort-merge join vs AQE skew-join vs broadcast.  The dim
+    # comes from an INDEPENDENT source on purpose: a dim derived from
+    # the fact by aggregation (rel.select("host").distinct()) feeds the
+    # join already co-partitioned — its join child is an agg stage, not
+    # a plain shuffle stage, and OptimizeSkewedJoin cannot replicate an
+    # agg stage's partitions, so it silently skips (measured; see
+    # PLANS.md "AQE × skew").
+    dim = (spark.range(500)
+           .select(F.concat(F.lit("host"),
+                            F.lpad(F.col("id").cast("string"), 4, "0"))
+                   .alias("host"),
+                   F.pmod(F.col("id"), F.lit(100)).cast("int")
+                   .alias("weight")))
     joined = rel.join(dim, "host").select("host", "weight", "bytes", "html")
-    # thresholds sized to THIS corpus (a real deployment's partitions are
-    # GBs and the defaults fire on their own)
+    # thresholds/factor sized to THIS corpus (shuffle compression shrinks
+    # the hot partition to ~tens of MB at bench scale; a real
+    # deployment's partitions are GBs and the DEFAULTS fire on their
+    # own).  AQE's runtime broadcast rescue is disabled too — otherwise
+    # it converts the degraded SMJ back to broadcast before skew can
+    # materialize, which is itself the first line of defense.
     spark.conf.set(
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
         "16m")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                   "2.0")
     prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     for aqe in (True, False):
         set_aqe(aqe)
         tag = "on" if aqe else "off"
         results[f"smj_skew_join_aqe_{tag}"] = timed(joined)
+        # engagement check from the WRITE's final adaptive plan, read
+        # out of the SQL status store (the DataFrame's own lazy plan
+        # prints isFinalPlan=false; an agg probe would column-prune the
+        # payload and measure a different, narrow shuffle)
+        sql_store = spark._jsparkSession.sharedState().statusStore()
+        execs = sql_store.executionsList()
+        desc = execs.apply(execs.size() - 1).physicalPlanDescription()
+        results[f"smj_skew_engaged_aqe_{tag}"] = "skewed" in desc
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     set_aqe(True)
     results["broadcast_join"] = timed(joined)
 
@@ -990,10 +1037,10 @@ engine's own job (salting), which these numbers quantify:
 | measurement | AQE on | AQE off | reading |
 |---|---|---|---|
 | partial-agg host rollup | {results['partial_agg_aqe_on']} s | {results['partial_agg_aqe_off']} s | map-side combine absorbs key skew before the shuffle; AQE irrelevant |
-| top-K per host, window formulation | {results['window_topk_aqe_on']} s | {results['window_topk_aqe_off']} s | one reducer sorts the hot host's payload under EITHER setting — AQE cannot split an agg/window partition |
-| top-K per host, salted two-stage (the engine's `domain_cap` shape) | {results['salted_topk_aqe_on']} s | {results['salted_topk_aqe_off']} s | bounded per-(host,salt) state; the fix lives in the plan, not in AQE |
-| forced sort-merge fact⋈host-dim (broadcast disabled, 16m skew threshold) | {results['smj_skew_join_aqe_on']} s | {results['smj_skew_join_aqe_off']} s | the one place AQE's skew-join pays: it splits the hot fact partition |
-| same join, engine default (broadcast) | {results['broadcast_join']} s | — | the actual plan: broadcast the dim, skew never materializes |
+| payload top-K per host, window formulation | {results['window_topk_aqe_on']} s | {results['window_topk_aqe_off']} s | measured SAFE here — and the plan explains why: Spark 4's WindowGroupLimit rewrites row_number ≤ K into map-side bounded group limits, so ≤K payload rows per key reach the reducer.  Window/agg shapes WindowGroupLimit cannot rewrite (rank over aggregates, payload collect_list, percentiles per hot key) still hot-spot one reducer, and AQE never splits agg partitions |
+| payload top-K per host, salted narrow top-K + winner join-back (the engine's generalizable shape) | {results['salted_topk_aqe_on']} s | {results['salted_topk_aqe_off']} s | payloads never enter the skewed agg — holds for ANY per-key reduction, not just the rank-limit pattern the optimizer happens to cover |
+| forced sort-merge fact⋈host-dim (all broadcast disabled, 16m/2× skew sizing) | {results['smj_skew_join_aqe_on']} s (skew split engaged: {results['smj_skew_engaged_aqe_on']}) | {results['smj_skew_join_aqe_off']} s (engaged: {results['smj_skew_engaged_aqe_off']}) | the one place AQE's skew machinery acts.  Wall parity HERE is the single-box artifact — the hot partition's fetch is local memory; on a cluster that fetch is one executor's network link and the split is the win.  Engagement itself is the evidence, verified from the final adaptive plan |
+| same join, engine default (broadcast) | {results['broadcast_join']} s | — | the actual plan: broadcast the dim, skew never materializes — {round(results['smj_skew_join_aqe_on'] / max(results['broadcast_join'], 0.01), 1)}× faster than any SMJ variant |
 | `host_outdegree` (sf0.1) | {results['host_outdegree_aqe_on']} s | {results['host_outdegree_aqe_off']} s | partial-agg rollup — insensitive by construction |
 | `mirror_hosts` (sf0.1) | {results['mirror_hosts_aqe_on']} s | {results['mirror_hosts_aqe_off']} s | content-hash groupBy — insensitive |
 | `domain_cap` (sf0.1) | {results['domain_cap_aqe_on']} s | {results['domain_cap_aqe_off']} s | salted two-stage — insensitive |
