@@ -842,8 +842,15 @@ the 50k run at pinned local[{lo}] vs local[{hi}] — byte-identical
 results across parallelism levels.
 
 | query | shuffle write MB: {scale_hdr} | growth /10× step | wall sec ({'/'.join(str(n//1000)+'k' for n in scales)}) | hash equal local[{lo}]≡local[{hi}] |
-|---|---|---|---|---|
+|---|{'---|' * len(scales)}---|---|---|
 {chr(10).join(rows)}
+
+Growth above ~10×/step in the gram-histogram operators
+(substring spans, tfidf df counts) is a CORPUS artifact, not plan
+shape: the driver grammar's 31-word vocabulary makes natural n-gram
+birthday collisions grow superlinearly at 500k docs, so those
+operators' true output (repeated grams) genuinely grows — real web
+text with a ~10⁶ vocabulary keeps the collision term negligible.
 
 Parallelism pair at {scales[1]//1000}k docs: total wall
 {round(sum(q['wall_sec'] for q in par_lo['queries'].values()), 1)} s at
