@@ -14,11 +14,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def duck_con(sf_dir: str):
+    import os
+
     import duckdb
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(path):
+            continue  # partial corpus (e.g. generated documents-only dir)
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
 

@@ -274,3 +274,65 @@ class TestBridgeSemantics:
         monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "empty"))
         with pytest.raises(ValueError, match="missing"):
             dedup_index_delta_frames(spark, SF, SF)
+
+
+class TestDeltaChain:
+    def test_day3_delta_on_top_of_delta_equals_full(self, spark, tmp_path,
+                                                    monkeypatch):
+        """Two sequential incremental updates (day-2 merges into a FULL
+        day-1 build, then day-3 merges into the DELTA-BUILT day-2 state)
+        must equal a full recompute over all three days — the chain
+        property that makes daily maintenance sustainable (day N's base
+        tables are themselves delta products)."""
+        from ragflow_core16_spark.operators.dedup import (
+            materialize_dedup_index)
+        from ragflow_core16_spark.operators.retrieval import (
+            materialize_retrieval_index)
+        from ragflow_core16_spark.operators.training import (
+            materialize_decon_index)
+        from ragflow_core16_spark.operators.webclean import (
+            materialize_web_decisions, web_decisions_unordered)
+        from ragflow_core16_spark.pipeline.incremental import (
+            incremental_update)
+        from ragflow_core16_spark.pipeline.snapshot_cache import read_table
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "wh"))
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        d1 = docs.filter(F.col("doc_id") % 3 == 0)
+        d2 = docs.filter(F.col("doc_id") % 3 == 1)
+        d3 = docs.filter(F.col("doc_id") % 3 == 2)
+        dirs = {}
+        for name, df in [("day1", d1), ("day2", d2), ("day3", d3),
+                         ("c12", d1.unionByName(d2)),
+                         ("c123", d1.unionByName(d2).unionByName(d3))]:
+            p = str(tmp_path / name)
+            df.coalesce(1).write.parquet(f"{p}/documents.parquet")
+            dirs[name] = p
+        _deep_clean(spark)
+        # oracle BEFORE any table exists for c123
+        want = sorted(map(tuple, web_decisions_unordered(
+            spark, dirs["c123"]).collect()))
+        _deep_clean(spark)
+        materialize_dedup_index(spark, dirs["day1"])
+        materialize_web_decisions(spark, dirs["day1"])
+        materialize_decon_index(spark, dirs["day1"])
+        materialize_retrieval_index(spark, dirs["day1"])
+        incremental_update(spark, dirs["day1"], dirs["day2"], dirs["c12"])
+        incremental_update(spark, dirs["c12"], dirs["day3"], dirs["c123"])
+        got = sorted(map(tuple, read_table(
+            spark, "web_decisions", dirs["c123"]).collect()))
+        assert got == want
+        # and the dedup pair table composes too (set equality)
+        from ragflow_core16_spark.operators.dedup import (
+            _jaccard_exact_unordered, _lsh_est_unordered)
+        _deep_clean(spark)
+        pairs = sorted(map(tuple, read_table(
+            spark, "dedup_pairs", dirs["c123"]).collect()))
+        # the pair-oracle compute path must not see the written tables —
+        # point the warehouse at a scratch dir for the recompute
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "wh2"))
+        _deep_clean(spark)
+        est = _lsh_est_unordered(spark, dirs["c123"])
+        exact = _jaccard_exact_unordered(spark, dirs["c123"])
+        want_pairs = sorted(map(tuple, est.join(
+            exact, ["doc_a", "doc_b"], "left").collect()))
+        assert pairs == want_pairs

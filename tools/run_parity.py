@@ -44,6 +44,10 @@ def main(argv=None) -> int:
     ap.add_argument("--out",
                     default=os.path.join(REPO, "CORRECTNESS_LOCAL.json"))
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated registry subset (e.g. for a "
+                         "generated documents-only corpus where queries "
+                         "needing other tables cannot run)")
     args = ap.parse_args(argv)
 
     import __spark_entry__ as E
@@ -55,10 +59,22 @@ def main(argv=None) -> int:
              .config("spark.sql.shuffle.partitions", str(args.cpus))
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.ui.enabled", "false")
+             # local mode: the driver hosts every broadcast build; the
+             # 1g default dies on AQE-chosen broadcasts whose compressed
+             # estimate undersells a low-entropy relation (seen at the
+             # 50k generated-corpus sweep)
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_DRIVER_MEM", "8g"))
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
     reg = E._registry()
+    if args.queries:
+        keep = [q.strip() for q in args.queries.split(",") if q.strip()]
+        missing = [q for q in keep if q not in reg]
+        if missing:
+            raise SystemExit(f"unknown queries: {missing}")
+        reg = {q: reg[q] for q in keep}
     out: dict = {}
     t0 = time.time()
     n_pass = n_fail = n_err = 0
