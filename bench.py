@@ -871,6 +871,128 @@ local[{hi}].
             for q in OPERATOR_FIELD)}))
 
 
+def incremental_cost() -> None:
+    """Day-2 maintenance cost at the operator-field scale (the r5
+    incremental feature's measured payoff): a 10%-sized batch merged
+    into a 50k-doc base snapshot via ``pipeline.incremental`` vs a full
+    rebuild of every table over the combined corpus.  Output equality is
+    asserted by order-insensitive value hashes over the decision and
+    pair tables (delta warehouse vs rebuild warehouse)."""
+    from pyspark.sql import functions as F
+
+    from ragflow_core16_spark.datagen.documents import documents_df
+    from ragflow_core16_spark.operators.dedup import (
+        materialize_dedup_index, reset_shared_cache)
+    from ragflow_core16_spark.operators.retrieval import (
+        materialize_retrieval_index)
+    from ragflow_core16_spark.operators.training import (
+        materialize_decon_index)
+    from ragflow_core16_spark.operators.webclean import (
+        materialize_web_decisions)
+    from ragflow_core16_spark.pipeline.incremental import incremental_update
+    from ragflow_core16_spark.streaming.curation_stream import _link_tree
+
+    spark = _spark(CPUS)
+    scales = [int(x) for x in os.environ.get(
+        "SPARK_GRAFT_INCR_SCALES", "50000,200000").split(",")]
+    scratch = os.environ.get("SPARK_GRAFT_SCRATCH", "/tmp/spark_graft_scale")
+
+    def full_build(sf_dir: str) -> float:
+        reset_shared_cache()
+        t0 = time.time()
+        materialize_dedup_index(spark, sf_dir)
+        materialize_web_decisions(spark, sf_dir)
+        materialize_decon_index(spark, sf_dir)
+        materialize_retrieval_index(spark, sf_dir)
+        return round(time.time() - t0, 1)
+
+    def one_scale(n_base: int) -> dict:
+        n_batch = max(1, n_base // 10)
+        root = os.path.join(scratch, f"incr{n_base}")
+        base_d, batch_d, comb_d = (os.path.join(root, x)
+                                   for x in ("base", "batch", "combined"))
+        for d, df in ((base_d, documents_df(spark, n_base)),
+                      (batch_d, documents_df(spark, n_batch,
+                                             start=n_base))):
+            tgt = os.path.join(d, "documents.parquet")
+            if not os.path.exists(os.path.join(tgt, "_SUCCESS")):
+                df.write.mode("overwrite").parquet(tgt)
+        comb_docs = os.path.join(comb_d, "documents.parquet")
+        _link_tree(os.path.join(base_d, "documents.parquet"), comb_docs)
+        _link_tree(os.path.join(batch_d, "documents.parquet"), comb_docs)
+
+        wh_a, wh_b = os.path.join(root, "whA"), os.path.join(root, "whB")
+        # hermetic: a previous run's warehouses would turn every phase
+        # into an idempotent no-op and report garbage walls
+        import shutil as _sh
+        for wh in (wh_a, wh_b):
+            _sh.rmtree(wh, ignore_errors=True)
+        os.environ["RAG_CURATION_DIR"] = wh_a
+        base_wall = full_build(base_d)
+        reset_shared_cache()
+        t0 = time.time()
+        incremental_update(spark, base_d, batch_d, comb_d)
+        delta_wall = round(time.time() - t0, 1)
+        os.environ["RAG_CURATION_DIR"] = wh_b
+        rebuild_wall = full_build(comb_d)
+
+        def vhash(path_env: str, kind: str) -> str:
+            os.environ["RAG_CURATION_DIR"] = path_env
+            from ragflow_core16_spark.pipeline.snapshot_cache import (
+                read_table)
+            df = read_table(spark, kind, comb_d)
+            row = (df.select(F.conv(F.substring(
+                      F.md5(F.to_json(F.struct(*df.columns))), 1, 15),
+                      16, 10)
+                      .cast("long").alias("h"))
+                   .agg(F.expr("bit_xor(h)").alias("x"),
+                        F.count(F.lit(1)).alias("n")).collect()[0])
+            return f"{row['x']}:{row['n']}"
+        same = all(vhash(wh_a, k) == vhash(wh_b, k)
+                   for k in ("web_decisions", "dedup_pairs",
+                             "dedup_labels", "term_postings"))
+        os.environ.pop("RAG_CURATION_DIR", None)
+        return {"n_base": n_base, "n_batch": n_batch,
+                "base_build_sec": base_wall, "delta_sec": delta_wall,
+                "rebuild_sec": rebuild_wall,
+                "speedup": round(rebuild_wall / max(delta_wall, 0.1), 1),
+                "hashes_equal": same}
+
+    one_scale(5000)   # discarded warm-up: JVM/codegen/Python workers
+    rows = [one_scale(n) for n in scales]
+    table = "\n".join(
+        f"| {r['n_base'] // 1000}k + {r['n_batch'] // 1000}k | "
+        f"{r['base_build_sec']} | **{r['delta_sec']}** | "
+        f"{r['rebuild_sec']} | **{r['speedup']}×** | "
+        f"{'YES' if r['hashes_equal'] else 'NO — INVESTIGATE'} |"
+        for r in rows)
+    md = f"""
+
+## Day-2 maintenance cost: delta merge vs full rebuild
+
+Generated corpus (driver grammar, cross-day near-dups), local[{CPUS}],
+full compute paths, 10% daily batch.  The delta path
+(`pipeline/incremental.py`) merges the batch into the stored base
+tables without rescanning base documents; the rebuild recomputes every
+table over the combined corpus.  Output equality = order-insensitive
+value hashes of web_decisions / dedup_pairs / dedup_labels /
+term_postings, delta-built vs rebuilt warehouse.
+
+| base + batch | day-1 full build s | day-2 delta s | rebuild s | delta advantage | hashes equal |
+|---|---|---|---|---|---|
+{table}
+
+The advantage widens with corpus size — delta cost scales with the
+BATCH (+ collision-bounded verify), rebuild cost with the CORPUS; at a
+10^12-row deployment the rebuild is the entire daily ingest budget
+while the delta stays proportional to the day's arrivals.
+"""
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    _replace_section(f"{REPO}/BENCH/BASELINE.md",
+                     "## Day-2 maintenance cost", md)
+    print(json.dumps({"scales": rows}))
+
+
 def aqe_skew() -> None:
     """AQE interplay on the engineered-skew corpus (VERDICT r4 task #7).
 
@@ -1083,6 +1205,8 @@ if __name__ == "__main__":
         sf1_operators()
     elif "--aqe-skew" in sys.argv:
         aqe_skew()
+    elif "--incremental-cost" in sys.argv:
+        incremental_cost()
     elif "--sf1-skew" in sys.argv:
         sf1_skew()
     else:

@@ -66,13 +66,17 @@ def generate_document(doc_id: int, seed: int = 42) -> tuple:
             len(text))
 
 
-def documents_df(spark: SparkSession, n_rows: int,
-                 seed: int = 42) -> DataFrame:
+def documents_df(spark: SparkSession, n_rows: int, seed: int = 42,
+                 start: int = 0) -> DataFrame:
+    """Rows [start, start+n_rows) — a non-zero ``start`` generates a
+    later ingest batch whose ids continue the corpus (its engineered
+    dups then reference EARLIER ids, i.e. cross-day near-duplicates,
+    exactly the day-2 maintenance scenario)."""
     def gen(batches):
         for pdf in batches:
             rows = [generate_document(int(i), seed) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=[f.name for f in
                                               DOCUMENTS_SCHEMA.fields])
     parts = max(8, n_rows // 25_000)
-    return (spark.range(0, n_rows, numPartitions=parts)
+    return (spark.range(start, start + n_rows, numPartitions=parts)
             .mapInPandas(gen, DOCUMENTS_SCHEMA))
