@@ -288,12 +288,40 @@ def _write_lineage(path: str, base_dir: str, batch_dir: str,
                   f)
 
 
+def _check_disjoint_ids(spark, base_dir: str, batch_dir: str) -> None:
+    """A batch doc_id already present in the base snapshot is a re-crawl
+    or a producer bug — merging it would double the doc in every table
+    and silently diverge from the full recompute.  The engine's ingest
+    contract is unique doc_ids per corpus (re-crawls collapse upstream —
+    the ``latest_capture_extract`` shape); enforce it here with one
+    collision-cheap join against the stored per-doc stats (NO base
+    document scan)."""
+    from ..operators.dedup import _docs
+    base_ids = read_table(spark, "doc_stats", base_dir)
+    if base_ids is None:
+        return  # doc_stats not maintained for this base; checked later
+    overlap = (_docs(spark, batch_dir).select("doc_id")
+               .join(base_ids.select("doc_id"), "doc_id")
+               .limit(5).collect())
+    if overlap:
+        ids = sorted(r.doc_id for r in overlap)
+        raise ValueError(
+            f"batch doc_ids already exist in the base snapshot "
+            f"(first few: {ids}): collapse re-crawls to one row per "
+            "doc_id upstream (latest-capture semantics) before the "
+            "incremental merge")
+
+
 def incremental_update(spark: SparkSession, base_dir: str, batch_dir: str,
                        combined_dir: str) -> dict[str, str]:
     """Run the full delta maintenance: merge the dedup index, then the
     decision table (it reads the merged labels), then the retrieval
     index, writing each under the COMBINED corpus fingerprint (idempotent
-    + atomic via ``materialize``).  Returns kind → table path."""
+    + atomic via ``materialize``).  Returns kind → table path.  An empty
+    batch is a valid no-op day (tables under the combined fingerprint
+    equal the base content); a batch doc_id already present in the base
+    is an error (see ``_check_disjoint_ids``)."""
+    _check_disjoint_ids(spark, base_dir, batch_dir)
     paths: dict[str, str] = {}
     dedup = dedup_index_delta_frames(spark, base_dir, batch_dir)
     for kind in DEDUP_KINDS:

@@ -336,3 +336,69 @@ class TestDeltaChain:
         want_pairs = sorted(map(tuple, est.join(
             exact, ["doc_a", "doc_b"], "left").collect()))
         assert pairs == want_pairs
+
+
+class TestIngestContractEdges:
+    def _full_base(self, spark, base_dir):
+        from ragflow_core16_spark.operators.dedup import (
+            materialize_dedup_index)
+        from ragflow_core16_spark.operators.retrieval import (
+            materialize_retrieval_index)
+        from ragflow_core16_spark.operators.training import (
+            materialize_decon_index)
+        from ragflow_core16_spark.operators.webclean import (
+            materialize_web_decisions)
+        materialize_dedup_index(spark, base_dir)
+        materialize_web_decisions(spark, base_dir)
+        materialize_decon_index(spark, base_dir)
+        materialize_retrieval_index(spark, base_dir)
+
+    def test_recrawled_doc_id_is_rejected(self, spark, tmp_path,
+                                          monkeypatch):
+        """A batch doc_id already present in the base would double the
+        doc in every merged table — the merge must refuse with guidance
+        instead of silently diverging from the full recompute."""
+        from ragflow_core16_spark.pipeline.incremental import (
+            incremental_update)
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "wh"))
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        base_d, batch_d, comb_d = (str(tmp_path / x)
+                                   for x in ("base", "batch", "comb"))
+        docs.filter(F.col("doc_id") < 400).coalesce(1) \
+            .write.parquet(f"{base_d}/documents.parquet")
+        # batch re-crawls doc 7 alongside genuinely new docs
+        docs.filter((F.col("doc_id") >= 400) | (F.col("doc_id") == 7)) \
+            .coalesce(1).write.parquet(f"{batch_d}/documents.parquet")
+        docs.coalesce(1).write.parquet(f"{comb_d}/documents.parquet")
+        _deep_clean(spark)
+        self._full_base(spark, base_d)
+        with pytest.raises(ValueError, match="latest-capture"):
+            incremental_update(spark, base_d, batch_d, comb_d)
+
+    def test_empty_batch_is_a_valid_noop_day(self, spark, tmp_path,
+                                             monkeypatch):
+        """A day with no arrivals still publishes tables under the new
+        corpus fingerprint, row-identical to the base content."""
+        from ragflow_core16_spark.pipeline.incremental import (
+            incremental_update)
+        from ragflow_core16_spark.pipeline.snapshot_cache import read_table
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "wh"))
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        base_d, batch_d, comb_d = (str(tmp_path / x)
+                                   for x in ("base", "batch", "comb"))
+        docs.filter(F.col("doc_id") < 300).coalesce(1) \
+            .write.parquet(f"{base_d}/documents.parquet")
+        docs.filter(F.lit(False)).coalesce(1) \
+            .write.parquet(f"{batch_d}/documents.parquet")
+        docs.filter(F.col("doc_id") < 300).coalesce(1) \
+            .write.parquet(f"{comb_d}/documents.parquet")
+        _deep_clean(spark)
+        self._full_base(spark, base_d)
+        paths = incremental_update(spark, base_d, batch_d, comb_d)
+        for kind in ("web_decisions", "dedup_pairs", "term_postings"):
+            got = sorted(map(tuple,
+                             read_table(spark, kind, comb_d).collect()))
+            want = sorted(map(tuple,
+                              read_table(spark, kind, base_d).collect()))
+            assert got == want, kind
+        assert set(paths) == set(KINDS)
