@@ -54,6 +54,11 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", default=None,
                     help="(incremental) dir containing only the new batch's "
                          "documents.parquet")
+    ap.add_argument("--allow-recrawl", action="store_true",
+                    help="(incremental) treat batch doc_ids that already "
+                         "exist in the base as re-crawls: retire their "
+                         "stale index rows and merge the new versions "
+                         "(--input must hold the compacted corpus)")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args(argv)
     if args.incremental and not (args.base and args.batch):
@@ -83,7 +88,8 @@ def main(argv=None) -> int:
             incremental_update)
         paths = incremental_update(spark, args.base.rstrip("/"),
                                    args.batch.rstrip("/"),
-                                   args.input.rstrip("/"))
+                                   args.input.rstrip("/"),
+                                   allow_recrawl=args.allow_recrawl)
         dec = spark.read.parquet(paths["web_decisions"])
         if not args.no_corpus:
             docs = spark.read.parquet(

@@ -243,21 +243,22 @@ def decontaminate_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def materialize_decon_index(spark: SparkSession, sf_dir: str) -> list[str]:
     """Write the decontamination index for this corpus snapshot: the
-    distinct benchmark gram set (grams of the eval split) and the
-    per-train-doc gram posting.  This is what makes decontamination
-    incrementally maintainable (pipeline/incremental.py): a day-2 batch
-    adds eval docs whose grams can contaminate DAY-1 documents, and the
-    delta check joins the NEW bench grams against the stored train-gram
-    posting instead of re-gramming day-1 text.  The posting is the same
-    scale class as ``term_postings`` (∝ corpus tokens); a 100 TB
-    deployment stores xxhash64(gram) on both sides instead of the string
-    — the string here keeps the DuckDB oracle byte-comparable."""
+    benchmark gram posting (grams of the eval split, WITH the owning
+    doc_id so a re-crawled eval doc's stale grams can be retired) and
+    the per-train-doc gram posting.  This is what makes decontamination
+    incrementally maintainable (pipeline/incremental.py): the ``clean``
+    verdict for every document is derivable as one gram-key join of the
+    two postings — no document text is ever re-grammed at maintenance
+    time.  Both postings are the same scale class as ``term_postings``
+    (∝ corpus tokens); a 100 TB deployment stores xxhash64(gram) on both
+    sides instead of the string — the string here keeps the DuckDB
+    oracle byte-comparable."""
     from ..pipeline.snapshot_cache import materialize
     grams = decon_gram_rel(_docs(spark, sf_dir))
     return [
         materialize(spark, "decon_bench_grams", sf_dir,
                     lambda: grams.filter(F.col("doc_id") % _BENCH_MOD == 0)
-                    .select("gram").distinct()),
+                    .select("doc_id", "gram").distinct()),
         materialize(spark, "decon_train_grams", sf_dir,
                     lambda: grams.filter(F.col("doc_id") % _BENCH_MOD != 0)
                     .select("doc_id", "gram").distinct()),

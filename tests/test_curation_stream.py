@@ -136,7 +136,8 @@ def _compute_relations(spark, sf_dir):
         "dedup_labels": _cluster_labels(spark, sf_dir),
         "simhash_fp": _simhash_unordered(spark, sf_dir),
         "decon_bench_grams": grams.filter(
-            F.col("doc_id") % _BENCH_MOD == 0).select("gram").distinct(),
+            F.col("doc_id") % _BENCH_MOD == 0)
+            .select("doc_id", "gram").distinct(),
         "decon_train_grams": grams.filter(
             F.col("doc_id") % _BENCH_MOD != 0)
             .select("doc_id", "gram").distinct(),

@@ -99,7 +99,7 @@ def delta_state(spark, corpora):
             "simhash_fp": _simhash_unordered(spark, comb).collect(),
             "decon_bench_grams": comb_grams
                 .filter(F.col("doc_id") % _BENCH_MOD == 0)
-                .select("gram").distinct().collect(),
+                .select("doc_id", "gram").distinct().collect(),
             "decon_train_grams": comb_grams
                 .filter(F.col("doc_id") % _BENCH_MOD != 0)
                 .select("doc_id", "gram").distinct().collect(),
@@ -402,3 +402,78 @@ class TestIngestContractEdges:
                               read_table(spark, kind, base_d).collect()))
             assert got == want, kind
         assert set(paths) == set(KINDS)
+
+
+class TestRecrawlUpsert:
+    def test_allow_recrawl_equals_full_recompute(self, spark, tmp_path,
+                                                 monkeypatch):
+        """Retire-then-append upsert: the batch re-crawls one ordinary
+        doc AND one eval-split doc with CHANGED text (so the benchmark
+        gram set itself changes — stale bench grams must retire, which
+        can UN-contaminate day-1 docs) plus genuinely new docs.  The
+        merged tables must equal a full recompute over the compacted
+        combined corpus."""
+        from ragflow_core16_spark.operators.dedup import (
+            _cluster_labels, _lsh_est_unordered, _jaccard_exact_unordered)
+        from ragflow_core16_spark.operators.retrieval import _per_doc_tf
+        from ragflow_core16_spark.operators.webclean import (
+            web_decisions_unordered)
+        from ragflow_core16_spark.pipeline.incremental import (
+            incremental_update)
+        from ragflow_core16_spark.pipeline.snapshot_cache import read_table
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "wh"))
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        base = docs.filter(F.col("doc_id") < 400)
+        new_docs = docs.filter(F.col("doc_id") >= 400)
+        # re-crawls: doc 7 (ordinary) and doc 97 (eval split, %97==0)
+        # with rewritten text
+        recrawled = (docs.filter(F.col("doc_id").isin([7, 97]))
+                     .withColumn("text", F.concat(
+                         F.lit("fresh recrawl body version two "),
+                         F.reverse(F.col("text"))))
+                     .withColumn("n_chars", F.length("text")))
+        batch = new_docs.unionByName(recrawled)
+        combined = (base.filter(~F.col("doc_id").isin([7, 97]))
+                    .unionByName(batch))
+        base_d, batch_d, comb_d = (str(tmp_path / x)
+                                   for x in ("base", "batch", "comb"))
+        base.coalesce(1).write.parquet(f"{base_d}/documents.parquet")
+        batch.coalesce(1).write.parquet(f"{batch_d}/documents.parquet")
+        combined.coalesce(1).write.parquet(f"{comb_d}/documents.parquet")
+
+        _deep_clean(spark)
+        est = _lsh_est_unordered(spark, comb_d)
+        exact = _jaccard_exact_unordered(spark, comb_d)
+        oracle = {
+            "web_decisions": web_decisions_unordered(spark, comb_d)
+            .collect(),
+            "dedup_pairs": est.join(exact, ["doc_a", "doc_b"], "left")
+            .collect(),
+            "dedup_labels": _cluster_labels(spark, comb_d).collect(),
+            "term_postings": _per_doc_tf(spark, comb_d).collect(),
+        }
+        _deep_clean(spark)
+        from ragflow_core16_spark.operators.dedup import (
+            materialize_dedup_index)
+        from ragflow_core16_spark.operators.retrieval import (
+            materialize_retrieval_index)
+        from ragflow_core16_spark.operators.training import (
+            materialize_decon_index)
+        from ragflow_core16_spark.operators.webclean import (
+            materialize_web_decisions)
+        materialize_dedup_index(spark, base_d)
+        materialize_web_decisions(spark, base_d)
+        materialize_decon_index(spark, base_d)
+        materialize_retrieval_index(spark, base_d)
+        _deep_clean(spark)
+        paths = incremental_update(spark, base_d, batch_d, comb_d,
+                                   allow_recrawl=True)
+        for kind, want in oracle.items():
+            got = sorted(map(tuple,
+                             spark.read.parquet(paths[kind]).collect()))
+            assert got == sorted(map(tuple, want)), kind
+        # the re-crawled rows really are the new versions
+        dec = read_table(spark, "web_decisions", comb_d)
+        assert dec.filter(F.col("doc_id") == 7).count() == 1
+        # and doc 97 (eval) stays excluded from decisions as before
+        assert dec.filter(F.col("doc_id") == 97).count() == 0
