@@ -27,6 +27,15 @@ Exactly-once design (the ``run_warc_to_cdx_stream`` contract):
   * ``LATEST`` (written by temp+rename) names the serving version; a
     query session points ``RAG_CURATION_DIR``-routed operators at it by
     reading the version's corpus dir like any sf_dir.
+  * A micro-batch that RE-DELIVERS ids already in the corpus (a re-crawl
+    feed) becomes an upsert day: the surviving previous rows are
+    rewritten once into a compacted corpus (hard links cannot drop rows
+    — a lakehouse format would take delete vectors instead) and the
+    delta runs with ``allow_recrawl=True``, retiring the stale index
+    rows.  On a replay after a mid-apply crash the compaction rewrite
+    changes the version fingerprint, so the replay simply rebuilds under
+    the fresh fingerprint and converges; the crashed attempt's tables
+    are unreferenced garbage.
 """
 
 from __future__ import annotations
@@ -74,6 +83,7 @@ def _full_build(spark: SparkSession, sf_dir: str) -> None:
 def _apply_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
                  state_dir: str) -> None:
     from ..pipeline.incremental import incremental_update
+    from ..pipeline.snapshot_cache import read_table
     vdir = os.path.join(state_dir, "versions", f"v{batch_id:05d}")
     if os.path.exists(os.path.join(vdir, "_complete")):
         return  # replayed batch: already fully applied
@@ -88,12 +98,35 @@ def _apply_batch(spark: SparkSession, batch_df: DataFrame, batch_id: int,
     # 2. compose the new corpus version from the previous one + the batch
     prev = _latest_complete(state_dir, before=batch_id)
     vdocs = os.path.join(vdir, "documents.parquet")
-    _link_tree(bdocs, vdocs)
     if prev is None:
+        _link_tree(bdocs, vdocs)
         _full_build(spark, vdir)
     else:
-        _link_tree(os.path.join(prev, "documents.parquet"), vdocs)
-        incremental_update(spark, prev, bdir, vdir)
+        # a crawl feed may RE-DELIVER ids it crawled before; detect via
+        # the previous version's per-doc stats (no document scan)
+        prev_ids = read_table(spark, "doc_stats", prev).select("doc_id")
+        batch_ids = (spark.read.parquet(bdocs).select("doc_id")
+                     .join(prev_ids, "doc_id"))
+        recrawl = not batch_ids.isEmpty()
+        if recrawl:
+            # upsert day: the new version's corpus must be COMPACTED
+            # (old rows of re-delivered ids dropped), which a hard-link
+            # composition cannot express — rewrite the surviving prev
+            # rows once, then link the batch files in.  A lakehouse
+            # format takes delete vectors instead; this is the plain-
+            # parquet equivalent, paid only on re-delivery days.
+            surv = (spark.read.parquet(
+                        os.path.join(prev, "documents.parquet"))
+                    .join(spark.read.parquet(bdocs).select("doc_id"),
+                          "doc_id", "anti"))
+            surv.write.mode("overwrite").parquet(vdocs)
+            _link_tree(bdocs, vdocs)
+            incremental_update(spark, prev, bdir, vdir,
+                               allow_recrawl=True)
+        else:
+            _link_tree(bdocs, vdocs)
+            _link_tree(os.path.join(prev, "documents.parquet"), vdocs)
+            incremental_update(spark, prev, bdir, vdir)
     # 3. publish: marker LAST, then the serving pointer
     open(os.path.join(vdir, "_complete"), "w").close()
     tmp = os.path.join(state_dir, ".LATEST.tmp")

@@ -145,3 +145,56 @@ def _compute_relations(spark, sf_dir):
         "term_postings": _per_doc_tf(spark, sf_dir),
         "doc_stats": _dl_rel(spark, sf_dir),
     }
+
+
+class TestStreamingRecrawl:
+    def test_redelivered_doc_becomes_upsert_day(self, spark, tmp_path,
+                                                monkeypatch):
+        """Drop 3 re-delivers doc 7 with CHANGED text alongside new docs:
+        the stream must compact the corpus (old row of 7 dropped),
+        retire the stale index rows, and end up row-identical to a batch
+        build over the compacted corpus."""
+        from ragflow_core16_spark.streaming.curation_stream import (
+            latest_version, run_curation_index_stream)
+        monkeypatch.setenv("RAG_CURATION_DIR", str(tmp_path / "cur"))
+        landing = str(tmp_path / "landing")
+        state = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        d1 = docs.filter(F.col("doc_id") < 200)
+        d2 = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350))
+        recrawl7 = (docs.filter(F.col("doc_id") == 7)
+                    .withColumn("text", F.concat(
+                        F.lit("updated capture of doc seven "),
+                        F.reverse(F.col("text"))))
+                    .withColumn("n_chars", F.length("text")))
+        d3 = docs.filter(F.col("doc_id") >= 350).unionByName(recrawl7)
+
+        # oracle: full-recompute relations over the COMPACTED final
+        # corpus, captured in a dir the stream never touches
+        alldir = str(tmp_path / "alldocs")
+        (d1.filter(F.col("doc_id") != 7).unionByName(d2).unionByName(d3)
+         .coalesce(2).write.parquet(f"{alldir}/documents.parquet"))
+        _deep_clean(spark)
+        oracle = {k: sorted(map(tuple, df.collect()))
+                  for k, df in _compute_relations(spark, alldir).items()}
+
+        def drain():
+            q = run_curation_index_stream(spark, landing, state, ckpt)
+            q.awaitTermination(300)
+
+        for drop in (d1, d2, d3):
+            drop.coalesce(1).write.mode("append").parquet(landing)
+            _deep_clean(spark)
+            drain()
+        v = latest_version(state)
+        # compacted corpus: exactly one row for doc 7, the new text
+        final_docs = spark.read.parquet(f"{v}/documents.parquet")
+        row7 = final_docs.filter(F.col("doc_id") == 7).collect()
+        assert len(row7) == 1
+        assert row7[0].text.startswith("updated capture of doc seven")
+        from ragflow_core16_spark.pipeline.snapshot_cache import read_table
+        for kind in KINDS:
+            t = read_table(spark, kind, v)
+            assert t is not None, kind
+            assert sorted(map(tuple, t.collect())) == oracle[kind], kind
